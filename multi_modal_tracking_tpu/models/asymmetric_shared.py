@@ -1,0 +1,403 @@
+"""Asymmetric-shared RGB-T MixFormer (flagship) with optional candidate
+elimination (CE).
+
+Parity targets:
+  lib/models/mixformer_vit_rgbt/asymmetric_shared.py — shared-weight ViT with
+  modality-specific LayerNorms (norm{1,2}_{v,i}); cross-modal asymmetric
+  attention (Attention.forward :55-104): each modality's templates attend
+  within their own modality, each modality's search attends to its own search
+  plus the templates of BOTH modalities; modalities ride the leading batch
+  axis; fused search feature -> corner head.
+  lib/models/mixformer_vit_rgbt/asymmetric_shared_ce.py — adds OSTrack-style
+  candidate elimination at blocks CE_LOC: rank search tokens by the
+  (CTR_POINT-masked) template->search attention, keep top
+  ceil(keep_ratio * L_s) per modality (same count in both), restore removed
+  tokens as zeros in original order before the head (:22-101, :427-447).
+  lib/models/mixformer_vit_rgbt/asymmetric_shared_online.py — SPM score
+  branch fed the fused search feature and the concat of both modal templates.
+
+TPU-first notes:
+  * CE keep-lengths are *static* python ints derived from the (hashable)
+    ce_keep_rate argument, so every pruning step has a fixed shape; the
+    train-time cosine keep-rate schedule triggers a bounded number of
+    re-compilations (bucketised by the trainer).
+  * Selection = jax.lax.top_k + take_along_axis; recovery = batched scatter
+    into zeros (removed tokens become zeros, exactly like the reference's
+    zero-padded scatter).
+  * The two modalities are stacked on a leading axis for all shared dense
+    ops (same trick as the reference's batch-dim concat) and separated only
+    inside attention.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from multi_modal_tracking_tpu.models.layers import Mlp, PatchEmbed, DropPath
+from multi_modal_tracking_tpu.models.vit import _heads, _merge, _attend
+from multi_modal_tracking_tpu.models.fusion import build_fusion
+from multi_modal_tracking_tpu.models.heads import build_box_head
+from multi_modal_tracking_tpu.models.score_decoder import ScoreDecoder
+from multi_modal_tracking_tpu.ops.boxes import box_xyxy_to_cxcywh
+from multi_modal_tracking_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+
+# CTR_POINT centre-token flat index per template grid size (ce_utils.py:24-37).
+_CTR_INDEX = {8: 3, 12: 5, 7: 3, 14: 6}
+
+
+class AsymCrossModalAttention(nn.Module):
+    """Cross-modal asymmetric mixed attention over per-modality [t; ot; s]."""
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype)
+        self.proj = nn.Dense(self.dim, dtype=self.dtype)
+        self.scale = (self.dim // self.num_heads) ** -0.5
+
+    def __call__(self, x_v: jax.Array, x_i: jax.Array, n_mt: int,
+                 return_attention: bool = False):
+        """x_v/x_i: (B, n_mt + n_s, C). Returns (x_v, x_i, attn_t2s | None)."""
+        B, N, C = x_v.shape
+        qkv = self.qkv(jnp.concatenate([x_v, x_i], axis=0))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _heads(q, self.num_heads)
+        k = _heads(k, self.num_heads)
+        v = _heads(v, self.num_heads)
+        qV, qI = q[:B], q[B:]
+        kV, kI = k[:B], k[B:]
+        vV, vI = v[:B], v[B:]
+
+        q_mt_V, q_s_V = qV[:, :, :n_mt], qV[:, :, n_mt:]
+        k_mt_V, k_s_V = kV[:, :, :n_mt], kV[:, :, n_mt:]
+        v_mt_V, v_s_V = vV[:, :, :n_mt], vV[:, :, n_mt:]
+        q_mt_I, q_s_I = qI[:, :, :n_mt], qI[:, :, n_mt:]
+        k_mt_I, k_s_I = kI[:, :, :n_mt], kI[:, :, n_mt:]
+        v_mt_I, v_s_I = vI[:, :, :n_mt], vI[:, :, n_mt:]
+
+        k_mt = jnp.concatenate([k_mt_V, k_mt_I], axis=2)
+        v_mt = jnp.concatenate([v_mt_V, v_mt_I], axis=2)
+
+        # Templates attend within their own modality only.
+        x_mt_V = _attend(q_mt_V, k_mt_V, v_mt_V, self.scale)
+        x_mt_I = _attend(q_mt_I, k_mt_I, v_mt_I, self.scale)
+        # Search attends to all templates (both modalities) + own search.
+        x_s_V = _attend(q_s_V, jnp.concatenate([k_mt, k_s_V], axis=2),
+                        jnp.concatenate([v_mt, v_s_V], axis=2), self.scale)
+        x_s_I = _attend(q_s_I, jnp.concatenate([k_mt, k_s_I], axis=2),
+                        jnp.concatenate([v_mt, v_s_I], axis=2), self.scale)
+
+        out_V = jnp.concatenate([_merge(x_mt_V), _merge(x_s_V)], axis=1)
+        out_I = jnp.concatenate([_merge(x_mt_I), _merge(x_s_I)], axis=1)
+        out = self.proj(jnp.concatenate([out_V, out_I], axis=0))
+        x_v, x_i = out[:B], out[B:]
+
+        attn_t2s = None
+        if return_attention:
+            # Template->search attention for CE ranking (its own softmax over
+            # the concatenated bimodal search axis, asymmetric_shared_ce.py:203).
+            q_mt = jnp.concatenate([q_mt_V, q_mt_I], axis=2)
+            k_s = jnp.concatenate([k_s_V, k_s_I], axis=2)
+            a = jnp.einsum("bhqd,bhkd->bhqk", q_mt, k_s) * self.scale
+            attn_t2s = jax.nn.softmax(a.astype(jnp.float32), axis=-1)
+        return x_v, x_i, attn_t2s
+
+
+def _ce_select(attn_m: jax.Array, tokens: jax.Array, gidx: jax.Array,
+               n_mt: int, lens_keep: int):
+    """Top-k search-token selection for one modality.
+
+    attn_m: (B, L_s) ranking scores; tokens: (B, n_mt + L_s, C);
+    gidx: (B, L_s) original positions. Returns (tokens_new, gidx_new).
+    """
+    _, top_idx = jax.lax.top_k(attn_m, lens_keep)               # (B, keep)
+    gidx_new = jnp.take_along_axis(gidx, top_idx, axis=1)
+    tok_s = tokens[:, n_mt:]
+    kept = jnp.take_along_axis(tok_s, top_idx[..., None], axis=1)
+    return jnp.concatenate([tokens[:, :n_mt], kept], axis=1), gidx_new
+
+
+class SharedBlock(nn.Module):
+    """Transformer block with modality-specific LNs and optional CE."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
+        self.norm1_v = ln("norm1_v")
+        self.norm1_i = ln("norm1_i")
+        self.norm2_v = ln("norm2_v")
+        self.norm2_i = ln("norm2_i")
+        self.attn = AsymCrossModalAttention(self.dim, self.num_heads, self.qkv_bias,
+                                            dtype=self.dtype)
+        self.mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype)
+        self.dp1 = DropPath(self.drop_path)
+        self.dp2 = DropPath(self.drop_path)
+
+    def __call__(self, x_v, x_i, n_mt: int, gidx_v, gidx_i,
+                 lens_keep: Optional[int] = None, ce_rows: Optional[Tuple[int, ...]] = None,
+                 deterministic: bool = True):
+        """lens_keep: static keep count (None = no CE at this block).
+        ce_rows: static template-row indices for CTR_POINT attention pooling
+        (None = mean over all template rows)."""
+        B = x_v.shape[0]
+        exe_ce = lens_keep is not None and lens_keep < gidx_v.shape[1]
+        nv, ni = self.norm1_v(x_v), self.norm1_i(x_i)
+        av, ai, attn_t2s = self.attn(nv, ni, n_mt, return_attention=exe_ce)
+        x_v = x_v + self.dp1(av, deterministic)
+        x_i = x_i + self.dp1(ai, deterministic)
+
+        if exe_ce:
+            lens_s = gidx_v.shape[1]
+            if ce_rows is not None:
+                a = attn_t2s[:, :, jnp.asarray(ce_rows), :]       # (B, H, 4, 2*L_s)
+            else:
+                a = attn_t2s
+            a = a.mean(axis=(1, 2))                               # (B, 2*L_s)
+            x_v, gidx_v = _ce_select(a[:, :lens_s], x_v, gidx_v, n_mt, lens_keep)
+            x_i, gidx_i = _ce_select(a[:, lens_s:], x_i, gidx_i, n_mt, lens_keep)
+
+        mv, mi = self.norm2_v(x_v), self.norm2_i(x_i)
+        m = self.mlp(jnp.concatenate([mv, mi], axis=0))
+        x_v = x_v + self.dp2(m[:B], deterministic)
+        x_i = x_i + self.dp2(m[B:], deterministic)
+        return x_v, x_i, gidx_v, gidx_i
+
+
+def ce_keep_schedule(n_search: int, depth: int, ce_loc: Sequence[int],
+                     ce_keep_ratio: Sequence[float], ce_keep_rate: Optional[float]):
+    """Static per-block keep lengths (None = no pruning at that block).
+
+    Mirrors candidate_elimination's lens_keep = ceil(rate * current_L_s)
+    per CE block (asymmetric_shared_ce.py:77), with the runtime ce_keep_rate
+    overriding the per-block config ratio when given (:270).
+    """
+    keeps: List[Optional[int]] = [None] * depth
+    cur = n_search
+    ce_loc = list(ce_loc or [])
+    ratios = list(ce_keep_ratio or [])
+    for bi in range(depth):
+        if bi in ce_loc:
+            r = ce_keep_rate if ce_keep_rate is not None else ratios[ce_loc.index(bi)]
+            k = min(math.ceil(r * cur), cur)
+            if k < cur:
+                keeps[bi] = k
+                cur = k
+    return keeps, cur
+
+
+class AsymSharedViT(nn.Module):
+    """Shared-weight bimodal ViT backbone (modalities on a leading axis)."""
+    img_size_s: int = 288
+    img_size_t: int = 128
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    ce_loc: Optional[Tuple[int, ...]] = None
+    ce_keep_ratio: Optional[Tuple[float, ...]] = None
+    ce_template_range: str = "CTR_POINT"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.patch_embed = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype)
+        dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
+        self.blocks = [
+            SharedBlock(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
+                        drop_path=dpr[i], dtype=self.dtype, name=f"blocks_{i}")
+            for i in range(self.depth)
+        ]
+        self.grid_size_s = self.img_size_s // self.patch_size
+        self.grid_size_t = self.img_size_t // self.patch_size
+        self.pos_embed_s = jnp.asarray(
+            get_2d_sincos_pos_embed(self.embed_dim, self.grid_size_s))[None]
+        self.pos_embed_t = jnp.asarray(
+            get_2d_sincos_pos_embed(self.embed_dim, self.grid_size_t))[None]
+
+    def _ce_rows(self, use_mask: bool) -> Optional[Tuple[int, ...]]:
+        """Static row indices of the 4 template centre tokens ([t_v, ot_v,
+        t_i, ot_i] row order of the pooled t->s attention), CTR_POINT mode
+        (ce_utils.py generate_mask_cond + repeat(1, 4))."""
+        if not use_mask:
+            return None
+        F = self.grid_size_t
+        if F not in _CTR_INDEX:
+            return None
+        c = _CTR_INDEX[F]
+        flat = c * F + c
+        n_t = F * F
+        return tuple(flat + g * n_t for g in range(4))
+
+    def __call__(self, x_t, x_ot, x_s, ce_keep_rate: Optional[float] = None,
+                 use_ce_template_mask: bool = True, deterministic: bool = True):
+        """Inputs stacked bimodal NHWC batches: x_* shape (2B, H, W, 3) with
+        [:B]=RGB, [B:]=TIR. Returns (t, ot, s) feature maps of shape
+        (2B, h, w, C) (search tokens zero-restored at pruned positions)."""
+        t = self.patch_embed(x_t) + self.pos_embed_t.astype(self.dtype)
+        ot = self.patch_embed(x_ot) + self.pos_embed_t.astype(self.dtype)
+        s = self.patch_embed(x_s) + self.pos_embed_s.astype(self.dtype)
+        B2 = t.shape[0]
+        B = B2 // 2
+        n_t, n_s = t.shape[1], s.shape[1]
+        n_mt = 2 * n_t
+
+        x = jnp.concatenate([t, ot, s], axis=1)
+        x_v, x_i = x[:B], x[B:]
+
+        keeps, _ = ce_keep_schedule(n_s, self.depth, self.ce_loc or (),
+                                    self.ce_keep_ratio or (), ce_keep_rate)
+        ce_rows = self._ce_rows(use_ce_template_mask and self.ce_template_range == "CTR_POINT")
+
+        gidx = jnp.broadcast_to(jnp.arange(n_s, dtype=jnp.int32)[None], (B, n_s))
+        gidx_v = gidx
+        gidx_i = gidx
+        for bi, blk in enumerate(self.blocks):
+            x_v, x_i, gidx_v, gidx_i = blk(x_v, x_i, n_mt, gidx_v, gidx_i,
+                                           lens_keep=keeps[bi], ce_rows=ce_rows,
+                                           deterministic=deterministic)
+
+        # Restore original search-token order; pruned positions become zeros
+        # (scatter parity with _recover_search, asymmetric_shared_ce.py:427).
+        def recover(xm, gi):
+            z, sm = xm[:, :n_mt], xm[:, n_mt:]
+            if sm.shape[1] == n_s:
+                return xm
+            full = jnp.zeros((B, n_s, xm.shape[-1]), xm.dtype)
+            full = jax.vmap(lambda buf, idx, val: buf.at[idx].set(val))(full, gi, sm)
+            return jnp.concatenate([z, full], axis=1)
+
+        x_v = recover(x_v, gidx_v)
+        x_i = recover(x_i, gidx_i)
+        x = jnp.concatenate([x_v, x_i], axis=0)
+
+        gt, gs = self.grid_size_t, self.grid_size_s
+        t, ot, s = x[:, :n_t], x[:, n_t:2 * n_t], x[:, 2 * n_t:]
+        return (t.reshape(B2, gt, gt, -1), ot.reshape(B2, gt, gt, -1),
+                s.reshape(B2, gs, gs, -1))
+
+
+@dataclasses.dataclass(frozen=True)
+class RGBTSpec:
+    """Hashable model spec extracted from a CfgNode (flax field friendly)."""
+    search_size: int = 288
+    template_size: int = 128
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    head_type: str = "CORNER"
+    head_dim: int = 384
+    head_freeze_bn: bool = False
+    fusion_class: str = "Attention_Fusion_Bimodal_LNSpecific_2"
+    fusion_layers: int = 6
+    ce_loc: Optional[Tuple[int, ...]] = None
+    ce_keep_ratio: Optional[Tuple[float, ...]] = None
+    ce_template_range: str = "CTR_POINT"
+    drop_path_rate: float = 0.1
+    nlayer_head: int = 3
+
+    @staticmethod
+    def from_cfg(cfg) -> "RGBTSpec":
+        dims = dict(base_patch16=(768, 12, 12), large_patch16=(1024, 24, 16))[cfg.MODEL.VIT_TYPE]
+        bb = cfg.MODEL.BACKBONE
+        return RGBTSpec(
+            search_size=cfg.DATA.SEARCH.SIZE, template_size=cfg.DATA.TEMPLATE.SIZE,
+            embed_dim=dims[0], depth=dims[1], num_heads=dims[2],
+            head_type=cfg.MODEL.HEAD_TYPE, head_dim=cfg.MODEL.get("HEAD_DIM", 384),
+            head_freeze_bn=cfg.MODEL.get("HEAD_FREEZE_BN", False),
+            fusion_class=cfg.MODEL.FUSION_CLASS, fusion_layers=cfg.MODEL.FUSION_LAYERS,
+            ce_loc=tuple(bb.CE_LOC) if "CE_LOC" in bb else None,
+            ce_keep_ratio=tuple(bb.CE_KEEP_RATIO) if "CE_KEEP_RATIO" in bb else None,
+            ce_template_range=bb.get("CE_TEMPLATE_RANGE", "CTR_POINT"),
+            nlayer_head=cfg.MODEL.get("NLAYER_HEAD", 3))
+
+
+class MixFormerRGBT(nn.Module):
+    """Backbone + fusion + corner head (+ optional SPM score branch)."""
+    spec: RGBTSpec
+    with_score: bool = False
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        sp = self.spec
+        self.backbone = AsymSharedViT(
+            img_size_s=sp.search_size, img_size_t=sp.template_size,
+            embed_dim=sp.embed_dim, depth=sp.depth, num_heads=sp.num_heads,
+            drop_path_rate=sp.drop_path_rate,
+            ce_loc=sp.ce_loc, ce_keep_ratio=sp.ce_keep_ratio,
+            ce_template_range=sp.ce_template_range,
+            dtype=self.dtype)
+        self.fusion_vi = build_fusion(sp.fusion_class, sp.embed_dim, 512,
+                                      sp.fusion_layers, dtype=self.dtype)
+        self.box_head = _build_head_from_spec(sp, axis_name=self.axis_name, dtype=self.dtype)
+        if self.with_score:
+            self.score_branch = ScoreDecoder(num_heads=sp.num_heads, hidden_dim=sp.embed_dim,
+                                             nlayer_head=sp.nlayer_head,
+                                             dtype=self.dtype)
+
+    def __call__(self, t_vi, ot_vi, s_vi, ce_keep_rate: Optional[float] = None,
+                 use_ce_template_mask: bool = True, run_score_head: bool = False,
+                 gt_bboxes: Optional[jax.Array] = None,
+                 deterministic: bool = True, train: bool = False,
+                 return_features: bool = False):
+        """t_vi/ot_vi/s_vi: (2B, H, W, 3) bimodal stacks ([:B]=RGB, [B:]=TIR).
+
+        Returns dict with 'pred_boxes' (B, 1, 4) cxcywh in [0,1] (+ optional
+        'pred_scores', feature maps).
+        """
+        t, ot, s = self.backbone(t_vi, ot_vi, s_vi, ce_keep_rate,
+                                 use_ce_template_mask, deterministic)
+        B = s.shape[0] // 2
+        s_v, s_i = s[:B], s[B:]
+        fused = self.fusion_vi(s_v, s_i, deterministic)
+        box_xyxy = self.box_head(fused, train=train)           # (B, 4) in [0,1]
+        out_coord = box_xyxy_to_cxcywh(box_xyxy)
+        out = {"pred_boxes": out_coord.reshape(B, 1, 4)}
+        if run_score_head and self.with_score:
+            search_box = gt_bboxes if gt_bboxes is not None else jax.lax.stop_gradient(box_xyxy)
+            # Score branch sees fused search + concat of both modal templates
+            # (asymmetric_shared_online.py:371).
+            t_v, t_i = t[:B], t[B:]
+            template_feat = jnp.concatenate([t_v, t_i], axis=2)  # (B, gt, 2*gt, C)
+            out["pred_scores"] = self.score_branch(fused, template_feat,
+                                                   search_box.reshape(B, 4))
+        if return_features:
+            out["search_v"], out["search_i"], out["search_fused"] = s_v, s_i, fused
+        return out
+
+
+def _build_head_from_spec(sp: RGBTSpec, axis_name=None, dtype=jnp.float32):
+    from multi_modal_tracking_tpu.models.heads import (CornerPredictor, MLPHead,
+                                                       PyramidCornerPredictor)
+    if sp.head_type == "MLP":
+        return MLPHead(sp.embed_dim, 4, 3, dtype=dtype)
+    if sp.head_type == "CORNER":
+        return CornerPredictor(channel=sp.head_dim, feat_sz=sp.search_size // 16, stride=16,
+                               freeze_bn=sp.head_freeze_bn, axis_name=axis_name, dtype=dtype)
+    if sp.head_type == "CORNER_UP":
+        return PyramidCornerPredictor(channel=sp.head_dim, feat_sz=sp.search_size // 4, stride=4,
+                                      freeze_bn=sp.head_freeze_bn, axis_name=axis_name, dtype=dtype)
+    raise ValueError(sp.head_type)
+
+
+def build_mixformer_rgbt(cfg, with_score: bool = False, dtype=jnp.float32,
+                         axis_name: Optional[str] = None) -> MixFormerRGBT:
+    """Builder parity: build_asymmetric_shared(_ce/_online_score)."""
+    return MixFormerRGBT(spec=RGBTSpec.from_cfg(cfg), with_score=with_score,
+                         dtype=dtype, axis_name=axis_name)

@@ -1,0 +1,172 @@
+"""Box coordinate transforms, IoU family and losses as pure jnp functions.
+
+Functional parity targets (semantics, not code) in the reference:
+  lib/utils/box_ops.py:8-33 (conversions), :38-87 (IoU/GIoU),
+  :100-154 (CIoU loss with stop-gradient alpha), :155-164 (clip_box).
+
+All functions are shape-polymorphic over leading batch dims and vmappable.
+Boxes are float arrays [..., 4].
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------- conversions
+def box_cxcywh_to_xyxy(b: jax.Array) -> jax.Array:
+    cx, cy, w, h = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h], axis=-1)
+
+
+def box_xyxy_to_cxcywh(b: jax.Array) -> jax.Array:
+    x0, y0, x1, y1 = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([(x0 + x1) * 0.5, (y0 + y1) * 0.5, x1 - x0, y1 - y0], axis=-1)
+
+
+def box_xywh_to_xyxy(b: jax.Array) -> jax.Array:
+    x, y, w, h = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([x, y, x + w, y + h], axis=-1)
+
+
+def box_xyxy_to_xywh(b: jax.Array) -> jax.Array:
+    x0, y0, x1, y1 = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([x0, y0, x1 - x0, y1 - y0], axis=-1)
+
+
+def box_xywh_to_cxcywh(b: jax.Array) -> jax.Array:
+    x, y, w, h = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([x + 0.5 * w, y + 0.5 * h, w, h], axis=-1)
+
+
+def box_cxcywh_to_xywh(b: jax.Array) -> jax.Array:
+    cx, cy, w, h = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate([cx - 0.5 * w, cy - 0.5 * h, w, h], axis=-1)
+
+
+# ------------------------------------------------------------------ IoU / GIoU
+def box_area(b: jax.Array) -> jax.Array:
+    """Area of xyxy boxes, shape [...]."""
+    return (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+
+
+def box_iou(boxes1: jax.Array, boxes2: jax.Array):
+    """Elementwise IoU of xyxy boxes [..., 4] -> (iou, union) of shape [...]."""
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1 + area2 - inter
+    return inter / union, union
+
+
+def generalized_box_iou(boxes1: jax.Array, boxes2: jax.Array):
+    """Elementwise GIoU of xyxy boxes -> (giou, iou)."""
+    iou, union = box_iou(boxes1, boxes2)
+    lt = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.maximum(boxes1[..., 2:], boxes2[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    area = wh[..., 0] * wh[..., 1]
+    return iou - (area - union) / area, iou
+
+
+def giou_loss(boxes1: jax.Array, boxes2: jax.Array):
+    giou, iou = generalized_box_iou(boxes1, boxes2)
+    return (1.0 - giou).mean(), iou
+
+
+def ciou(bboxes1: jax.Array, bboxes2: jax.Array):
+    """Elementwise complete IoU of xyxy boxes [..., 4] -> (ciou, iou).
+
+    Matches the reference's trade-off-weight formulation: aspect-ratio term
+    weighted by alpha = S*v/(1-iou+v) with S = 1[iou > 0.5], alpha treated as
+    a constant under differentiation (stop_gradient), result clipped to
+    [-1, 1].
+    """
+    w1 = bboxes1[..., 2] - bboxes1[..., 0]
+    h1 = bboxes1[..., 3] - bboxes1[..., 1]
+    w2 = bboxes2[..., 2] - bboxes2[..., 0]
+    h2 = bboxes2[..., 3] - bboxes2[..., 1]
+    area1 = w1 * h1
+    area2 = w2 * h2
+    cx1 = (bboxes1[..., 0] + bboxes1[..., 2]) * 0.5
+    cy1 = (bboxes1[..., 1] + bboxes1[..., 3]) * 0.5
+    cx2 = (bboxes2[..., 0] + bboxes2[..., 2]) * 0.5
+    cy2 = (bboxes2[..., 1] + bboxes2[..., 3]) * 0.5
+
+    inter_l = jnp.maximum(cx1 - w1 * 0.5, cx2 - w2 * 0.5)
+    inter_r = jnp.minimum(cx1 + w1 * 0.5, cx2 + w2 * 0.5)
+    inter_t = jnp.maximum(cy1 - h1 * 0.5, cy2 - h2 * 0.5)
+    inter_b = jnp.minimum(cy1 + h1 * 0.5, cy2 + h2 * 0.5)
+    inter_area = jnp.clip(inter_r - inter_l, 0.0) * jnp.clip(inter_b - inter_t, 0.0)
+
+    c_l = jnp.minimum(cx1 - w1 * 0.5, cx2 - w2 * 0.5)
+    c_r = jnp.maximum(cx1 + w1 * 0.5, cx2 + w2 * 0.5)
+    c_t = jnp.minimum(cy1 - h1 * 0.5, cy2 - h2 * 0.5)
+    c_b = jnp.maximum(cy1 + h1 * 0.5, cy2 + h2 * 0.5)
+
+    inter_diag = (cx2 - cx1) ** 2 + (cy2 - cy1) ** 2
+    c_diag = jnp.clip(c_r - c_l, 0.0) ** 2 + jnp.clip(c_b - c_t, 0.0) ** 2
+
+    union = area1 + area2 - inter_area
+    u = inter_diag / c_diag
+    iou = inter_area / union
+    v = (4.0 / (math.pi ** 2)) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    S = jax.lax.stop_gradient((iou > 0.5).astype(v.dtype))
+    alpha = jax.lax.stop_gradient(S * v / (1.0 - iou + v))
+    cious = iou - u - alpha * v
+    cious = jnp.clip(cious, -1.0, 1.0)
+    return cious, iou
+
+
+def ciou_loss(bboxes1: jax.Array, bboxes2: jax.Array):
+    """Mean (1 - CIoU) loss, also returns elementwise IoU."""
+    cious, iou = ciou(bboxes1, bboxes2)
+    return (1.0 - cious).mean(), iou
+
+
+def l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.abs(pred - target).mean()
+
+
+# ------------------------------------------------------------------- clipping
+def clip_box(box, H, W, margin: int = 0):
+    """Clip an xywh box (python list or array of 4 scalars) to image bounds.
+
+    Mirrors the host-side tracking-loop helper (reference box_ops.py:155).
+    Works on python floats (host path) and on jnp scalars (device path).
+    """
+    x1, y1, w, h = box[0], box[1], box[2], box[3]
+    x2, y2 = x1 + w, y1 + h
+    if isinstance(x1, (int, float)):
+        x1 = min(max(0, x1), W - margin)
+        x2 = min(max(margin, x2), W)
+        y1 = min(max(0, y1), H - margin)
+        y2 = min(max(margin, y2), H)
+        w = max(margin, x2 - x1)
+        h = max(margin, y2 - y1)
+        return [x1, y1, w, h]
+    x1 = jnp.clip(x1, 0, W - margin)
+    x2 = jnp.clip(x2, margin, W)
+    y1 = jnp.clip(y1, 0, H - margin)
+    y2 = jnp.clip(y2, margin, H)
+    w = jnp.maximum(margin, x2 - x1)
+    h = jnp.maximum(margin, y2 - y1)
+    return jnp.stack([x1, y1, w, h])
+
+
+def clip_box_batch(box: jax.Array, H, W, margin: int = 0) -> jax.Array:
+    """Vectorised xywh clip for [..., 4] arrays."""
+    x1, y1, w, h = box[..., 0], box[..., 1], box[..., 2], box[..., 3]
+    x2, y2 = x1 + w, y1 + h
+    x1 = jnp.clip(x1, 0, W - margin)
+    x2 = jnp.clip(x2, margin, W)
+    y1 = jnp.clip(y1, 0, H - margin)
+    y2 = jnp.clip(y2, margin, H)
+    w = jnp.maximum(margin, x2 - x1)
+    h = jnp.maximum(margin, y2 - y1)
+    return jnp.stack([x1, y1, w, h], axis=-1)
