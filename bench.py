@@ -1,0 +1,80 @@
+"""Headline benchmark: per-frame tracking FPS of the flagship RGB-T tracker
+(MixViT-B asymmetric_shared_ce: shared bimodal ViT-B backbone, candidate
+elimination at blocks 3/6/9 @ keep 0.7, 6-layer deformable-attention fusion,
+corner head; 288 search / 128 template) on one chip.
+
+Per frame this measures the FULL loop the reference measures per-sequence
+(lib/test/evaluation/running.py:191, fps.py): H2D copy of two raw uint8
+frames, on-device crop+JET+normalise, backbone+fusion+head forward, box
+decode + clip, conditional template update, D2H of the 4-float box.
+
+Baseline: the reference publishes no RGBT FPS. We anchor on ~25 FPS for
+MixViT-B RGB-T per-frame tracking on an A100 with the PyTorch reference
+(MixFormer-ViT-B RGB-only is reported around 40-75 FPS on datacentre GPUs;
+the bimodal variant doubles backbone tokens and adds the 6-layer deformable
+fusion, and per-frame cv2 preprocessing is host-bound). The driver-defined
+north star is 2x A100 => 50 FPS on v5e-1; vs_baseline is measured FPS / 50.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 50.0   # 2x assumed 25-FPS A100 PyTorch per-frame reference
+FRAME_H, FRAME_W = 512, 640
+N_FRAMES = 200
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+    from multi_modal_tracking_tpu.config import get_default_config
+    from multi_modal_tracking_tpu.models.asymmetric_shared import build_mixformer_rgbt
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTTrackerJit
+
+    cfg = get_default_config("asymmetric_shared_ce")
+    model = build_mixformer_rgbt(cfg, dtype=jnp.bfloat16)
+    t = jnp.zeros((2, 128, 128, 3), jnp.float32)
+    s = jnp.zeros((2, 288, 288, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+
+    tracker = RGBTTrackerJit(model=model, variables=variables,
+                             template_factor=cfg.TEST.TEMPLATE_FACTOR,
+                             template_size=cfg.TEST.TEMPLATE_SIZE,
+                             search_factor=cfg.TEST.SEARCH_FACTOR,
+                             search_size=cfg.TEST.SEARCH_SIZE,
+                             update_interval=25,   # exercise the update path
+                             ce_keep_rate=None)
+
+    rng = np.random.default_rng(0)
+    frames = [(rng.integers(0, 255, (FRAME_H, FRAME_W, 3), dtype=np.uint8),
+               rng.integers(0, 255, (FRAME_H, FRAME_W, 3), dtype=np.uint8))
+              for _ in range(8)]
+
+    tracker.initialize(list(frames[0]), {"init_bbox": [280.0, 220.0, 80.0, 60.0]})
+    # Warm-up: compile the track step and run a few frames.
+    for k in range(3):
+        tracker.track(list(frames[(k + 1) % len(frames)]))
+
+    t0 = time.perf_counter()
+    for k in range(N_FRAMES):
+        tracker.track(list(frames[k % len(frames)]))
+    dt = time.perf_counter() - t0
+    fps = N_FRAMES / dt
+
+    print(json.dumps({
+        "metric": "tracking_fps_mixvitb_rgbt_ce",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

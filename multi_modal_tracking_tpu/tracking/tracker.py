@@ -1,0 +1,298 @@
+"""Jitted tracking loops (the inference hot path).
+
+Parity targets:
+  lib/test/tracker/asymmetric_shared_ce.py (:49-148) — per-frame flow:
+  square-crop search around previous state -> JET(TIR) -> normalise ->
+  network(template, online_template, search) -> mean pred box -> scale by
+  search_size / resize_factor -> map_box_back -> clip(margin=10); template
+  crops from the RGB init box; online template refreshed every
+  update_interval frames from the current state.
+  lib/test/tracker/tracker_utils.py Preprocessor_Multimodal (:36-48).
+  lib/test/tracker/mixformer_vit_online.py — score-gated online template
+  update (pred_score > 0.5 and > max_score, decayed).
+
+TPU-first design: the ENTIRE per-frame computation — both modal crops
+(fused matmul resampler), JET LUT, normalisation, backbone+fusion+head, box
+decode, clipping and the conditional template refresh — is one jitted
+function over a TrackState pytree. Per frame the host does exactly one H2D
+copy of the two raw uint8 frames and one D2H copy of 4 floats. Template
+update uses lax.cond on the frame counter, so there is a single compiled
+graph per frame resolution.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from multi_modal_tracking_tpu.ops.boxes import clip_box
+from multi_modal_tracking_tpu.ops.colormap import apply_jet
+from multi_modal_tracking_tpu.ops.crop import crop_resize, normalize_imagenet
+
+
+@struct.dataclass
+class TrackState:
+    """Explicit functional tracker state threaded through jitted steps."""
+    template_v: jax.Array       # (1, Ht, Wt, 3) normalised
+    template_i: jax.Array
+    online_template_v: jax.Array
+    online_template_i: jax.Array
+    state: jax.Array            # (4,) xywh in image coords, f32
+    frame_id: jax.Array         # () int32
+
+
+def _prep_rgb(img, box, factor, out_sz):
+    crop, rf = crop_resize(img, box, factor, out_sz)
+    return normalize_imagenet(crop)[None], rf
+
+
+def _prep_tir(img, box, factor, out_sz):
+    """Crop raw TIR frame, then JET colormap on the (rounded uint8) crop —
+    same op order as the reference (crop -> applyColorMap -> normalise)."""
+    crop, rf = crop_resize(img, box, factor, out_sz)
+    crop = jnp.clip(jnp.round(crop), 0, 255)
+    return normalize_imagenet(apply_jet(crop))[None], rf
+
+
+def _map_box_back(pred_cxcywh, prev_state, search_size, resize_factor):
+    """Crop-relative (cx,cy,w,h) in pixels -> image-coord xywh."""
+    cx_prev = prev_state[0] + 0.5 * prev_state[2]
+    cy_prev = prev_state[1] + 0.5 * prev_state[3]
+    half_side = 0.5 * search_size / resize_factor
+    cx = pred_cxcywh[0] + (cx_prev - half_side)
+    cy = pred_cxcywh[1] + (cy_prev - half_side)
+    w, h = pred_cxcywh[2], pred_cxcywh[3]
+    return jnp.stack([cx - 0.5 * w, cy - 0.5 * h, w, h])
+
+
+@dataclasses.dataclass
+class RGBTTrackerJit:
+    """Device tracking loop for the bimodal (asymmetric-shared) models.
+
+    model: a MixFormerRGBT flax module; variables: its params (+batch_stats).
+    """
+    model: Any
+    variables: Any
+    template_factor: float = 2.0
+    template_size: int = 128
+    search_factor: float = 5.0
+    search_size: int = 288
+    update_interval: int = 200
+    ce_keep_rate: Optional[float] = None     # None -> config CE_KEEP_RATIO
+
+    def __post_init__(self):
+        self._init_jit = {}
+        self._track_jit = {}
+
+    # ------------------------------------------------------------- device fns
+    def _make_init(self, shape):
+        def init_fn(variables, img_v, img_i, box):
+            tv, _ = _prep_rgb(img_v, box, self.template_factor, self.template_size)
+            ti, _ = _prep_tir(img_i, box, self.template_factor, self.template_size)
+            return TrackState(template_v=tv, template_i=ti,
+                              online_template_v=tv, online_template_i=ti,
+                              state=box.astype(jnp.float32),
+                              frame_id=jnp.int32(0))
+        return jax.jit(init_fn)
+
+    def _make_track(self, shape):
+        H, W = shape
+
+        def track_fn(variables, st: TrackState, img_v, img_i):
+            frame_id = st.frame_id + 1
+            sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
+            si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
+
+            t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
+            ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
+            s_vi = jnp.concatenate([sv, si], axis=0)
+            out = self.model.apply(variables, t_vi, ot_vi, s_vi, self.ce_keep_rate)
+            pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)      # cxcywh in [0,1]
+            pred = pred * (self.search_size / rf)
+            new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                                 H, W, margin=10)
+
+            def updated():
+                otv, _ = _prep_rgb(img_v, new_state, self.template_factor, self.template_size)
+                oti, _ = _prep_tir(img_i, new_state, self.template_factor, self.template_size)
+                return otv, oti
+
+            do_update = (frame_id % self.update_interval) == 0
+            otv, oti = jax.lax.cond(do_update, updated,
+                                    lambda: (st.online_template_v, st.online_template_i))
+            new_st = TrackState(template_v=st.template_v, template_i=st.template_i,
+                                online_template_v=otv, online_template_i=oti,
+                                state=new_state, frame_id=frame_id)
+            return new_st, new_state
+        return jax.jit(track_fn, donate_argnums=(1,))
+
+    def _make_track_scan(self, shape, chunk: int):
+        """lax.scan of the track step over a chunk of frames: ONE dispatch
+        per chunk instead of one per frame. This amortises host->device
+        dispatch latency to ~zero and is the offline-eval fast path; the
+        produced boxes are identical to per-frame stepping."""
+        step = None
+
+        def track_fn(variables, st: TrackState, frames_v, frames_i):
+            H, W = shape
+
+            def body(st, fr):
+                img_v, img_i = fr
+                frame_id = st.frame_id + 1
+                sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
+                si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
+                t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
+                ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
+                s_vi = jnp.concatenate([sv, si], axis=0)
+                out = self.model.apply(variables, t_vi, ot_vi, s_vi, self.ce_keep_rate)
+                pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+                pred = pred * (self.search_size / rf)
+                new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                                     H, W, margin=10)
+
+                def updated():
+                    otv, _ = _prep_rgb(img_v, new_state, self.template_factor,
+                                       self.template_size)
+                    oti, _ = _prep_tir(img_i, new_state, self.template_factor,
+                                       self.template_size)
+                    return otv, oti
+
+                do_update = (frame_id % self.update_interval) == 0
+                otv, oti = jax.lax.cond(do_update, updated,
+                                        lambda: (st.online_template_v, st.online_template_i))
+                new_st = TrackState(template_v=st.template_v, template_i=st.template_i,
+                                    online_template_v=otv, online_template_i=oti,
+                                    state=new_state, frame_id=frame_id)
+                return new_st, new_state
+
+            st, boxes = jax.lax.scan(body, st, (frames_v, frames_i))
+            return st, boxes
+        return jax.jit(track_fn, donate_argnums=(1,))
+
+    # --------------------------------------------------------------- host API
+    def initialize(self, image, info: dict):
+        """image: [img_v, img_i] uint8 HWC numpy arrays; info['init_bbox']."""
+        img_v, img_i = image
+        shape = img_v.shape[:2]
+        if shape not in self._init_jit:
+            self._init_jit[shape] = self._make_init(shape)
+            self._track_jit[shape] = self._make_track(shape)
+        box = info["init_bbox"]
+        if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
+            box = box[0]    # RGBT gt pair: use the RGB box (reference :67)
+        self._state = self._init_jit[shape](
+            self.variables, jnp.asarray(img_v), jnp.asarray(img_i),
+            jnp.asarray(box, dtype=jnp.float32))
+        self._shape = shape
+
+    def track(self, image, info: Optional[dict] = None):
+        img_v, img_i = image
+        self._state, box = self._track_jit[self._shape](
+            self.variables, self._state, jnp.asarray(img_v), jnp.asarray(img_i))
+        return {"target_bbox": [float(b) for b in np.asarray(box)]}
+
+    def track_chunk(self, frames_v: np.ndarray, frames_i: np.ndarray) -> np.ndarray:
+        """Track a (N, H, W, 3) uint8 frame chunk in one device dispatch.
+
+        Returns (N, 4) xywh boxes (fetched lazily — D2H happens when the
+        caller converts). Chunks of different N compile separately; the
+        sequence runner pads the tail chunk.
+        """
+        key = (self._shape, frames_v.shape[0])
+        if key not in getattr(self, "_scan_jit", {}):
+            if not hasattr(self, "_scan_jit"):
+                self._scan_jit = {}
+            self._scan_jit[key] = self._make_track_scan(self._shape, frames_v.shape[0])
+        self._state, boxes = self._scan_jit[key](
+            self.variables, self._state, jnp.asarray(frames_v), jnp.asarray(frames_i))
+        return boxes
+
+
+@dataclasses.dataclass
+class RGBTrackerJit:
+    """Unimodal device tracking loop (RGB / TIR / Prompt input modes).
+
+    Parity: lib/test/evaluation/tracker.py:56-57,155-190 — TIR mode feeds the
+    JET-mapped IR frame into the RGB tracker; Prompt blends
+    (1-lambda)*RGB + lambda*JET(TIR).
+    """
+    model: Any
+    variables: Any
+    template_factor: float = 2.0
+    template_size: int = 128
+    search_factor: float = 4.5
+    search_size: int = 288
+    update_interval: int = 200
+    mode: str = "RGB"            # RGB | TIR | Prompt
+    prompt_lambda: float = 0.5
+
+    def __post_init__(self):
+        self._init_jit = {}
+        self._track_jit = {}
+
+    def _frame(self, img_v, img_i):
+        if self.mode == "RGB":
+            return img_v
+        if self.mode == "TIR":
+            return apply_jet(img_i)
+        return (1 - self.prompt_lambda) * img_v.astype(jnp.float32) + \
+            self.prompt_lambda * apply_jet(img_i)
+
+    def _make_init(self, shape):
+        def init_fn(variables, img, box):
+            t, _ = _prep_rgb(img, box, self.template_factor, self.template_size)
+            return TrackState(template_v=t, template_i=t, online_template_v=t,
+                              online_template_i=t, state=box.astype(jnp.float32),
+                              frame_id=jnp.int32(0))
+        return jax.jit(init_fn)
+
+    def _make_track(self, shape):
+        H, W = shape
+
+        def track_fn(variables, st: TrackState, img):
+            frame_id = st.frame_id + 1
+            s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
+            out = self.model.apply(variables, st.template_v, st.online_template_v, s)
+            pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+            pred = pred * (self.search_size / rf)
+            new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                                 H, W, margin=10)
+
+            def updated():
+                ot, _ = _prep_rgb(img, new_state, self.template_factor, self.template_size)
+                return ot
+
+            do_update = (frame_id % self.update_interval) == 0
+            ot = jax.lax.cond(do_update, updated, lambda: st.online_template_v)
+            new_st = TrackState(template_v=st.template_v, template_i=st.template_i,
+                                online_template_v=ot, online_template_i=ot,
+                                state=new_state, frame_id=frame_id)
+            return new_st, new_state
+        return jax.jit(track_fn, donate_argnums=(1,))
+
+    def initialize(self, image, info: dict):
+        img = image[0] if isinstance(image, (list, tuple)) else image
+        img_i = image[1] if isinstance(image, (list, tuple)) and len(image) > 1 else img
+        shape = img.shape[:2]
+        if shape not in self._init_jit:
+            self._init_jit[shape] = self._make_init(shape)
+            self._track_jit[shape] = self._make_track(shape)
+        frame = self._frame(jnp.asarray(img), jnp.asarray(img_i))
+        box = info["init_bbox"]
+        if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
+            box = box[0]
+        self._state = self._init_jit[shape](self.variables, frame,
+                                            jnp.asarray(box, dtype=jnp.float32))
+        self._shape = shape
+
+    def track(self, image, info: Optional[dict] = None):
+        img = image[0] if isinstance(image, (list, tuple)) else image
+        img_i = image[1] if isinstance(image, (list, tuple)) and len(image) > 1 else img
+        frame = self._frame(jnp.asarray(img), jnp.asarray(img_i))
+        self._state, box = self._track_jit[self._shape](self.variables, self._state, frame)
+        return {"target_bbox": [float(b) for b in np.asarray(box)]}

@@ -1,0 +1,103 @@
+"""Dataset registry + dataloader construction.
+
+Parity target: lib/train/base_functions.py — names2datasets (:33-160, the
+19-name registry incl. RGBT names) and build_dataloaders (:163-284: RGBT vs
+unimodal sampler/processing picked by dataset name; joint transforms gray 5% /
+hflip 50%; train + optional val loaders).
+"""
+from __future__ import annotations
+
+from typing import List
+
+from multi_modal_tracking_tpu.train.data.loader import Loader
+from multi_modal_tracking_tpu.train.data.processing import (RGBTProcessing,
+                                                            UnimodalProcessing)
+from multi_modal_tracking_tpu.train.data.sampler import TrackingSampler
+
+RGBT_NAMES = {"VTUAV", "LasHeR", "RGBT234", "KAIST", "LLVIP", "M3FD",
+              "DepthTrack", "VTUAV_Test", "SyntheticRGBT"}
+
+
+def names2datasets(names: List[str], image_loader=None):
+    """Instantiate dataset adapters by registry name."""
+    from multi_modal_tracking_tpu.train.data.datasets import (SyntheticRGBT,
+                                                              SyntheticVideo)
+    from multi_modal_tracking_tpu.train.data.datasets import rgbt as R
+    from multi_modal_tracking_tpu.train.data.datasets import unimodal as U
+    kw = {} if image_loader is None else {"image_loader": image_loader}
+    table = {
+        "LasHeR": lambda: R.LasHeR(**kw),
+        "RGBT234": lambda: R.RGBT234(**kw),
+        "VTUAV": lambda: R.VTUAV(**kw),
+        "VTUAV_Test": lambda: R.VTUAV(split_dirs=("test_data",), **kw),
+        "DepthTrack": lambda: R.DepthTrack(**kw),
+        "KAIST": lambda: R.KAIST(**kw),
+        "LLVIP": lambda: R.LLVIP(**kw),
+        "M3FD": lambda: R.M3FD(**kw),
+        "LasHeR_T": lambda: R.LasHeR_TIR(**kw),
+        "RGBT234_T": lambda: R.RGBT234_TIR(**kw),
+        "LASOT": lambda: U.LaSOT(**kw),
+        "GOT10K_vottrain": lambda: U.GOT10k(split="vottrain", **kw),
+        "GOT10K_votval": lambda: U.GOT10k(split="votval", **kw),
+        "GOT10K_train_full": lambda: U.GOT10k(split=None, **kw),
+        "TRACKINGNET": lambda: U.TrackingNet(**kw),
+        "COCO17": lambda: U.COCOSeq(**kw),
+        "VID": lambda: U.ImagenetVID(**kw),
+        "TNL2k": lambda: U.TNL2k(**kw),
+        "SyntheticRGBT": lambda: SyntheticRGBT(),
+        "SyntheticVideo": lambda: SyntheticVideo(),
+    }
+    out = []
+    for n in names:
+        if n not in table:
+            raise ValueError(f"Unknown dataset name {n}")
+        out.append(table[n]())
+    return out
+
+
+def is_rgbt_config(cfg) -> bool:
+    return any(n in RGBT_NAMES for n in cfg.DATA.TRAIN.DATASETS_NAME)
+
+
+def build_dataloaders(cfg, seed: int = 0):
+    """Build (train_loader, val_loader | None) from a config tree."""
+    rgbt = is_rgbt_config(cfg)
+    proc_cls = RGBTProcessing if rgbt else UnimodalProcessing
+    import random as _random
+
+    def make(split_cfg, name, train):
+        rng = _random.Random(seed if train else seed + 1)
+        processing = proc_cls(
+            search_area_factor={"template": cfg.DATA.TEMPLATE.FACTOR,
+                                "search": cfg.DATA.SEARCH.FACTOR},
+            output_sz={"template": cfg.DATA.TEMPLATE.SIZE,
+                       "search": cfg.DATA.SEARCH.SIZE},
+            center_jitter_factor={"template": cfg.DATA.TEMPLATE.CENTER_JITTER,
+                                  "search": cfg.DATA.SEARCH.CENTER_JITTER},
+            scale_jitter_factor={"template": cfg.DATA.TEMPLATE.SCALE_JITTER,
+                                 "search": cfg.DATA.SEARCH.SCALE_JITTER},
+            rng=rng)
+        sampler = TrackingSampler(
+            datasets=names2datasets(split_cfg.DATASETS_NAME),
+            p_datasets=split_cfg.DATASETS_RATIO,
+            samples_per_epoch=split_cfg.SAMPLE_PER_EPOCH,
+            max_gap=cfg.DATA.MAX_SAMPLE_INTERVAL,
+            num_search_frames=1,
+            num_template_frames=cfg.DATA.TEMPLATE.get("NUMBER", 1),
+            processing=processing,
+            frame_sample_mode=cfg.DATA.SAMPLER_MODE,
+            train_cls=cfg.TRAIN.get("TRAIN_SCORE", False),
+            rgbt=rgbt,
+            seed=seed if train else seed + 1)
+        return Loader(sampler, batch_size=cfg.TRAIN.BATCH_SIZE,
+                      num_workers=cfg.TRAIN.NUM_WORKER, name=name, training=train,
+                      epoch_interval=1 if train else cfg.TRAIN.VAL_EPOCH_INTERVAL)
+
+    train_loader = make(cfg.DATA.TRAIN, "train", True)
+    val_loader = None
+    if cfg.DATA.get("VAL") and cfg.DATA.VAL.DATASETS_NAME:
+        try:
+            val_loader = make(cfg.DATA.VAL, "val", False)
+        except Exception:
+            val_loader = None
+    return train_loader, val_loader

@@ -1,0 +1,4 @@
+from multi_modal_tracking_tpu.train.data.datasets.base import (BaseImageDataset,
+                                                               BaseVideoDataset)
+from multi_modal_tracking_tpu.train.data.datasets.synthetic import (SyntheticRGBT,
+                                                                    SyntheticVideo)

@@ -1,0 +1,63 @@
+"""Device tracking loop: mechanics on a tiny model + synthetic frames."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multi_modal_tracking_tpu.config import get_default_config
+from multi_modal_tracking_tpu.models.asymmetric_shared import build_mixformer_rgbt
+from multi_modal_tracking_tpu.tracking.tracker import RGBTTrackerJit, _map_box_back
+
+
+@pytest.fixture(scope="module")
+def tiny_tracker():
+    cfg = get_default_config("asymmetric_shared_ce")
+    cfg.DATA.SEARCH.SIZE = 96
+    cfg.DATA.TEMPLATE.SIZE = 64
+    cfg.MODEL.FUSION_LAYERS = 1
+    cfg.MODEL.VIT_TYPE = "base_patch16"
+    cfg.MODEL.BACKBONE.CE_LOC = [1]
+    model = build_mixformer_rgbt(cfg)
+    t = jnp.zeros((2, 64, 64, 3))
+    s = jnp.zeros((2, 96, 96, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    return RGBTTrackerJit(model=model, variables=variables, template_factor=2.0,
+                          template_size=64, search_factor=4.5, search_size=96,
+                          update_interval=2, ce_keep_rate=None)
+
+
+def test_track_sequence_mechanics(tiny_tracker):
+    rng = np.random.default_rng(0)
+    H, W = 120, 160
+    frames = [(rng.integers(0, 255, (H, W, 3), dtype=np.uint8),
+               rng.integers(0, 255, (H, W, 3), dtype=np.uint8)) for _ in range(4)]
+    tiny_tracker.initialize(list(frames[0]), {"init_bbox": [40.0, 30.0, 30.0, 24.0]})
+    ot_before = np.asarray(tiny_tracker._state.online_template_v)
+    boxes = []
+    for f in frames[1:]:
+        out = tiny_tracker.track(list(f))
+        boxes.append(out["target_bbox"])
+    boxes = np.asarray(boxes)
+    assert boxes.shape == (3, 4)
+    assert np.all(np.isfinite(boxes))
+    # boxes stay inside the image (margin-clipped)
+    assert np.all(boxes[:, 0] >= 0) and np.all(boxes[:, 1] >= 0)
+    assert np.all(boxes[:, 0] + boxes[:, 2] <= W) and np.all(boxes[:, 1] + boxes[:, 3] <= H)
+    # online template refreshed at frame 2 (update_interval=2)
+    ot_after = np.asarray(tiny_tracker._state.online_template_v)
+    assert not np.allclose(ot_before, ot_after)
+
+
+def test_map_box_back_roundtrip():
+    """If the model predicts the crop-relative centre box exactly, map_box_back
+    must return the original image-coord box (reference map_box_back :134)."""
+    prev = jnp.asarray([40.0, 30.0, 30.0, 24.0])
+    search_size, factor = 96, 4.5
+    crop_sz = np.ceil(np.sqrt(30.0 * 24.0) * factor)
+    rf = search_size / crop_sz
+    # object at centre of the crop: cx=cy=half_side (in image px after /rf)
+    half_side = 0.5 * search_size / rf
+    pred = jnp.asarray([half_side, half_side, 30.0, 24.0])
+    back = np.asarray(_map_box_back(pred, prev, search_size, rf))
+    cx_prev, cy_prev = 40 + 15, 30 + 12
+    np.testing.assert_allclose(back, [cx_prev - 15, cy_prev - 12, 30, 24], atol=1e-4)
