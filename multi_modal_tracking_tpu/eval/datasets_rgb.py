@@ -1,0 +1,192 @@
+"""Unimodal evaluation dataset adapters.
+
+Parity targets (lib/test/evaluation/): lasotdataset.py, got10kdataset.py,
+trackingnetdataset.py, otbdataset.py, uavdataset.py, nfsdataset.py,
+tc128dataset.py. Layouts follow the public distributions; OTB/UAV/NFS use
+the standard <seq>/(img|.)/frames + groundtruth file convention rather than
+the reference's hard-coded per-sequence tables (functionally equivalent for
+the standard releases).
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from multi_modal_tracking_tpu.eval.data import (BaseDataset, Sequence,
+                                                SequenceList, load_text)
+
+
+class LaSOTDataset(BaseDataset):
+    """LaSOT test split: <class>/<class-N>/img/*.jpg + groundtruth.txt,
+    visibility from full_occlusion.txt & out_of_view.txt."""
+
+    def __init__(self):
+        super().__init__()
+        self.base_path = self.env_settings.lasot_dir
+        self.sequence_path_list = sorted(glob.glob(
+            os.path.join(self.base_path, "*", "*-*")))
+        if not self.sequence_path_list:
+            self.sequence_path_list = sorted(
+                p for p in glob.glob(os.path.join(self.base_path, "*"))
+                if os.path.isdir(os.path.join(p, "img")))
+
+    def get_sequence_list(self):
+        return SequenceList([self._construct_sequence(p) for p in self.sequence_path_list])
+
+    def _construct_sequence(self, seq_path):
+        name = os.path.basename(seq_path)
+        gt = load_text(os.path.join(seq_path, "groundtruth.txt"), delimiter=(",", None))
+        occ = np.loadtxt(os.path.join(seq_path, "full_occlusion.txt"),
+                         delimiter=",", dtype=np.int64).reshape(-1)
+        oov = np.loadtxt(os.path.join(seq_path, "out_of_view.txt"),
+                         delimiter=",", dtype=np.int64).reshape(-1)
+        visible = ((occ == 0) & (oov == 0)).astype(np.uint8)
+        frames = [os.path.join(seq_path, "img", f"{i:08d}.jpg")
+                  for i in range(1, gt.shape[0] + 1)]
+        return Sequence(name, frames, "lasot", gt,
+                        object_class=name.rsplit("-", 1)[0], target_visible=visible)
+
+
+class GOT10kDataset(BaseDataset):
+    """GOT-10k test/val/ltrval: GOT-10k_<Split>_NNNNNN/*.jpg + groundtruth.txt."""
+
+    def __init__(self, split: str = "test"):
+        super().__init__()
+        self.split = split
+        base = self.env_settings.got10k_dir
+        sub = {"test": "test", "val": "val", "ltrval": "train"}[split]
+        self.base_path = os.path.join(base, sub)
+        list_file = os.path.join(self.base_path, "list.txt")
+        if os.path.isfile(list_file):
+            with open(list_file) as f:
+                names = [l.strip() for l in f if l.strip()]
+        else:
+            names = [os.path.basename(p) for p in sorted(
+                glob.glob(os.path.join(self.base_path, "GOT-10k_*")))]
+        self.sequence_name_list = names
+
+    def get_sequence_list(self):
+        return SequenceList([self._construct_sequence(n) for n in self.sequence_name_list])
+
+    def _construct_sequence(self, name):
+        base = os.path.join(self.base_path, name)
+        gt = load_text(os.path.join(base, "groundtruth.txt"), delimiter=(",", None))
+        frames = sorted(glob.glob(os.path.join(base, "*.jpg")))
+        return Sequence(name, frames, "got10k_" + self.split, gt)
+
+
+class TrackingNetDataset(BaseDataset):
+    """TrackingNet TEST: frames/<seq>/<i>.jpg + anno/<seq>.txt."""
+
+    def __init__(self):
+        super().__init__()
+        self.base_path = os.path.join(self.env_settings.trackingnet_dir, "TEST")
+        anno_dir = os.path.join(self.base_path, "anno")
+        self.sequence_name_list = sorted(
+            os.path.splitext(os.path.basename(p))[0]
+            for p in glob.glob(os.path.join(anno_dir, "*.txt")))
+
+    def get_sequence_list(self):
+        return SequenceList([self._construct_sequence(n) for n in self.sequence_name_list])
+
+    def _construct_sequence(self, name):
+        gt = load_text(os.path.join(self.base_path, "anno", name + ".txt"),
+                       delimiter=(",", None))
+        frame_dir = os.path.join(self.base_path, "frames", name)
+        frames = [os.path.join(frame_dir, f"{i}.jpg") for i in range(gt.shape[0])]
+        return Sequence(name, frames, "trackingnet", gt)
+
+
+def _glob_frames(seq_path):
+    for sub in ("img", "imgs", "."):
+        fr = sorted(glob.glob(os.path.join(seq_path, sub, "*.jpg"))) or \
+             sorted(glob.glob(os.path.join(seq_path, sub, "*.png")))
+        if fr:
+            return fr
+    return []
+
+
+class _SimpleSeqDataset(BaseDataset):
+    """Shared layout: <base>/<seq>/(img/)frames + a groundtruth txt."""
+    dataset_name = ""
+    gt_names = ("groundtruth_rect.txt", "groundtruth.txt")
+
+    def __init__(self, base_path):
+        super().__init__()
+        self.base_path = base_path
+        self.sequence_name_list = [os.path.basename(p) for p in sorted(
+            glob.glob(os.path.join(self.base_path, "*"))) if os.path.isdir(p)]
+
+    def get_sequence_list(self):
+        return SequenceList([self._construct_sequence(n) for n in self.sequence_name_list])
+
+    def _construct_sequence(self, name):
+        base = os.path.join(self.base_path, name)
+        gt_path = next((os.path.join(base, g) for g in self.gt_names
+                        if os.path.isfile(os.path.join(base, g))), None)
+        gt = load_text(gt_path, delimiter=(",", "\t", " ", None))
+        frames = _glob_frames(base)
+        n = min(len(frames), gt.shape[0])
+        return Sequence(name, frames[:n], self.dataset_name, gt[:n])
+
+
+class OTBDataset(_SimpleSeqDataset):
+    dataset_name = "otb"
+
+    def __init__(self):
+        from multi_modal_tracking_tpu.train.admin import env_settings
+        super().__init__(env_settings().otb_dir)
+
+
+class UAVDataset(_SimpleSeqDataset):
+    dataset_name = "uav"
+
+    def __init__(self):
+        from multi_modal_tracking_tpu.train.admin import env_settings
+        base = env_settings().uav_dir
+        seq_base = os.path.join(base, "data_seq", "UAV123")
+        self.anno_base = os.path.join(base, "anno", "UAV123")
+        if not os.path.isdir(seq_base):
+            seq_base, self.anno_base = base, None
+        super().__init__(seq_base)
+
+    def _construct_sequence(self, name):
+        if self.anno_base is None:
+            return super()._construct_sequence(name)
+        gt = load_text(os.path.join(self.anno_base, name + ".txt"),
+                       delimiter=(",", None))
+        frames = _glob_frames(os.path.join(self.base_path, name))
+        n = min(len(frames), gt.shape[0])
+        return Sequence(name, frames[:n], "uav", gt[:n])
+
+
+class NFSDataset(_SimpleSeqDataset):
+    dataset_name = "nfs"
+
+    def __init__(self):
+        from multi_modal_tracking_tpu.train.admin import env_settings
+        super().__init__(env_settings().nfs_dir)
+
+
+class TC128Dataset(_SimpleSeqDataset):
+    dataset_name = "tc128"
+
+    def __init__(self, ce_only: bool = False):
+        from multi_modal_tracking_tpu.train.admin import env_settings
+        super().__init__(env_settings().tc128_dir)
+        if ce_only:   # tc128ce: only the 95 "CE" sequences (suffix _ce)
+            self.sequence_name_list = [n for n in self.sequence_name_list
+                                       if n.lower().endswith("ce") or "_ce" in n.lower()]
+
+
+class TNL2kDataset(_SimpleSeqDataset):
+    dataset_name = "tnl2k"
+    gt_names = ("groundtruth.txt", "groundtruth_rect.txt")
+
+    def __init__(self):
+        from multi_modal_tracking_tpu.train.admin import env_settings
+        super().__init__(os.path.join(env_settings().tnl2k_dir, "test")
+                         if os.path.isdir(os.path.join(env_settings().tnl2k_dir, "test"))
+                         else env_settings().tnl2k_dir)

@@ -1,0 +1,66 @@
+"""Tracker construction for evaluation: script name + params -> jitted tracker.
+
+Parity target: lib/test/evaluation/tracker_rgbt.py RGBT_Tracker (:53-200,
+loads the per-model tracker class and parameters) and tracker.py Tracker
+(:56+ with mode RGB/TIR/Prompt) — collapsed into one factory because every
+per-model tracker file in the reference repeats the same init/track pattern
+(lib/test/tracker/*.py); here that pattern IS the jitted loop in
+multi_modal_tracking_tpu/tracking/tracker.py and only the model differs.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from multi_modal_tracking_tpu.eval.params import TrackerParams, update_interval_for
+from multi_modal_tracking_tpu.models.build import build_model
+
+_RGBT_SCRIPTS = {
+    "asymmetric_shared", "asymmetric_shared_ce", "asymmetric_shared_online",
+    "mixformer_vit_rgbt", "mixformer_vit_rgbt_shared", "mixformer_vit_rgbt_unibackbone",
+}
+
+
+def is_rgbt_script(script: str) -> bool:
+    return script in _RGBT_SCRIPTS
+
+
+def create_tracker(params: TrackerParams, dataset_name: str = "",
+                   mode: str = "RGBT", variables=None, dtype=jnp.bfloat16):
+    """Build model + variables and wrap in the right jitted tracking loop.
+
+    mode: 'RGBT' for bimodal scripts; 'RGB' | 'TIR' | 'Prompt' for unimodal
+    (lib/test/evaluation/tracker.py:56-57).
+    """
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTTrackerJit, RGBTrackerJit
+
+    cfg = params.cfg
+    script = params.script
+    model = build_model(script, cfg, dtype=dtype)
+
+    if variables is None:
+        ts, ss = cfg.DATA.TEMPLATE.SIZE, cfg.DATA.SEARCH.SIZE
+        lead = 2 if is_rgbt_script(script) else 1
+        t = jnp.zeros((lead, ts, ts, 3), jnp.float32)
+        s = jnp.zeros((lead, ss, ss, 3), jnp.float32)
+        if params.checkpoint:
+            from multi_modal_tracking_tpu.utils.checkpoint import load_variables
+            variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+            variables = load_variables(params.checkpoint, variables)
+        else:
+            variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+
+    update_interval = update_interval_for(cfg, dataset_name)
+    common = dict(model=model, variables=variables,
+                  template_factor=params.template_factor,
+                  template_size=params.template_size,
+                  search_factor=params.search_factor,
+                  search_size=params.search_size,
+                  update_interval=update_interval)
+    if is_rgbt_script(script):
+        bb = cfg.MODEL.BACKBONE
+        ce_rate = (bb.CE_KEEP_RATIO[-1] if bb.get("CE_KEEP_RATIO", None) else None)
+        return RGBTTrackerJit(ce_keep_rate=ce_rate, **common)
+    return RGBTrackerJit(mode=mode, **common)

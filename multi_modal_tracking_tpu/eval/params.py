@@ -1,0 +1,74 @@
+"""Tracking-time parameter resolution.
+
+Parity target: lib/test/parameter/<script>.py (e.g.
+asymmetric_shared_ce.py:7-39) + lib/test/utils/params.py TrackerParams —
+load the script's default config, overlay the *training* experiment YAML,
+then overlay the *tracking* YAML (experiments/tracking.yaml: search factor,
+per-dataset update intervals), resolve the checkpoint path.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from multi_modal_tracking_tpu.config import get_default_config
+
+
+class TrackerParams:
+    """Attribute bag (lib/test/utils/params.py:5-25)."""
+
+    def set_default_values(self, default_vals: dict):
+        for name, val in default_vals.items():
+            if not hasattr(self, name):
+                setattr(self, name, val)
+
+    def get(self, name: str, *default):
+        if len(default) > 1:
+            raise ValueError("Can only give one default value.")
+        if not default:
+            return getattr(self, name)
+        return getattr(self, name, default[0])
+
+    def has(self, name: str) -> bool:
+        return hasattr(self, name)
+
+
+def _experiments_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "experiments")
+
+
+def get_parameters(script: str, training_yaml: Optional[str] = None,
+                   tracking_yaml: Optional[str] = "tracking",
+                   checkpoint: Optional[str] = None,
+                   search_area_scale: Optional[float] = None) -> TrackerParams:
+    params = TrackerParams()
+    cfg = get_default_config(script)
+    exp = _experiments_dir()
+    if training_yaml:
+        path = os.path.join(exp, script, f"{training_yaml}.yaml")
+        cfg.update_from_file(path)
+    if tracking_yaml:
+        path = os.path.join(exp, f"{tracking_yaml}.yaml")
+        if os.path.isfile(path):
+            cfg.update_from_file(path)
+    params.cfg = cfg
+    params.script = script
+    params.template_factor = cfg.TEST.TEMPLATE_FACTOR
+    params.template_size = cfg.TEST.TEMPLATE_SIZE
+    params.search_factor = (search_area_scale if search_area_scale is not None
+                            else cfg.TEST.SEARCH_FACTOR)
+    params.search_size = cfg.TEST.SEARCH_SIZE
+    params.checkpoint = checkpoint
+    params.save_all_boxes = False
+    return params
+
+
+def update_interval_for(cfg, dataset_name: str, default: int = 200) -> int:
+    """Per-dataset template update interval (experiments/tracking.yaml)."""
+    key = dataset_name.upper()
+    intervals = cfg.TEST.UPDATE_INTERVALS
+    iv = intervals.get(key) if hasattr(intervals, "get") else getattr(intervals, key, None)
+    if iv is None:
+        return default
+    return iv[0] if isinstance(iv, (list, tuple)) else int(iv)

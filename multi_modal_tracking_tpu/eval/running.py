@@ -1,0 +1,179 @@
+"""Sequence runner: drive a tracker over evaluation sequences, save results.
+
+Parity target: lib/test/evaluation/running.py — run_dataset (:200-238),
+run_sequence skip-if-done (:157-171), _save_tracker_output (:16-128: bbox /
+time / score txt via np.savetxt), per-sequence FPS print (:191-194);
+lib/test/evaluation/tracker_rgbt.py _track_sequence (:124-184: background
+frame prefetch, init on frame 0, per-frame timing).
+
+TPU-first redesign: the reference parallelises with a process pool pinned to
+N GPUs; here a single chip tracks sequences with a *chunked lax.scan* device
+loop (tracking/tracker.py track_chunk) while a background thread prefetches
+and decodes the next frame chunk — IO and compute overlap, and device
+dispatch overhead is amortised over the chunk. A thread pool maps sequences
+over multiple local devices when present.
+"""
+from __future__ import annotations
+
+import os
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+from typing import List, Optional
+
+import numpy as np
+
+from multi_modal_tracking_tpu.eval.data import RGBTSequence, Sequence
+
+
+def _imread(path):
+    """RGB uint8 frame loader (cv2 if available, else PIL)."""
+    try:
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError(f"could not read {path}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"))
+
+
+def _read_depth_as_rgb(path):
+    """uint16 depth png -> normalised JET pseudo-RGB
+    (lib/test/evaluation/depth_utils.py:4-60 'colormap' mode)."""
+    import cv2
+    dp = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
+    dp = np.nan_to_num(dp.astype(np.float32))
+    dp = np.clip(dp, 0, np.quantile(dp, 0.99) if dp.max() > 0 else 1.0)
+    dp = (255.0 * dp / max(float(dp.max()), 1e-6)).astype(np.uint8)
+    jet = cv2.applyColorMap(dp, cv2.COLORMAP_JET)
+    return cv2.cvtColor(jet, cv2.COLOR_BGR2RGB)
+
+
+def _load_frame(seq, k):
+    fr = seq.frames[k]
+    if isinstance(seq, RGBTSequence):
+        fv, fi = fr
+        if isinstance(fv, np.ndarray):
+            return [fv, fi]
+        img_v = _imread(fv)
+        img_i = _read_depth_as_rgb(fi) if seq.depth_input else _imread(fi)
+        return [img_v, img_i]
+    if isinstance(fr, np.ndarray):
+        return fr
+    return _imread(fr)
+
+
+class _Prefetcher:
+    """Background frame loader: keeps `depth` chunks of decoded frames ahead
+    of the device (replaces the reference's 2-worker DataLoader prefetch,
+    tracker_rgbt.py:144-159)."""
+
+    def __init__(self, seq, start: int, chunk: int, depth: int = 2):
+        self.seq, self.chunk = seq, chunk
+        self.q: Queue = Queue(maxsize=depth)
+        self.n = len(seq.frames)
+        self.start = start
+        self.t = threading.Thread(target=self._work, daemon=True)
+        self.t.start()
+
+    def _work(self):
+        for lo in range(self.start, self.n, self.chunk):
+            hi = min(lo + self.chunk, self.n)
+            frames = [_load_frame(self.seq, k) for k in range(lo, hi)]
+            if isinstance(self.seq, RGBTSequence):
+                fv = np.stack([f[0] for f in frames])
+                fi = np.stack([f[1] for f in frames])
+                self.q.put((lo, hi, fv, fi))
+            else:
+                self.q.put((lo, hi, np.stack(frames), None))
+        self.q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            yield item
+
+
+def run_sequence(seq: Sequence, tracker, results_dir: str,
+                 skip_if_done: bool = True, chunk: int = 16,
+                 report_fps: bool = True) -> Optional[dict]:
+    """Track one sequence; write <results_dir>/<seq>.txt (+ _time.txt)."""
+    os.makedirs(results_dir, exist_ok=True)
+    bbox_file = os.path.join(results_dir, f"{seq.name}.txt")
+    if skip_if_done and os.path.isfile(bbox_file):
+        return None
+
+    n = len(seq.frames)
+    boxes = np.zeros((n, 4), dtype=np.float64)
+    times = np.zeros((n,), dtype=np.float64)
+
+    frame0 = _load_frame(seq, 0)
+    t0 = time.time()
+    tracker.initialize(frame0, seq.init_info())
+    boxes[0] = np.asarray(seq.init_info()["init_bbox"])
+    times[0] = time.time() - t0
+
+    use_chunks = hasattr(tracker, "track_chunk") and isinstance(seq, RGBTSequence)
+    if use_chunks and n > 1:
+        for lo, hi, fv, fi in _Prefetcher(seq, 1, chunk):
+            t0 = time.time()
+            m = hi - lo
+            if m < chunk:     # pad tail chunk to the compiled length
+                pad = chunk - m
+                fv = np.concatenate([fv, np.repeat(fv[-1:], pad, 0)])
+                fi = np.concatenate([fi, np.repeat(fi[-1:], pad, 0)])
+            out = np.asarray(tracker.track_chunk(fv, fi))[:m]
+            boxes[lo:hi] = out
+            times[lo:hi] = (time.time() - t0) / m
+    else:
+        for k in range(1, n):
+            frame = _load_frame(seq, k)
+            t0 = time.time()
+            out = tracker.track(frame)
+            boxes[k] = np.asarray(out["target_bbox"])
+            times[k] = time.time() - t0
+
+    np.savetxt(bbox_file, boxes, delimiter="\t", fmt="%d")
+    np.savetxt(os.path.join(results_dir, f"{seq.name}_time.txt"), times, fmt="%f")
+    fps = n / max(times.sum(), 1e-9)
+    if report_fps:
+        print(f"{seq.name}: {n} frames, {fps:.1f} FPS")
+    return {"seq": seq.name, "n_frames": n, "fps": fps}
+
+
+def run_dataset(dataset, tracker, results_dir: str, skip_if_done: bool = True,
+                chunk: int = 16, threads: int = 0,
+                tracker_factory=None) -> List[dict]:
+    """Run a tracker over every sequence (lib/test/evaluation/running.py:200).
+
+    threads>0 with tracker_factory maps sequences over a thread pool, one
+    tracker per worker (the TPU analogue of the reference's per-GPU process
+    pool — workers share the chip; XLA serialises the device work while host
+    IO overlaps)."""
+    stats = []
+    if threads and tracker_factory is not None:
+        local = threading.local()
+
+        def work(seq):
+            if not hasattr(local, "tracker"):
+                local.tracker = tracker_factory()
+            return run_sequence(seq, local.tracker, results_dir,
+                                skip_if_done=skip_if_done, chunk=chunk)
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            stats = [s for s in ex.map(work, dataset) if s is not None]
+    else:
+        for seq in dataset:
+            s = run_sequence(seq, tracker, results_dir,
+                             skip_if_done=skip_if_done, chunk=chunk)
+            if s is not None:
+                stats.append(s)
+    if stats:
+        total = sum(s["n_frames"] for s in stats)
+        tfps = total / max(sum(s["n_frames"] / s["fps"] for s in stats), 1e-9)
+        print(f"ran {len(stats)} sequences, {total} frames, mean {tfps:.1f} FPS")
+    return stats

@@ -19,7 +19,6 @@ def build_model(script: str, cfg, dtype=jnp.float32, axis_name=None):
         "asymmetric_shared": dict(with_score=False),
         "asymmetric_shared_ce": dict(with_score=False),
         "asymmetric_shared_online": dict(with_score=True),
-        "mixformer_vit_rgbt_shared": dict(with_score=False),
     }
     if script in rgbt_shared:
         return build_mixformer_rgbt(cfg, dtype=dtype, axis_name=axis_name,
@@ -36,8 +35,15 @@ def build_model(script: str, cfg, dtype=jnp.float32, axis_name=None):
         from multi_modal_tracking_tpu.models.convmae import build_mixformer_convmae
         return build_mixformer_convmae(cfg, with_score=script.endswith("online"), dtype=dtype,
                                        axis_name=axis_name)
-    if script in ("mixformer_vit_rgbt", "mixformer_vit_rgbt_unibackbone"):
+    vit_rgbt = {
+        "mixformer_vit_rgbt": ("two_stream", False),
+        "mixformer_vit_rgbt_online": ("two_stream", True),
+        "mixformer_vit_rgbt_shared": ("shared", False),
+        "mixformer_vit_rgbt_unibackbone": ("unibackbone", False),
+    }
+    if script in vit_rgbt:
         from multi_modal_tracking_tpu.models.vit_rgbt import build_vit_rgbt
-        return build_vit_rgbt(cfg, variant="two_stream" if script == "mixformer_vit_rgbt"
-                              else "unibackbone", dtype=dtype, axis_name=axis_name)
+        variant, with_score = vit_rgbt[script]
+        return build_vit_rgbt(cfg, variant=variant, with_score=with_score,
+                              dtype=dtype, axis_name=axis_name)
     raise KeyError(f"unknown script {script}")

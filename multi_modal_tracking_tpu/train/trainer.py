@@ -1,0 +1,193 @@
+"""Epoch-loop trainer with fail-safe restart and checkpoint/resume.
+
+Parity targets:
+  lib/train/trainers/base_trainer.py — train() epoch loop with fail_safe
+  (catch exception -> reload latest ckpt -> continue, :64-108), atomic
+  rank-0 checkpointing (:115-148), load_checkpoint/resume (:150-228),
+  stage-1 -> stage-2 warm start (:230-272).
+  lib/train/trainers/rgbt_trainer.py — cycle_dataset (:61-115): per-batch
+  forward/backward, grad accumulation + clipping, stats + FPS print every
+  print_interval, per-epoch TensorBoard; validation cycle every
+  VAL_EPOCH_INTERVAL (:117-130).
+  lib/train/train_script_mixformer.py — model dispatch, optimizer regimes,
+  actor/loss selection (:45-172).
+
+TPU-first: DDP/AMP/loss-scaler collapse into ONE jitted GSPMD train step
+(train_step.py) over a data mesh; the CE keep-rate cosine schedule is
+bucketised host-side so recompiles stay bounded; checkpoints carry the full
+TrainState (params + optimizer) so resume is exact.
+"""
+from __future__ import annotations
+
+import os
+import time
+import traceback
+from typing import Optional
+
+import jax
+import numpy as np
+
+from multi_modal_tracking_tpu.models.build import build_model
+from multi_modal_tracking_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from multi_modal_tracking_tpu.train.builders import build_dataloaders, is_rgbt_config
+from multi_modal_tracking_tpu.train.data.loader import batch_to_model_inputs
+from multi_modal_tracking_tpu.train.optimizer import make_optimizer, trainable_mask
+from multi_modal_tracking_tpu.train.stats import StatsTracker
+from multi_modal_tracking_tpu.train.train_step import (TrainState,
+                                                       adjust_keep_rate,
+                                                       bucketize_keep_rate,
+                                                       make_eval_step,
+                                                       make_train_step)
+from multi_modal_tracking_tpu.utils import checkpoint as ckpt
+
+
+class Trainer:
+    def __init__(self, script: str, cfg, save_dir: str = "output",
+                 use_mesh: bool = True, seed: int = 42, log_dir: Optional[str] = None,
+                 print_interval: Optional[int] = None):
+        import jax.numpy as jnp
+
+        self.script = script
+        self.cfg = cfg
+        self.rgbt = is_rgbt_config(cfg)
+        self.save_dir = save_dir
+        self.ckpt_dir = os.path.join(save_dir, "checkpoints", script)
+        self.epoch = 0
+
+        self.train_loader, self.val_loader = build_dataloaders(cfg, seed=seed)
+        self.steps_per_epoch = max(
+            1, cfg.DATA.TRAIN.SAMPLE_PER_EPOCH // cfg.TRAIN.BATCH_SIZE)
+
+        self.model = build_model(script, cfg, dtype=jnp.bfloat16)
+        self.net_name = type(self.model).__name__
+
+        ts, ss = cfg.DATA.TEMPLATE.SIZE, cfg.DATA.SEARCH.SIZE
+        lead = 2 if self.rgbt else 1
+        t = jnp.zeros((lead, ts, ts, 3), jnp.float32)
+        s = jnp.zeros((lead, ss, ss, 3), jnp.float32)
+        variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed), t, t, s)
+
+        # Warm starts (asymmetric_shared_ce.py:643-674 / base_trainer.py:230-272)
+        for key in ("TRACKER_PRETRAINED_PATH", "SCORE_PRETRAINED_PATH",
+                    "RGBT_PRETRAINED_PATH"):
+            path = cfg.MODEL.get(key, "")
+            if path and os.path.isfile(path):
+                variables = ckpt.load_variables(path, variables)
+                print(f"warm start from {key} = {path}")
+
+        self.tx = make_optimizer(cfg, variables["params"],
+                                 steps_per_epoch=self.steps_per_epoch)
+        state = TrainState.create(variables, self.tx)
+        self.mesh = create_mesh() if use_mesh else None
+        self.state = replicate(state, self.mesh) if self.mesh is not None else state
+
+        self.train_score = cfg.TRAIN.get("TRAIN_SCORE", False)
+        self._step = make_train_step(
+            self.model, self.tx, mesh=self.mesh, rgbt=self.rgbt,
+            iou_weight=cfg.TRAIN.IOU_WEIGHT, l1_weight=cfg.TRAIN.L1_WEIGHT,
+            train_score=self.train_score,
+            score_weight=cfg.TRAIN.get("SCORE_WEIGHT", 1.0))
+        self._eval_step = make_eval_step(self.model, rgbt=self.rgbt,
+                                         iou_weight=cfg.TRAIN.IOU_WEIGHT,
+                                         l1_weight=cfg.TRAIN.L1_WEIGHT)
+        self.rng = jax.random.PRNGKey(seed + 1)
+
+        self.stats = StatsTracker(log_dir or os.path.join(save_dir, "logs", script),
+                                  print_interval or cfg.TRAIN.PRINT_INTERVAL)
+        self._n_trainable = int(np.sum(jax.tree.leaves(
+            jax.tree.map(lambda m: int(m), trainable_mask(cfg, variables["params"])))))
+
+    # ------------------------------------------------------------ ckpt/resume
+    def save_checkpoint(self):
+        if jax.process_index() != 0:      # rank-0 only (base_trainer.py:97)
+            return None
+        return ckpt.save_checkpoint(self.ckpt_dir, self.net_name, self.epoch,
+                                    {"state": jax.device_get(self.state),
+                                     "epoch": self.epoch})
+
+    def load_checkpoint(self, path: Optional[str] = None) -> bool:
+        path = path or ckpt.latest_checkpoint(self.ckpt_dir, self.net_name)
+        if not path or not os.path.isfile(path):
+            return False
+        target = {"state": jax.device_get(self.state), "epoch": 0}
+        restored = ckpt.load_checkpoint(path, target)
+        self.state = (replicate(restored["state"], self.mesh)
+                      if self.mesh is not None else restored["state"])
+        self.epoch = int(restored["epoch"])
+        print(f"resumed from {path} (epoch {self.epoch})")
+        return True
+
+    # ------------------------------------------------------------- keep rate
+    def _keep_rate(self, epoch: int) -> Optional[float]:
+        cfg = self.cfg
+        bb = cfg.MODEL.BACKBONE
+        if not bb.get("CE_LOC", None):
+            return None
+        base = bb.CE_KEEP_RATIO[-1] if bb.get("CE_KEEP_RATIO", None) else 1.0
+        warm = cfg.TRAIN.get("CE_WARM_EPOCH", cfg.TRAIN.EPOCH // 15 or 1)
+        anneal = cfg.TRAIN.get("CE_ANNEAL_EPOCH", cfg.TRAIN.EPOCH // 4 or 1)
+        rate = adjust_keep_rate(epoch, warm, anneal, self.steps_per_epoch,
+                                base_keep_rate=base)
+        n_search = (cfg.DATA.SEARCH.SIZE // 16) ** 2
+        return bucketize_keep_rate(rate, n_search)
+
+    # ------------------------------------------------------------- epoch loop
+    def cycle_dataset(self, loader, train: bool):
+        self.stats.new_epoch()
+        keep_rate = self._keep_rate(self.epoch) if train else self._keep_rate(10 ** 9)
+        n = len(loader)
+        for i, batch in enumerate(loader, start=1):
+            inputs = batch_to_model_inputs(batch, rgbt=self.rgbt)
+            bsz = inputs["gt_xywh"].shape[0]
+            if self.mesh is not None:
+                if bsz % len(self.mesh.devices.flat) != 0:
+                    continue          # drop ragged tail batch
+                inputs = shard_batch(inputs, self.mesh)
+            if train:
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, metrics = self._step(self.state, inputs, sub,
+                                                 ce_keep_rate=keep_rate)
+            else:
+                metrics = self._eval_step(self.state.params, self.state.batch_stats,
+                                          inputs)
+            if not np.isfinite(float(metrics["Loss/total"])):
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {self.epoch} it {i}")
+            self.stats.update(jax.device_get(metrics), bsz)
+            if i % self.stats.print_interval == 0 or i == n:
+                print(self.stats.line(loader.name, self.epoch, i, n))
+        return self.stats.log_epoch(loader.name, self.epoch)
+
+    def train_epoch(self):
+        rec = self.cycle_dataset(self.train_loader, train=True)
+        if (self.val_loader is not None
+                and self.epoch % self.cfg.TRAIN.VAL_EPOCH_INTERVAL == 0):
+            self.cycle_dataset(self.val_loader, train=False)
+        return rec
+
+    def train(self, max_epochs: Optional[int] = None, fail_safe: bool = True,
+              load_latest: bool = False, max_failures: int = 5):
+        """Fail-safe epoch loop (base_trainer.py:64-108)."""
+        max_epochs = max_epochs or self.cfg.TRAIN.EPOCH
+        if load_latest:
+            self.load_checkpoint()
+        num_tries = max_failures if fail_safe else 1
+        for attempt in range(num_tries):
+            try:
+                while self.epoch < max_epochs:
+                    self.epoch += 1
+                    t0 = time.time()
+                    self.train_epoch()
+                    self.save_checkpoint()
+                    print(f"epoch {self.epoch}/{max_epochs} done "
+                          f"in {time.time() - t0:.1f}s")
+                return self.state
+            except Exception:
+                self.epoch -= 1
+                if not fail_safe or attempt == num_tries - 1:
+                    raise
+                print("Training crashed at epoch", self.epoch + 1)
+                traceback.print_exc()
+                print("Restarting from last checkpoint ...")
+                self.load_checkpoint()
+        return self.state

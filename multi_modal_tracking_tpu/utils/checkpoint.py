@@ -1,0 +1,86 @@
+"""Checkpoint save/load (atomic, epoch-numbered, keep-policy).
+
+Parity target: lib/train/trainers/base_trainer.py — save_checkpoint
+(:115-148: tmp file + atomic os.rename, '<Net>_ep%04d' naming, keep last 10
+epochs + every 5th, process-0 only) and load_checkpoint (:150-228: latest /
+by-epoch / by-path). Serialisation is flax msgpack of the full TrainState
+pytree (params + opt_state + batch_stats + step), so resume restores the
+optimizer exactly — the reference only persists the net (optimizer save is
+commented out there); we keep both and also support net-only loads for
+warm starts (base_trainer.py:230-272 load_state_dict).
+"""
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Any, Optional
+
+import numpy as np
+from flax import serialization
+
+
+def _ckpt_path(directory: str, name: str, epoch: int) -> str:
+    return os.path.join(directory, f"{name}_ep{epoch:04d}.msgpack")
+
+
+def save_checkpoint(directory: str, name: str, epoch: int, state: Any,
+                    keep_last: int = 10, keep_every: int = 5) -> str:
+    """Atomically write the state pytree; prune per keep-policy."""
+    os.makedirs(directory, exist_ok=True)
+    # Pull to host numpy before serialising.
+    import jax
+    host_state = jax.tree.map(np.asarray, state)
+    path = _ckpt_path(directory, name, epoch)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+    os.rename(tmp, path)                       # atomic (base_trainer.py:141-148)
+
+    for p in glob.glob(os.path.join(directory, f"{name}_ep*.msgpack")):
+        m = re.search(r"_ep(\d+)\.msgpack$", p)
+        if not m:
+            continue
+        ep = int(m.group(1))
+        if ep <= epoch - keep_last and ep % keep_every != 0:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    return path
+
+
+def latest_checkpoint(directory: str, name: str) -> Optional[str]:
+    paths = glob.glob(os.path.join(directory, f"{name}_ep*.msgpack"))
+    if not paths:
+        return None
+    return max(paths, key=lambda p: int(re.search(r"_ep(\d+)\.msgpack$", p).group(1)))
+
+
+def checkpoint_epoch(path: str) -> int:
+    m = re.search(r"_ep(\d+)\.msgpack$", path)
+    return int(m.group(1)) if m else -1
+
+
+def load_checkpoint(path: str, target: Any) -> Any:
+    """Restore a pytree saved by save_checkpoint into `target`'s structure."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def load_variables(path: str, target_variables: Any) -> Any:
+    """Net-only load: accepts either a full TrainState checkpoint or a bare
+    variables dict; returns variables matching target structure (warm-start
+    path, base_trainer.py:230-272)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    state_dict = serialization.msgpack_restore(raw)
+    if "params" in state_dict and "opt_state" in state_dict:   # TrainState
+        out = dict(target_variables)
+        out["params"] = serialization.from_state_dict(
+            target_variables["params"], state_dict["params"])
+        if state_dict.get("batch_stats") is not None and "batch_stats" in target_variables:
+            out["batch_stats"] = serialization.from_state_dict(
+                target_variables["batch_stats"], state_dict["batch_stats"])
+        return out
+    return serialization.from_state_dict(target_variables, state_dict)

@@ -6,7 +6,9 @@ never do; kernels are validated against cv2 / torch-cpu oracles.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): the environment may pin JAX_PLATFORMS to a real
+# TPU backend, but unit tests must run on virtual CPU devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,7 +18,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# The environment's TPU plugin calls jax.config.update("jax_platforms",
+# "axon,cpu") from sitecustomize at interpreter startup, which overrides the
+# JAX_PLATFORMS env var — without this explicit update the "CPU" test suite
+# would silently run single-device on the real TPU via a slow RPC tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 # This XLA CPU build defaults to low-precision matmuls (bf16-equivalent);
 # pin full f32 so oracle comparisons are deterministic. Production code sets
 # precision explicitly on parity-critical ops and uses bf16 elsewhere.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# This host has a single CPU, so XLA compiles are slow; persist them across
+# pytest runs so only the first-ever run pays the compile cost.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

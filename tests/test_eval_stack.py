@@ -1,0 +1,104 @@
+"""End-to-end eval-stack tests on the synthetic RGBT dataset: runner ->
+result txt -> analysis tables (the acceptance-test layer the reference
+drives via tracking/test.py + analysis_results.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from multi_modal_tracking_tpu.eval.analysis import (TrackerResults,
+                                                    compute_scores,
+                                                    extract_results,
+                                                    generate_formatted_report,
+                                                    print_results)
+from multi_modal_tracking_tpu.eval.datasets import get_dataset
+from multi_modal_tracking_tpu.eval.packaging import (transform_got10k,
+                                                     transform_trackingnet)
+from multi_modal_tracking_tpu.eval.running import run_dataset, run_sequence
+
+
+class OracleTracker:
+    """Replays ground truth with optional noise — isolates the runner +
+    metric path from the model."""
+
+    def __init__(self, dataset, noise=0.0):
+        self.gt = {s.name: np.asarray(s.ground_truth_rect)[:, 0] for s in dataset}
+        self.noise = noise
+
+    def initialize(self, image, info):
+        self._boxes = None
+        self._k = 0
+
+    def bind(self, name):
+        self._cur = self.gt[name]
+        self._k = 0
+
+    def track(self, image, info=None):
+        self._k += 1
+        box = self._cur[min(self._k, len(self._cur) - 1)].astype(np.float64)
+        box = box + self.noise * (self._k % 3 - 1)
+        return {"target_bbox": list(box)}
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return get_dataset("synthetic_rgbt")
+
+
+def _run_oracle(dataset, results_dir, noise=0.0):
+    trk = OracleTracker(dataset, noise=noise)
+    for seq in dataset:
+        trk.bind(seq.name)
+        run_sequence(seq, trk, results_dir, skip_if_done=False, report_fps=False)
+
+
+def test_runner_writes_results_and_skips_done(tmp_path, dataset):
+    results_dir = str(tmp_path / "res")
+    _run_oracle(dataset, results_dir)
+    files = os.listdir(results_dir)
+    for seq in dataset:
+        assert f"{seq.name}.txt" in files and f"{seq.name}_time.txt" in files
+    # skip-if-done: second run with a tracker that would crash is never called
+    class Boom:
+        def initialize(self, *a):
+            raise AssertionError("should have been skipped")
+    for seq in dataset:
+        assert run_sequence(seq, Boom(), results_dir) is None
+
+
+def test_oracle_tracker_gets_perfect_auc(tmp_path, dataset):
+    results_dir = str(tmp_path / "res")
+    _run_oracle(dataset, results_dir)
+    scores = print_results([TrackerResults(results_dir, "oracle")], dataset, "synth")
+    assert scores["AUC"][0] > 93.0            # fmt=%d rounding costs a little IoU
+    assert scores["Precision"][0] > 99.0
+    assert scores["OP50"][0] > 99.0
+
+
+def test_noisy_tracker_scores_lower(tmp_path, dataset):
+    good, bad = str(tmp_path / "good"), str(tmp_path / "bad")
+    _run_oracle(dataset, good)
+    _run_oracle(dataset, bad, noise=12.0)
+    eval_data = extract_results(
+        [TrackerResults(good, "good"), TrackerResults(bad, "bad")], dataset)
+    scores = compute_scores(eval_data)
+    assert scores["AUC"][0] > scores["AUC"][1]
+    report = generate_formatted_report(scores["trackers"], scores, "synth")
+    assert "good" in report and "AUC" in report
+
+
+def test_packaging_zip_layouts(tmp_path, dataset):
+    results_dir = str(tmp_path / "res")
+    _run_oracle(dataset, results_dir)
+    z1 = transform_got10k(results_dir, str(tmp_path / "got"), "trk")
+    z2 = transform_trackingnet(results_dir, str(tmp_path / "tn"), "trk")
+    assert os.path.isfile(z1) and os.path.isfile(z2)
+    import zipfile
+    names = zipfile.ZipFile(z1).namelist()
+    assert any(n.endswith("_001.txt") for n in names)
+
+
+def test_sequence_list_name_lookup(dataset):
+    seq = dataset["synthetic_00"]
+    assert seq.name == "synthetic_00"
+    assert seq.multimodal and seq.ground_truth_rect.ndim == 3

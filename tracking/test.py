@@ -1,0 +1,87 @@
+"""Evaluation CLI.
+
+Parity target: tracking/test.py of the reference (:22-124) — run a tracker
+(by script + training YAML) over a registered dataset, with --type
+RGB/TIR/Prompt/RGBT input modes, per-dataset update intervals, skip-if-done
+resume, and checkpoint-sweep mode (--checkpoint_dir globs every epoch
+checkpoint and evaluates each).
+
+Usage:
+  python tracking/test.py asymmetric_shared_ce baseline --dataset_name lasher \
+      --checkpoint out/checkpoints/MixFormerRGBT_ep0290.msgpack --threads 0
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description="Run a tracker on an eval dataset.")
+    p.add_argument("script", type=str, help="model script name (e.g. asymmetric_shared_ce)")
+    p.add_argument("config", type=str, nargs="?", default=None,
+                   help="training yaml name under experiments/<script>/")
+    p.add_argument("--tracking_yaml", type=str, default="tracking")
+    p.add_argument("--dataset_name", type=str, default="synthetic_rgbt")
+    p.add_argument("--type", type=str, default=None,
+                   choices=[None, "RGB", "TIR", "Prompt", "RGBT"],
+                   help="input mode; default: RGBT for bimodal scripts else RGB")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="sweep every epoch checkpoint in this directory")
+    p.add_argument("--results_dir", type=str, default=None)
+    p.add_argument("--search_area_scale", type=float, default=None)
+    p.add_argument("--chunk", type=int, default=16,
+                   help="frames per device scan dispatch")
+    p.add_argument("--threads", type=int, default=0)
+    p.add_argument("--sequence", type=str, default=None, help="run a single sequence")
+    p.add_argument("--rerun", action="store_true", help="do not skip finished sequences")
+    args = p.parse_args()
+
+    from multi_modal_tracking_tpu.eval.datasets import get_dataset
+    from multi_modal_tracking_tpu.eval.evaltracker import create_tracker, is_rgbt_script
+    from multi_modal_tracking_tpu.eval.params import get_parameters
+    from multi_modal_tracking_tpu.eval.running import run_dataset, run_sequence
+    from multi_modal_tracking_tpu.train.admin import env_settings
+
+    dataset = get_dataset(args.dataset_name)
+    if args.sequence:
+        dataset = type(dataset)([dataset[args.sequence]])
+    mode = args.type or ("RGBT" if is_rgbt_script(args.script) else "RGB")
+
+    checkpoints = [args.checkpoint]
+    if args.checkpoint_dir:
+        checkpoints = sorted(glob.glob(os.path.join(args.checkpoint_dir, "*_ep*.msgpack")))
+        if not args.script.endswith("online"):
+            checkpoints = [c for c in checkpoints if _epoch_of(c) > 10]
+
+    base_results = args.results_dir or os.path.join(
+        env_settings().results_path or "output/tracking_results",
+        args.script, args.config or "default")
+
+    for ckpt in checkpoints:
+        suffix = f"_ep{_epoch_of(ckpt)}" if (args.checkpoint_dir and ckpt) else ""
+        results_dir = os.path.join(base_results + suffix, args.dataset_name)
+        params = get_parameters(args.script, args.config, args.tracking_yaml,
+                                checkpoint=ckpt,
+                                search_area_scale=args.search_area_scale)
+        tracker = create_tracker(params, dataset_name=args.dataset_name, mode=mode)
+        factory = (lambda: create_tracker(params, dataset_name=args.dataset_name,
+                                          mode=mode)) if args.threads else None
+        run_dataset(dataset, tracker, results_dir, skip_if_done=not args.rerun,
+                    chunk=args.chunk, threads=args.threads, tracker_factory=factory)
+        print(f"results -> {results_dir}")
+
+
+def _epoch_of(path):
+    import re
+    m = re.search(r"_ep(\d+)\.msgpack$", path or "")
+    return int(m.group(1)) if m else -1
+
+
+if __name__ == "__main__":
+    main()
