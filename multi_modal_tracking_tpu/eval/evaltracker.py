@@ -34,7 +34,10 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
     mode: 'RGBT' for bimodal scripts; 'RGB' | 'TIR' | 'Prompt' for unimodal
     (lib/test/evaluation/tracker.py:56-57).
     """
-    from multi_modal_tracking_tpu.tracking.tracker import RGBTTrackerJit, RGBTrackerJit
+    from multi_modal_tracking_tpu.tracking.tracker import (OnlineTrackerJit,
+                                                            RGBTOnlineTrackerJit,
+                                                            RGBTTrackerJit,
+                                                            RGBTrackerJit)
 
     cfg = params.cfg
     script = params.script
@@ -59,8 +62,31 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
                   search_factor=params.search_factor,
                   search_size=params.search_size,
                   update_interval=update_interval)
+    online = script.endswith("_online")
     if is_rgbt_script(script):
         bb = cfg.MODEL.BACKBONE
         ce_rate = (bb.CE_KEEP_RATIO[-1] if bb.get("CE_KEEP_RATIO", None) else None)
+        if online:
+            return RGBTOnlineTrackerJit(
+                ce_keep_rate=ce_rate,
+                max_score_decay=online_size_decay(cfg)[1], **common)
         return RGBTTrackerJit(ce_keep_rate=ce_rate, **common)
+    if online:
+        size, decay = online_size_decay(cfg, dataset_name)
+        return OnlineTrackerJit(mode=mode, online_size=size,
+                                max_score_decay=decay, **common)
     return RGBTrackerJit(mode=mode, **common)
+
+
+def online_size_decay(cfg, dataset_name: str = "") -> tuple:
+    """Per-dataset online template memory size + max-score decay
+    (lib/config/mixformer_cvt_online/config.py:117-124 TEST.ONLINE_SIZES;
+    tracker max_score_decay default 1.0)."""
+    size = 1
+    sizes = cfg.TEST.get("ONLINE_SIZES", None)
+    if sizes is not None:
+        v = sizes.get(dataset_name.upper()) if hasattr(sizes, "get") else None
+        if v is not None:
+            size = v[0] if isinstance(v, (list, tuple)) else int(v)
+    decay = float(cfg.TEST.get("MAX_SCORE_DECAY", 1.0))
+    return size, decay

@@ -85,12 +85,14 @@ class MixFormer(nn.Module):
         return self._head(s, train, run_score_head, template_feat=t, gt_bboxes=gt_bboxes)
 
     def set_online(self, template, online_template):
-        """Returns (template_feat, per-block k/v memory pytree)."""
-        return self.backbone.set_online(template, online_template)
+        """Returns {"template": final template map, "mem": per-block k/v}
+        (uniform cache contract across model families)."""
+        template_feat, mem = self.backbone.set_online(template, online_template)
+        return {"mem": mem, "template": template_feat}
 
-    def forward_test(self, search, mem, template_feat=None, run_score_head: bool = False):
-        s = self.backbone.forward_test(search, mem)
-        return self._head(s, False, run_score_head, template_feat=template_feat)
+    def forward_test(self, search, cache, run_score_head: bool = False):
+        s = self.backbone.forward_test(search, cache["mem"])
+        return self._head(s, False, run_score_head, template_feat=cache["template"])
 
 
 def build_mixformer_vit(cfg, with_score: bool = False, dtype=jnp.float32,

@@ -46,6 +46,30 @@ class TrackState:
     frame_id: jax.Array         # () int32
 
 
+@struct.dataclass
+class OnlineTrackState:
+    """State for score-gated online tracking (SPM models).
+
+    Adds the reference's max-score template candidacy machinery
+    (lib/test/tracker/mixformer_cvt_online.py:75-168) as explicit arrays:
+    the best-scoring template crop since the last refresh and its score.
+    For multi-template models the candidate is committed into a FIXED-size
+    ring buffer (all slots initialised to the first template — static shape
+    where the reference grows the buffer dynamically) and the per-block k/v
+    cache is recomputed by set_online.
+    """
+    template_v: jax.Array        # (1, Ht, Wt, 3) normalised
+    template_i: jax.Array
+    online_template_v: jax.Array  # (n_online, Ht, Wt, 3) ring buffer
+    online_template_i: jax.Array
+    max_template_v: jax.Array    # (1, Ht, Wt, 3) best candidate since refresh
+    max_template_i: jax.Array
+    max_pred_score: jax.Array    # () f32
+    forget_id: jax.Array         # () int32 ring-buffer cursor
+    state: jax.Array             # (4,) xywh image coords
+    frame_id: jax.Array          # () int32
+
+
 def _prep_rgb(img, box, factor, out_sz):
     crop, rf = crop_resize(img, box, factor, out_sz)
     return normalize_imagenet(crop)[None], rf
@@ -211,6 +235,250 @@ class RGBTTrackerJit:
         self._state, boxes = self._scan_jit[key](
             self.variables, self._state, jnp.asarray(frames_v), jnp.asarray(frames_i))
         return boxes
+
+
+@dataclasses.dataclass
+class RGBTOnlineTrackerJit:
+    """Score-gated online tracking for the bimodal SPM models
+    (asymmetric_shared_online).
+
+    Parity: lib/test/tracker/asymmetric_shared_online.py /
+    mixformer_cvt_online.py:142-168 — every frame runs the score head;
+    the best-scoring state since the last refresh becomes the template
+    candidate; every update_interval frames the candidate is committed as
+    the online template, gated on pred_score > 0.5; max_pred_score decays
+    by max_score_decay per frame.
+
+    TPU-first: candidate selection, decay and the interval-gated commit are
+    all lax.cond/jnp.where inside ONE jitted step — the host never sees the
+    score.
+    """
+    model: Any
+    variables: Any
+    template_factor: float = 2.0
+    template_size: int = 128
+    search_factor: float = 5.0
+    search_size: int = 288
+    update_interval: int = 25
+    max_score_decay: float = 1.0
+    ce_keep_rate: Optional[float] = None
+
+    def __post_init__(self):
+        self._init_jit = {}
+        self._track_jit = {}
+
+    def _make_init(self, shape):
+        def init_fn(variables, img_v, img_i, box):
+            tv, _ = _prep_rgb(img_v, box, self.template_factor, self.template_size)
+            ti, _ = _prep_tir(img_i, box, self.template_factor, self.template_size)
+            return OnlineTrackState(
+                template_v=tv, template_i=ti,
+                online_template_v=tv, online_template_i=ti,
+                max_template_v=tv, max_template_i=ti,
+                max_pred_score=jnp.float32(-1.0),
+                forget_id=jnp.int32(0),
+                state=box.astype(jnp.float32), frame_id=jnp.int32(0))
+        return jax.jit(init_fn)
+
+    def _make_track(self, shape):
+        H, W = shape
+
+        def track_fn(variables, st: OnlineTrackState, img_v, img_i):
+            frame_id = st.frame_id + 1
+            sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
+            si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
+
+            t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
+            ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
+            s_vi = jnp.concatenate([sv, si], axis=0)
+            out = self.model.apply(variables, t_vi, ot_vi, s_vi, self.ce_keep_rate,
+                                   run_score_head=True)
+            pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+            pred_score = jax.nn.sigmoid(
+                out["pred_scores"].reshape(-1)[0].astype(jnp.float32))
+            pred = pred * (self.search_size / rf)
+            new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                                 H, W, margin=10)
+
+            # --- max-score candidate (decayed) -------------------------------
+            max_score = st.max_pred_score * self.max_score_decay
+            is_better = (pred_score > 0.5) & (pred_score > max_score)
+            cand_v, _ = _prep_rgb(img_v, new_state, self.template_factor,
+                                  self.template_size)
+            cand_i, _ = _prep_tir(img_i, new_state, self.template_factor,
+                                  self.template_size)
+            max_tv = jnp.where(is_better, cand_v, st.max_template_v)
+            max_ti = jnp.where(is_better, cand_i, st.max_template_i)
+            max_score = jnp.where(is_better, pred_score, max_score)
+
+            # --- interval-gated commit of the candidate ----------------------
+            do_update = (frame_id % self.update_interval) == 0
+            otv = jnp.where(do_update, max_tv, st.online_template_v)
+            oti = jnp.where(do_update, max_ti, st.online_template_i)
+            # after a commit, reset candidacy to the base template
+            max_tv = jnp.where(do_update, st.template_v, max_tv)
+            max_ti = jnp.where(do_update, st.template_i, max_ti)
+            max_score = jnp.where(do_update, jnp.float32(-1.0), max_score)
+
+            new_st = OnlineTrackState(
+                template_v=st.template_v, template_i=st.template_i,
+                online_template_v=otv, online_template_i=oti,
+                max_template_v=max_tv, max_template_i=max_ti,
+                max_pred_score=max_score, forget_id=st.forget_id,
+                state=new_state, frame_id=frame_id)
+            return new_st, new_state, pred_score
+        return jax.jit(track_fn, donate_argnums=(1,))
+
+    def initialize(self, image, info: dict):
+        img_v, img_i = image
+        shape = img_v.shape[:2]
+        if shape not in self._init_jit:
+            self._init_jit[shape] = self._make_init(shape)
+            self._track_jit[shape] = self._make_track(shape)
+        box = info["init_bbox"]
+        if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
+            box = box[0]
+        self._state = self._init_jit[shape](
+            self.variables, jnp.asarray(img_v), jnp.asarray(img_i),
+            jnp.asarray(box, dtype=jnp.float32))
+        self._shape = shape
+
+    def track(self, image, info: Optional[dict] = None):
+        img_v, img_i = image
+        self._state, box, score = self._track_jit[self._shape](
+            self.variables, self._state, jnp.asarray(img_v), jnp.asarray(img_i))
+        return {"target_bbox": [float(b) for b in np.asarray(box)],
+                "pred_score": float(score)}
+
+
+@dataclasses.dataclass
+class OnlineTrackerJit:
+    """Unimodal online tracking with a multi-template ring buffer over the
+    set_online / forward_test cached-k/v path (CvT/ViT/ConvMAE online).
+
+    Parity: lib/test/tracker/mixformer_cvt_online.py — online_size>1 keeps a
+    template ring buffer; per-frame forward_test reuses the cached template
+    k/v; every update_interval the max-score candidate replaces the slot at
+    forget_id and set_online recomputes the cache (:152-168).
+
+    TPU-first deviation (static shapes): the ring buffer always holds
+    `online_size` slots, initialised to the first template, where the
+    reference grows it one commit at a time.
+    """
+    model: Any
+    variables: Any
+    template_factor: float = 2.0
+    template_size: int = 128
+    search_factor: float = 4.5
+    search_size: int = 288
+    update_interval: int = 200
+    online_size: int = 3
+    max_score_decay: float = 1.0
+    mode: str = "RGB"            # RGB | TIR | Prompt
+    prompt_lambda: float = 0.5
+
+    def __post_init__(self):
+        self._init_jit = {}
+        self._track_jit = {}
+
+    def _frame(self, img_v, img_i):
+        if self.mode == "RGB":
+            return img_v
+        if self.mode == "TIR":
+            return apply_jet(img_i)
+        return (1 - self.prompt_lambda) * img_v.astype(jnp.float32) + \
+            self.prompt_lambda * apply_jet(img_i)
+
+    def _set_online(self, variables, template, ring):
+        return self.model.apply(variables, template, ring,
+                                method=self.model.set_online)
+
+    def _make_init(self, shape):
+        def init_fn(variables, img, box):
+            t, _ = _prep_rgb(img, box, self.template_factor, self.template_size)
+            ring = jnp.concatenate([t] * self.online_size, axis=0)
+            cache = self._set_online(variables, t, ring)
+            st = OnlineTrackState(
+                template_v=t, template_i=t,
+                online_template_v=ring, online_template_i=ring,
+                max_template_v=t, max_template_i=t,
+                max_pred_score=jnp.float32(-1.0), forget_id=jnp.int32(0),
+                state=box.astype(jnp.float32), frame_id=jnp.int32(0))
+            return st, cache
+        return jax.jit(init_fn)
+
+    def _make_track(self, shape):
+        H, W = shape
+
+        def track_fn(variables, st: OnlineTrackState, cache, img):
+            frame_id = st.frame_id + 1
+            s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
+            out = self.model.apply(variables, s, cache, run_score_head=True,
+                                   method=self.model.forward_test)
+            pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+            pred_score = jax.nn.sigmoid(
+                out["pred_scores"].reshape(-1)[0].astype(jnp.float32)
+            ) if "pred_scores" in out else jnp.float32(1.0)
+            pred = pred * (self.search_size / rf)
+            new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                                 H, W, margin=10)
+
+            max_score = st.max_pred_score * self.max_score_decay
+            is_better = (pred_score > 0.5) & (pred_score > max_score)
+            cand, _ = _prep_rgb(img, new_state, self.template_factor,
+                                self.template_size)
+            max_t = jnp.where(is_better, cand, st.max_template_v)
+            max_score = jnp.where(is_better, pred_score, max_score)
+
+            do_update = (frame_id % self.update_interval) == 0
+            ring = jnp.where(
+                do_update,
+                jax.lax.dynamic_update_slice_in_dim(
+                    st.online_template_v, max_t, st.forget_id, axis=0),
+                st.online_template_v)
+            forget_id = jnp.where(do_update,
+                                  (st.forget_id + 1) % self.online_size,
+                                  st.forget_id)
+
+            def refresh():
+                return self._set_online(variables, st.template_v, ring)
+
+            cache = jax.lax.cond(do_update, refresh, lambda: cache)
+            max_t = jnp.where(do_update, st.template_v, max_t)
+            max_score = jnp.where(do_update, jnp.float32(-1.0), max_score)
+
+            new_st = OnlineTrackState(
+                template_v=st.template_v, template_i=st.template_i,
+                online_template_v=ring, online_template_i=ring,
+                max_template_v=max_t, max_template_i=max_t,
+                max_pred_score=max_score, forget_id=forget_id,
+                state=new_state, frame_id=frame_id)
+            return new_st, cache, new_state, pred_score
+        return jax.jit(track_fn, donate_argnums=(1, 2))
+
+    def initialize(self, image, info: dict):
+        img = image[0] if isinstance(image, (list, tuple)) else image
+        img_i = image[1] if isinstance(image, (list, tuple)) and len(image) > 1 else img
+        shape = img.shape[:2]
+        if shape not in self._init_jit:
+            self._init_jit[shape] = self._make_init(shape)
+            self._track_jit[shape] = self._make_track(shape)
+        frame = self._frame(jnp.asarray(img), jnp.asarray(img_i))
+        box = info["init_bbox"]
+        if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
+            box = box[0]
+        self._state, self._cache = self._init_jit[shape](
+            self.variables, frame, jnp.asarray(box, dtype=jnp.float32))
+        self._shape = shape
+
+    def track(self, image, info: Optional[dict] = None):
+        img = image[0] if isinstance(image, (list, tuple)) else image
+        img_i = image[1] if isinstance(image, (list, tuple)) and len(image) > 1 else img
+        frame = self._frame(jnp.asarray(img), jnp.asarray(img_i))
+        self._state, self._cache, box, score = self._track_jit[self._shape](
+            self.variables, self._state, self._cache, frame)
+        return {"target_bbox": [float(b) for b in np.asarray(box)],
+                "pred_score": float(score)}
 
 
 @dataclasses.dataclass

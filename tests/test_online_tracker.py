@@ -1,0 +1,107 @@
+"""Online (SPM score-gated) tracking loop tests.
+
+Covers the reference semantics of lib/test/tracker/mixformer_cvt_online.py
+(:142-168): per-frame score head, max-score template candidacy with decay,
+interval-gated commit, multi-template ring buffer + set_online refresh."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multi_modal_tracking_tpu.models.asymmetric_shared import (MixFormerRGBT,
+                                                               RGBTSpec)
+from multi_modal_tracking_tpu.models.mixformer import MixFormer, ViTSpec
+from multi_modal_tracking_tpu.tracking.tracker import (OnlineTrackerJit,
+                                                       RGBTOnlineTrackerJit)
+
+
+def _frames(n, h=96, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def rgbt_online():
+    spec = RGBTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                    num_heads=2, head_dim=64, fusion_layers=1,
+                    ce_loc=None, ce_keep_ratio=None, nlayer_head=2)
+    model = MixFormerRGBT(spec=spec, with_score=True)
+    t = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, a, b, c: model.init(
+        r, a, b, c, run_score_head=True))(jax.random.PRNGKey(0), t, t, s)
+    return model, variables
+
+
+def test_rgbt_online_score_gated_update(rgbt_online):
+    model, variables = rgbt_online
+    tracker = RGBTOnlineTrackerJit(model=model, variables=variables,
+                                   template_factor=2.0, template_size=32,
+                                   search_factor=4.5, search_size=64,
+                                   update_interval=3, max_score_decay=0.98)
+    fv, fi = _frames(8, seed=1), _frames(8, seed=2)
+    tracker.initialize([fv[0], fi[0]], {"init_bbox": [40.0, 30.0, 30.0, 24.0]})
+    templates = [np.asarray(tracker._state.online_template_v)]
+    for k in range(1, 8):
+        out = tracker.track([fv[k], fi[k]])
+        assert len(out["target_bbox"]) == 4
+        assert 0.0 <= out["pred_score"] <= 1.0
+        templates.append(np.asarray(tracker._state.online_template_v))
+    # online template can only change at commit frames (update_interval=3)
+    for k in range(1, 8):
+        changed = not np.array_equal(templates[k], templates[k - 1])
+        if k % 3 != 0:
+            assert not changed, f"template changed off-interval at frame {k}"
+    # candidacy resets after each commit
+    assert float(tracker._state.max_pred_score) <= 1.0
+
+
+def test_unimodal_online_ring_buffer():
+    spec = ViTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                   num_heads=2, head_dim=64, nlayer_head=2)
+    model = MixFormer(spec=spec, with_score=True)
+    t = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, a, b, c: model.init(
+        r, a, b, c, run_score_head=True))(jax.random.PRNGKey(0), t, t, s)
+    tracker = OnlineTrackerJit(model=model, variables=variables,
+                               template_factor=2.0, template_size=32,
+                               search_factor=4.5, search_size=64,
+                               update_interval=2, online_size=3)
+    frames = _frames(6, seed=3)
+    tracker.initialize(frames[0], {"init_bbox": [40.0, 30.0, 30.0, 24.0]})
+    assert tracker._state.online_template_v.shape[0] == 3
+    fid0 = int(tracker._state.forget_id)
+    for k in range(1, 6):
+        out = tracker.track(frames[k])
+        assert np.isfinite(out["target_bbox"]).all()
+    # 5 frames with interval 2 -> 2 commits -> cursor advanced (mod 3)
+    assert int(tracker._state.forget_id) == (fid0 + 2) % 3
+
+
+def test_unimodal_online_cache_refresh_consistency():
+    """After a commit, the k/v cache must equal a fresh set_online over the
+    current ring buffer (the lax.cond refresh path is exact)."""
+    spec = ViTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                   num_heads=2, head_dim=64, nlayer_head=2)
+    model = MixFormer(spec=spec, with_score=True)
+    t = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, a, b, c: model.init(
+        r, a, b, c, run_score_head=True))(jax.random.PRNGKey(0), t, t, s)
+    tracker = OnlineTrackerJit(model=model, variables=variables,
+                               template_factor=2.0, template_size=32,
+                               search_factor=4.5, search_size=64,
+                               update_interval=2, online_size=2)
+    frames = _frames(3, seed=4)
+    tracker.initialize(frames[0], {"init_bbox": [40.0, 30.0, 30.0, 24.0]})
+    tracker.track(frames[1])
+    tracker.track(frames[2])   # frame_id 2 -> commit + refresh
+    st = tracker._state
+    fresh = jax.jit(lambda v, a, b: model.apply(v, a, b, method=model.set_online))(
+        variables, st.template_v, st.online_template_v)
+    got_k = np.asarray(tracker._cache["mem"][0][0], np.float32)
+    want_k = np.asarray(fresh["mem"][0][0], np.float32)
+    np.testing.assert_allclose(got_k, want_k, atol=1e-5, rtol=1e-4)
