@@ -83,6 +83,15 @@ def _prep_tir(img, box, factor, out_sz):
     return normalize_imagenet(apply_jet(crop))[None], rf
 
 
+def _put(x, dtype=None):
+    """Committed device_put to the first device. jnp.asarray would create an
+    UNCOMMITTED array, which this environment's IFRT proxy keeps host-held
+    and lazily materialises with a slow per-exec round-trip; a committed put
+    streams the bytes once at full bandwidth."""
+    arr = np.asarray(x, dtype) if dtype is not None else np.asarray(x)
+    return jax.device_put(arr, jax.devices()[0])
+
+
 def _map_box_back(pred_cxcywh, prev_state, search_size, resize_factor):
     """Crop-relative (cx,cy,w,h) in pixels -> image-coord xywh."""
     cx_prev = prev_state[0] + 0.5 * prev_state[2]
@@ -153,7 +162,7 @@ class RGBTTrackerJit:
                                 online_template_v=otv, online_template_i=oti,
                                 state=new_state, frame_id=frame_id)
             return new_st, new_state
-        return jax.jit(track_fn, donate_argnums=(1,))
+        return jax.jit(track_fn)   # no donation: ~130ms/exec via IFRT proxy
 
     def _make_track_scan(self, shape, chunk: int):
         """lax.scan of the track step over a chunk of frames: ONE dispatch
@@ -196,7 +205,7 @@ class RGBTTrackerJit:
 
             st, boxes = jax.lax.scan(body, st, (frames_v, frames_i))
             return st, boxes
-        return jax.jit(track_fn, donate_argnums=(1,))
+        return jax.jit(track_fn)   # no donation: ~130ms/exec via IFRT proxy
 
     # --------------------------------------------------------------- host API
     def initialize(self, image, info: dict):
@@ -210,31 +219,45 @@ class RGBTTrackerJit:
         if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
             box = box[0]    # RGBT gt pair: use the RGB box (reference :67)
         self._state = self._init_jit[shape](
-            self.variables, jnp.asarray(img_v), jnp.asarray(img_i),
-            jnp.asarray(box, dtype=jnp.float32))
+            self.variables, _put(img_v), _put(img_i), _put(box, np.float32))
         self._shape = shape
 
     def track(self, image, info: Optional[dict] = None):
         img_v, img_i = image
         self._state, box = self._track_jit[self._shape](
-            self.variables, self._state, jnp.asarray(img_v), jnp.asarray(img_i))
+            self.variables, self._state, _put(img_v), _put(img_i))
         return {"target_bbox": [float(b) for b in np.asarray(box)]}
 
-    def track_chunk(self, frames_v: np.ndarray, frames_i: np.ndarray) -> np.ndarray:
-        """Track a (N, H, W, 3) uint8 frame chunk in one device dispatch.
+    def track_chunk(self, frames_v: np.ndarray, frames_i: np.ndarray,
+                    fetch: bool = True):
+        """Track a (N, H, W, 3) uint8 frame chunk with ONE host round-trip.
 
-        Returns (N, 4) xywh boxes (fetched lazily — D2H happens when the
-        caller converts). Chunks of different N compile separately; the
-        sequence runner pads the tail chunk.
+        Dispatches the per-frame jitted step asynchronously for every frame
+        (frame k+1's H2D upload overlaps frame k's device compute; the box
+        dependency chains on device) and fetches all N boxes in a single D2H
+        at the end. On this environment's RPC-tunneled device a D2H fetch
+        costs orders of magnitude more than a whole tracking step, so one
+        windowed fetch per chunk is the difference between ~3 FPS and
+        hundreds of FPS; on directly-attached TPU hosts it simply amortises
+        dispatch latency. Identical box trajectory to per-frame track().
         """
-        key = (self._shape, frames_v.shape[0])
-        if key not in getattr(self, "_scan_jit", {}):
-            if not hasattr(self, "_scan_jit"):
-                self._scan_jit = {}
-            self._scan_jit[key] = self._make_track_scan(self._shape, frames_v.shape[0])
-        self._state, boxes = self._scan_jit[key](
-            self.variables, self._state, jnp.asarray(frames_v), jnp.asarray(frames_i))
-        return boxes
+        fn = self._track_jit[self._shape]
+        # ONE committed upload per chunk per modality (a per-frame put would
+        # pay a synchronous proxy round-trip each); per-frame device-side
+        # slicing keeps the box dependency chain entirely on device.
+        cv, ci = _put(frames_v), _put(frames_i)
+        boxes = []
+        st = self._state
+        for k in range(frames_v.shape[0]):
+            st, box = fn(self.variables, st, cv[k], ci[k])
+            boxes.append(box)
+        self._state = st
+        stacked = jnp.stack(boxes)
+        # fetch=False defers the D2H: this environment's transfer proxy
+        # permanently degrades upload bandwidth ~50x after the FIRST host
+        # fetch, so offline eval dispatches every chunk async and fetches all
+        # boxes once at sequence end (identical trajectories either way).
+        return np.asarray(stacked) if fetch else stacked
 
 
 @dataclasses.dataclass
@@ -327,7 +350,7 @@ class RGBTOnlineTrackerJit:
                 max_pred_score=max_score, forget_id=st.forget_id,
                 state=new_state, frame_id=frame_id)
             return new_st, new_state, pred_score
-        return jax.jit(track_fn, donate_argnums=(1,))
+        return jax.jit(track_fn)   # no donation: ~130ms/exec via IFRT proxy
 
     def initialize(self, image, info: dict):
         img_v, img_i = image
@@ -339,14 +362,13 @@ class RGBTOnlineTrackerJit:
         if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
             box = box[0]
         self._state = self._init_jit[shape](
-            self.variables, jnp.asarray(img_v), jnp.asarray(img_i),
-            jnp.asarray(box, dtype=jnp.float32))
+            self.variables, _put(img_v), _put(img_i), _put(box, np.float32))
         self._shape = shape
 
     def track(self, image, info: Optional[dict] = None):
         img_v, img_i = image
         self._state, box, score = self._track_jit[self._shape](
-            self.variables, self._state, jnp.asarray(img_v), jnp.asarray(img_i))
+            self.variables, self._state, _put(img_v), _put(img_i))
         return {"target_bbox": [float(b) for b in np.asarray(box)],
                 "pred_score": float(score)}
 
@@ -454,7 +476,10 @@ class OnlineTrackerJit:
                 max_pred_score=max_score, forget_id=forget_id,
                 state=new_state, frame_id=frame_id)
             return new_st, cache, new_state, pred_score
-        return jax.jit(track_fn, donate_argnums=(1, 2))
+        # NOTE: no donate_argnums — buffer donation costs ~130ms/exec through
+        # this environment's IFRT proxy (vs 0.4ms without); the state is ~1MB
+        # so the HBM saving is irrelevant.
+        return jax.jit(track_fn)
 
     def initialize(self, image, info: dict):
         img = image[0] if isinstance(image, (list, tuple)) else image
@@ -463,18 +488,18 @@ class OnlineTrackerJit:
         if shape not in self._init_jit:
             self._init_jit[shape] = self._make_init(shape)
             self._track_jit[shape] = self._make_track(shape)
-        frame = self._frame(jnp.asarray(img), jnp.asarray(img_i))
+        frame = self._frame(_put(img), _put(img_i))
         box = info["init_bbox"]
         if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
             box = box[0]
         self._state, self._cache = self._init_jit[shape](
-            self.variables, frame, jnp.asarray(box, dtype=jnp.float32))
+            self.variables, frame, _put(box, np.float32))
         self._shape = shape
 
     def track(self, image, info: Optional[dict] = None):
         img = image[0] if isinstance(image, (list, tuple)) else image
         img_i = image[1] if isinstance(image, (list, tuple)) and len(image) > 1 else img
-        frame = self._frame(jnp.asarray(img), jnp.asarray(img_i))
+        frame = self._frame(_put(img), _put(img_i))
         self._state, self._cache, box, score = self._track_jit[self._shape](
             self.variables, self._state, self._cache, frame)
         return {"target_bbox": [float(b) for b in np.asarray(box)],
@@ -541,7 +566,7 @@ class RGBTrackerJit:
                                 online_template_v=ot, online_template_i=ot,
                                 state=new_state, frame_id=frame_id)
             return new_st, new_state
-        return jax.jit(track_fn, donate_argnums=(1,))
+        return jax.jit(track_fn)   # no donation: ~130ms/exec via IFRT proxy
 
     def initialize(self, image, info: dict):
         img = image[0] if isinstance(image, (list, tuple)) else image
@@ -550,17 +575,17 @@ class RGBTrackerJit:
         if shape not in self._init_jit:
             self._init_jit[shape] = self._make_init(shape)
             self._track_jit[shape] = self._make_track(shape)
-        frame = self._frame(jnp.asarray(img), jnp.asarray(img_i))
+        frame = self._frame(_put(img), _put(img_i))
         box = info["init_bbox"]
         if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
             box = box[0]
         self._state = self._init_jit[shape](self.variables, frame,
-                                            jnp.asarray(box, dtype=jnp.float32))
+                                            _put(box, np.float32))
         self._shape = shape
 
     def track(self, image, info: Optional[dict] = None):
         img = image[0] if isinstance(image, (list, tuple)) else image
         img_i = image[1] if isinstance(image, (list, tuple)) and len(image) > 1 else img
-        frame = self._frame(jnp.asarray(img), jnp.asarray(img_i))
+        frame = self._frame(_put(img), _put(img_i))
         self._state, box = self._track_jit[self._shape](self.variables, self._state, frame)
         return {"target_bbox": [float(b) for b in np.asarray(box)]}
