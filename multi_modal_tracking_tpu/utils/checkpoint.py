@@ -69,9 +69,16 @@ def load_checkpoint(path: str, target: Any) -> Any:
 
 
 def load_variables(path: str, target_variables: Any) -> Any:
-    """Net-only load: accepts either a full TrainState checkpoint or a bare
-    variables dict; returns variables matching target structure (warm-start
+    """Net-only load: accepts a full TrainState checkpoint, a bare variables
+    dict, or a PyTorch reference checkpoint (.pth/.pth.tar/.pt — converted
+    key-by-key); returns variables matching target structure (warm-start
     path, base_trainer.py:230-272)."""
+    if path.endswith((".pth", ".pth.tar", ".pt")):
+        from multi_modal_tracking_tpu.utils.torch_convert import (
+            convert_state_dict, load_torch_state_dict)
+        sd = load_torch_state_dict(path)
+        new_vars, _ = convert_state_dict(sd, target_variables)
+        return new_vars
     with open(path, "rb") as f:
         raw = f.read()
     state_dict = serialization.msgpack_restore(raw)

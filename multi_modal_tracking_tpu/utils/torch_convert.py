@@ -1,0 +1,292 @@
+"""PyTorch reference checkpoint -> flax variables converter.
+
+Parity targets (three warm-start paths, SURVEY §5 checkpoint/resume):
+  * MAE/ViT backbone checkpoints with pos-embed filtering and the
+    norm1->norm1_{v,i} LayerNorm duplication for the modality-specific-LN
+    RGBT models (lib/models/mixformer_vit_rgbt/asymmetric_shared.py:307-333,
+    asymmetric_shared_ce.py:515-541).
+  * Full-model RGB(T)-pretrained checkpoints {"net": state_dict}
+    (asymmetric_shared_ce.py:643-674; backbone->backbone_{v,i} duplication
+    for the two-stream model, mixformer.py:447-460).
+  * Stage-1 tracker -> stage-2 SPM warm start (strict=False load,
+    base_trainer.py:230-272).
+
+Layout transforms (torch -> flax):
+  Linear  weight (out, in)         -> kernel (in, out)
+  Conv2d  weight (O, I, kh, kw)    -> kernel (kh, kw, I, O)
+  LayerNorm/BatchNorm weight       -> scale
+  BN running_mean/var              -> batch_stats collection
+
+Only numpy + flax needed at call time; torch is imported lazily just to
+unpickle .pth/.pth.tar files.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Unpickle a reference checkpoint into {torch_key: np.ndarray}.
+
+    Accepts raw state dicts, {"net": sd} trainer checkpoints
+    (base_trainer.py:115) and {"model": sd} MAE releases; strips
+    "module." DDP prefixes.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("net", "model", "state_dict"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+            break
+    out = {}
+    for k, v in obj.items():
+        if not hasattr(v, "numpy"):
+            continue
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+# --------------------------------------------------------------------------
+# key-level rewrites
+# --------------------------------------------------------------------------
+
+def expand_modality_lns(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """MAE warm start: duplicate every block LayerNorm into the _v/_i pair
+    (asymmetric_shared.py:307-333) and drop pos-embeds/mask tokens."""
+    out = {}
+    for k, v in sd.items():
+        if "pos_embed" in k or "mask_token" in k:
+            continue
+        m = re.search(r"\.(norm[12])\.(weight|bias)$", k)
+        if m and re.search(r"(^|\.)blocks\.", k):
+            for suffix in ("_v", "_i"):
+                out[k.replace(f".{m.group(1)}.", f".{m.group(1)}{suffix}.")] = v
+        else:
+            out[k] = v
+    return out
+
+
+def expand_two_stream(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """RGB-pretrained -> two-stream: backbone.* duplicated into
+    backbone_v/backbone_i (mixformer.py:447-460)."""
+    out = {}
+    for k, v in sd.items():
+        if "pos_embed" in k or "mask_token" in k:
+            continue
+        if k.startswith("backbone."):
+            out["backbone_v." + k[len("backbone."):]] = v
+            out["backbone_i." + k[len("backbone."):]] = v
+        else:
+            out[k] = v
+    return out
+
+
+# --------------------------------------------------------------------------
+# torch key -> (collection, flax path tuple, transform)
+# --------------------------------------------------------------------------
+
+def _linear(v):  # (out, in) -> (in, out)
+    return np.ascontiguousarray(v.T)
+
+
+def _conv(v):    # OIHW -> HWIO
+    return np.ascontiguousarray(np.transpose(v, (2, 3, 1, 0)))
+
+
+_HEAD_CONV = re.compile(r"^conv([1-5])_(tl|br)(?:\.(\d))?\.(weight|bias|running_mean|running_var)$")
+
+
+def _map_head_key(rest: str, frozen_bn: bool):
+    """box_head.* keys of the CORNER tower (head.py:23-94)."""
+    m = _HEAD_CONV.match(rest)
+    if not m:
+        return None
+    idx, corner, sub, leaf = m.group(1), m.group(2), m.group(3), m.group(4)
+    tower = f"tower_{corner}"
+    if idx == "5":
+        tf = _conv if leaf == "weight" else None
+        return ("params", (tower, "conv5", "kernel" if leaf == "weight" else "bias"), tf)
+    stage = f"conv{idx}"
+    if sub == "0":                      # conv
+        tf = _conv if leaf == "weight" else None
+        return ("params", (tower, stage, "conv", "kernel" if leaf == "weight" else "bias"), tf)
+    # BN (sequential index 1)
+    if frozen_bn:
+        name = {"weight": "bn_scale", "bias": "bn_bias",
+                "running_mean": "bn_mean", "running_var": "bn_var"}[leaf]
+        coll = "params" if leaf in ("weight", "bias") else "batch_stats"
+        return (coll, (tower, stage, name), None)
+    if leaf in ("weight", "bias"):
+        return ("params", (tower, stage, "bn", "scale" if leaf == "weight" else "bias"), None)
+    return ("batch_stats", (tower, stage, "bn",
+                            "mean" if leaf == "running_mean" else "var"), None)
+
+
+def _map_block_key(rest: str):
+    """blocks.N.* inside a ViT backbone (mixformer_vit/mixformer.py,
+    asymmetric_shared.py — same member names)."""
+    m = re.match(r"^blocks\.(\d+)\.(.+)$", rest)
+    if not m:
+        return None
+    blk = f"blocks_{int(m.group(1))}"
+    tail = m.group(2)
+    ln = re.match(r"^(norm1|norm2|norm1_v|norm1_i|norm2_v|norm2_i)\.(weight|bias)$", tail)
+    if ln:
+        return ("params", (blk, ln.group(1), "scale" if ln.group(2) == "weight" else "bias"), None)
+    at = re.match(r"^attn\.(qkv|proj)\.(weight|bias)$", tail)
+    if at:
+        tf = _linear if at.group(2) == "weight" else None
+        return ("params", (blk, "attn", at.group(1),
+                           "kernel" if at.group(2) == "weight" else "bias"), tf)
+    mlp = re.match(r"^mlp\.(fc1|fc2)\.(weight|bias)$", tail)
+    if mlp:
+        tf = _linear if mlp.group(2) == "weight" else None
+        return ("params", (blk, "mlp", mlp.group(1),
+                           "kernel" if mlp.group(2) == "weight" else "bias"), tf)
+    return None
+
+
+def _map_score_key(rest: str):
+    """score_branch.* (score_decoder.py:12-31)."""
+    if rest == "score_token":
+        return ("params", ("score_token",), None)
+    m = re.match(r"^(proj_q|proj_k|proj_v|proj)\.(\d)\.(weight|bias)$", rest)
+    if m:
+        tf = _linear if m.group(3) == "weight" else None
+        return ("params", (f"{m.group(1)}_{m.group(2)}",
+                           "kernel" if m.group(3) == "weight" else "bias"), tf)
+    m = re.match(r"^norm1\.(weight|bias)$", rest)
+    if m:
+        return ("params", ("norm1", "scale" if m.group(1) == "weight" else "bias"), None)
+    m = re.match(r"^norm2\.(\d)\.(weight|bias)$", rest)
+    if m:
+        return ("params", (f"norm2_{m.group(1)}",
+                           "scale" if m.group(2) == "weight" else "bias"), None)
+    m = re.match(r"^score_head\.layers\.(\d)\.(weight|bias)$", rest)
+    if m:
+        tf = _linear if m.group(2) == "weight" else None
+        return ("params", ("score_head", f"layers_{m.group(1)}",
+                           "kernel" if m.group(2) == "weight" else "bias"), tf)
+    return None
+
+
+def map_torch_key(key: str, frozen_head_bn: bool = False):
+    """One torch key -> (collection, flax path, transform) or None."""
+    if "pos_embed" in key or "mask_token" in key or key.endswith("num_batches_tracked"):
+        return None
+    for bb in ("backbone_v", "backbone_i", "backbone"):
+        if key.startswith(bb + "."):
+            rest = key[len(bb) + 1:]
+            if rest.startswith("patch_embed.proj."):
+                leaf = rest.rsplit(".", 1)[1]
+                tf = _conv if leaf == "weight" else None
+                return ("params", (bb, "patch_embed", "proj",
+                                   "kernel" if leaf == "weight" else "bias"), tf)
+            r = _map_block_key(rest)
+            if r:
+                return (r[0], (bb,) + r[1], r[2])
+            return None
+    if key.startswith("box_head."):
+        r = _map_head_key(key[len("box_head."):], frozen_head_bn)
+        if r:
+            return (r[0], ("box_head",) + r[1], r[2])
+        return None
+    if key.startswith("score_branch."):
+        r = _map_score_key(key[len("score_branch."):])
+        if r:
+            return (r[0], ("score_branch",) + r[1], r[2])
+        return None
+    return None
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
+                       frozen_head_bn: bool = False,
+                       strict: bool = False,
+                       verbose: bool = True) -> Tuple[Dict[str, Any], Dict[str, list]]:
+    """Merge a torch state dict into a flax variables pytree.
+
+    variables: the target {"params": ..., "batch_stats": ...} from model.init.
+    Returns (new_variables, report) where report lists converted / skipped /
+    missing keys. strict=True raises on any skipped torch key or shape clash
+    (parity with load_state_dict(strict=True) at test time,
+    lib/test/tracker/asymmetric_shared_ce.py:18-19).
+    """
+    flat = {}
+    for coll, tree in variables.items():
+        for path, leaf in _flatten(tree):
+            flat[(coll,) + path] = leaf
+
+    new_flat = dict(flat)
+    report = {"converted": [], "skipped": [], "shape_mismatch": []}
+    for k, v in sd.items():
+        r = map_torch_key(k, frozen_head_bn=frozen_head_bn)
+        if r is None:
+            report["skipped"].append(k)
+            continue
+        coll, path, tf = r
+        full = (coll,) + path
+        if full not in flat:
+            report["skipped"].append(k)
+            continue
+        arr = tf(v) if tf else np.asarray(v)
+        if tuple(arr.shape) != tuple(flat[full].shape):
+            report["shape_mismatch"].append((k, arr.shape, tuple(flat[full].shape)))
+            continue
+        new_flat[full] = arr.astype(np.asarray(flat[full]).dtype)
+        report["converted"].append(k)
+    converted_paths = {p for p in new_flat if new_flat[p] is not flat[p]}
+    report["missing"] = sorted("/".join(p) for p in flat if p not in converted_paths)
+
+    if strict and (report["skipped"] or report["shape_mismatch"]):
+        raise ValueError(f"strict conversion failed: {report['skipped'][:10]} "
+                         f"{report['shape_mismatch'][:10]}")
+    if verbose:
+        print(f"torch->flax: converted {len(report['converted'])} keys, "
+              f"skipped {len(report['skipped'])}, "
+              f"shape mismatches {len(report['shape_mismatch'])}")
+
+    out = {}
+    for coll in variables:
+        paths = {p[1:]: new_flat[p] for p in new_flat if p[0] == coll}
+        out[coll] = _unflatten(paths)
+    return out, report
+
+
+def convert_checkpoint(path: str, variables: Dict[str, Any],
+                       mode: str = "full", frozen_head_bn: bool = False,
+                       strict: bool = False) -> Dict[str, Any]:
+    """One-call conversion. mode: 'full' | 'mae' (LN duplication) |
+    'two_stream' (backbone duplication)."""
+    sd = load_torch_state_dict(path)
+    if mode == "mae":
+        sd = {("backbone." + k if not k.startswith("backbone.") else k): v
+              for k, v in expand_modality_lns(sd).items()}
+    elif mode == "two_stream":
+        sd = expand_two_stream(sd)
+    new_vars, _ = convert_state_dict(sd, variables, frozen_head_bn=frozen_head_bn,
+                                     strict=strict)
+    return new_vars
+
+
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, prefix + (k,))
+    else:
+        yield prefix, tree
+
+
+def _unflatten(paths: Dict[tuple, Any]):
+    root: Dict[str, Any] = {}
+    for path, leaf in paths.items():
+        node = root
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+    return root
