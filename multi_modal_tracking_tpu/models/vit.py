@@ -64,16 +64,15 @@ class MixedAttention(nn.Module):
         return _heads(q, self.num_heads), _heads(k, self.num_heads), _heads(v, self.num_heads)
 
     def __call__(self, x: jax.Array, n_mt: int) -> jax.Array:
-        """x: (B, n_mt + n_s, C); templates attend within templates only."""
+        """x: (B, n_mt + n_s, C); templates attend within templates only.
+
+        Dispatches to the fused Pallas kernel on TPU (ops/attention.py) —
+        mask+softmax+both matmuls in VMEM, no N^2 HBM round-trip."""
+        from multi_modal_tracking_tpu.ops.attention import mixed_attention
         B, N, C = x.shape
         q, k, v = self._qkv(x)
-        q_mt, q_s = q[:, :, :n_mt], q[:, :, n_mt:]
-        k_mt = k[:, :, :n_mt]
-        v_mt = v[:, :, :n_mt]
-        x_mt = _attend(q_mt, k_mt, v_mt, self.scale)
-        x_s = _attend(q_s, k, v, self.scale)
-        out = jnp.concatenate([_merge(x_mt), _merge(x_s)], axis=1)
-        return self.proj(out)
+        out = mixed_attention(q, k, v, n_mt, self.scale)
+        return self.proj(_merge(out))
 
     def set_online(self, x: jax.Array):
         """Full self-attention over template tokens; returns (out, (k, v))."""

@@ -1,0 +1,146 @@
+"""Fused asymmetric mixed attention (the MixFormer hot op) as a Pallas kernel.
+
+Semantics (lib/models/mixformer_vit/mixformer.py Attention.forward :51-77):
+tokens are [templates (n_mt) ; search (N - n_mt)]; template queries attend
+only to template keys, search queries attend to every key. The reference
+implements this as two separate SDPA calls; XLA materialises both (Nq, Nk)
+probability matrices in HBM. This kernel fuses mask + softmax + both matmuls
+in VMEM per (batch, head) grid cell — the attention matrix never touches
+HBM, which is the classic flash-attention bandwidth win at training batch
+sizes (12 blocks x batch x (904x904) f32 ≈ GBs of traffic per step).
+
+The asymmetry is one static mask: allowed(i, j) = (i >= n_mt) | (j < n_mt).
+
+Backward: custom VJP recomputes the probabilities with plain XLA ops (exact,
+standard rematerialisation trade — residuals are only q/k/v instead of the
+N² matrix).
+
+Tests run the kernel in interpreter mode on CPU against the two-call XLA
+reference (tests/test_pallas_attention.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _mask(n_mt: int, nq: int, nk: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1)
+    return (rows >= n_mt) | (cols < n_mt)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_mt: int, scale: float):
+    q = q_ref[0, 0]                                # (N, D)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(_mask(n_mt, q.shape[0], k.shape[0]), s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0, 0] = jax.lax.dot_general(p.astype(v.dtype), v,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(o_ref.dtype)
+
+
+def _mixed_attention_fwd_pallas(q, k, v, n_mt: int, scale: float,
+                                interpret: bool = False):
+    """q/k/v: (B, H, N, D) -> (B, H, N, D)."""
+    B, H, N, D = q.shape
+    kernel = functools.partial(_attn_kernel, n_mt=n_mt, scale=scale)
+
+    def squeeze_spec():
+        return pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[squeeze_spec(), squeeze_spec(), squeeze_spec()],
+        out_specs=squeeze_spec(),
+        out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * N * N * D,
+            bytes_accessed=3 * B * H * N * D * q.dtype.itemsize
+            + B * H * N * D * q.dtype.itemsize,
+            transcendentals=B * H * N * N,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def mixed_attention_xla(q, k, v, n_mt: int, scale: float):
+    """Two-call XLA reference (identical math to the reference's
+    Attention.forward). q/k/v: (B, H, N, D)."""
+    q_mt, q_s = q[:, :, :n_mt], q[:, :, n_mt:]
+    k_mt, v_mt = k[:, :, :n_mt], v[:, :, :n_mt]
+
+    def attend(qq, kk, vv):
+        a = jnp.einsum("bhqd,bhkd->bhqk", qq, kk) * scale
+        a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(qq.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", a, vv)
+
+    x_mt = attend(q_mt, k_mt, v_mt)
+    x_s = attend(q_s, k, v)
+    return jnp.concatenate([x_mt, x_s], axis=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def mixed_attention_fused(q, k, v, n_mt: int, scale: float,
+                          interpret: bool = False):
+    """Pallas-fused asymmetric mixed attention with exact XLA backward."""
+    return _mixed_attention_fwd_pallas(q, k, v, n_mt, scale, interpret)
+
+
+def _fused_fwd(q, k, v, n_mt, scale, interpret):
+    out = _mixed_attention_fwd_pallas(q, k, v, n_mt, scale, interpret)
+    return out, (q, k, v)
+
+
+def _fused_bwd(n_mt, scale, interpret, res, g):
+    q, k, v = res
+    # Exact gradients via recomputed probabilities (rematerialisation).
+    mask = _mask(n_mt, q.shape[2], k.shape[2])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    gf = g.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    ds = jnp.where(mask, ds, 0.0) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+mixed_attention_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def mixed_attention(q, k, v, n_mt: int, scale: float,
+                    use_pallas: Optional[bool] = None):
+    """Dispatcher: Pallas kernel on TPU (compiled), XLA two-call otherwise.
+
+    use_pallas=None auto-selects by backend; tests pass use_pallas=True with
+    interpret mode via ops.attention.FORCE_INTERPRET.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and not FORCE_INTERPRET
+    if use_pallas or FORCE_INTERPRET:
+        return mixed_attention_fused(q, k, v, n_mt, scale, FORCE_INTERPRET)
+    return mixed_attention_xla(q, k, v, n_mt, scale)
+
+
+#: Test hook: run the Pallas kernel in interpreter mode (CPU).
+FORCE_INTERPRET = False
