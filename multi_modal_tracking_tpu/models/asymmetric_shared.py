@@ -87,19 +87,39 @@ class AsymCrossModalAttention(nn.Module):
         k_mt = jnp.concatenate([k_mt_V, k_mt_I], axis=2)
         v_mt = jnp.concatenate([v_mt_V, v_mt_I], axis=2)
 
-        # Templates attend within their own modality only.
-        x_mt_V = _attend(q_mt_V, k_mt_V, v_mt_V, self.scale)
-        x_mt_I = _attend(q_mt_I, k_mt_I, v_mt_I, self.scale)
-        # Search attends to all templates (both modalities) + own search.
-        x_s_V = _attend(q_s_V, jnp.concatenate([k_mt, k_s_V], axis=2),
-                        jnp.concatenate([v_mt, v_s_V], axis=2), self.scale)
-        x_s_I = _attend(q_s_I, jnp.concatenate([k_mt, k_s_I], axis=2),
-                        jnp.concatenate([v_mt, v_s_I], axis=2), self.scale)
+        from multi_modal_tracking_tpu.ops.attention import (FORCE_INTERPRET,
+                                                            mixed_attention)
+        if jax.default_backend() == "tpu" or FORCE_INTERPRET:
+            # Fused Pallas path: per modality, keys are laid out
+            # [own templates ; other-modality templates ; own search], so the
+            # standard asymmetric mask (template rows see j < n_mt, search
+            # rows see everything) realises the cross-modal semantics, and
+            # both modalities ride the kernel's batch grid in ONE call.
+            # Softmax/weighted-sum are key-order-invariant, so this matches
+            # the 4-call formulation exactly.
+            k_all = jnp.concatenate([
+                jnp.concatenate([k_mt_V, k_mt_I, k_s_V], axis=2),
+                jnp.concatenate([k_mt_I, k_mt_V, k_s_I], axis=2)], axis=0)
+            v_all = jnp.concatenate([
+                jnp.concatenate([v_mt_V, v_mt_I, v_s_V], axis=2),
+                jnp.concatenate([v_mt_I, v_mt_V, v_s_I], axis=2)], axis=0)
+            x_all = mixed_attention(q, k_all, v_all, n_mt, self.scale)
+            out = self.proj(_merge(x_all))
+            x_v, x_i = out[:B], out[B:]
+        else:
+            # Templates attend within their own modality only.
+            x_mt_V = _attend(q_mt_V, k_mt_V, v_mt_V, self.scale)
+            x_mt_I = _attend(q_mt_I, k_mt_I, v_mt_I, self.scale)
+            # Search attends to all templates (both modalities) + own search.
+            x_s_V = _attend(q_s_V, jnp.concatenate([k_mt, k_s_V], axis=2),
+                            jnp.concatenate([v_mt, v_s_V], axis=2), self.scale)
+            x_s_I = _attend(q_s_I, jnp.concatenate([k_mt, k_s_I], axis=2),
+                            jnp.concatenate([v_mt, v_s_I], axis=2), self.scale)
 
-        out_V = jnp.concatenate([_merge(x_mt_V), _merge(x_s_V)], axis=1)
-        out_I = jnp.concatenate([_merge(x_mt_I), _merge(x_s_I)], axis=1)
-        out = self.proj(jnp.concatenate([out_V, out_I], axis=0))
-        x_v, x_i = out[:B], out[B:]
+            out_V = jnp.concatenate([_merge(x_mt_V), _merge(x_s_V)], axis=1)
+            out_I = jnp.concatenate([_merge(x_mt_I), _merge(x_s_I)], axis=1)
+            out = self.proj(jnp.concatenate([out_V, out_I], axis=0))
+            x_v, x_i = out[:B], out[B:]
 
         attn_t2s = None
         if return_attention:

@@ -55,25 +55,30 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_mt: int, scale: float):
 
 def _mixed_attention_fwd_pallas(q, k, v, n_mt: int, scale: float,
                                 interpret: bool = False):
-    """q/k/v: (B, H, N, D) -> (B, H, N, D)."""
-    B, H, N, D = q.shape
+    """q: (B, H, Nq, D); k/v: (B, H, Nk, D) -> (B, H, Nq, D).
+
+    Nq may differ from Nk (the cross-modal flagship passes per-modality key
+    layouts with extra template keys); the asymmetric mask threshold n_mt
+    applies to both axes."""
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
     kernel = functools.partial(_attn_kernel, n_mt=n_mt, scale=scale)
 
-    def squeeze_spec():
-        return pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
+    def spec(n):
+        return pl.BlockSpec((1, 1, n, D), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         kernel,
         grid=(B, H),
-        in_specs=[squeeze_spec(), squeeze_spec(), squeeze_spec()],
-        out_specs=squeeze_spec(),
-        out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+        in_specs=[spec(Nq), spec(Nk), spec(Nk)],
+        out_specs=spec(Nq),
+        out_shape=jax.ShapeDtypeStruct((B, H, Nq, D), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * H * N * N * D,
-            bytes_accessed=3 * B * H * N * D * q.dtype.itemsize
-            + B * H * N * D * q.dtype.itemsize,
-            transcendentals=B * H * N * N,
+            flops=2 * 2 * B * H * Nq * Nk * D,
+            bytes_accessed=(B * H * (Nq + 2 * Nk) * D + B * H * Nq * D)
+            * q.dtype.itemsize,
+            transcendentals=B * H * Nq * Nk,
         ),
         interpret=interpret,
     )(q, k, v)

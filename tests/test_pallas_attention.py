@@ -75,3 +75,23 @@ def test_model_uses_kernel_when_forced(monkeypatch):
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_flagship_cross_modal_fused_matches_xla(monkeypatch):
+    """AsymCrossModalAttention: the single fused-kernel formulation (merged
+    per-modality key layouts) must equal the 4-call XLA path exactly."""
+    from multi_modal_tracking_tpu.models.asymmetric_shared import (
+        AsymCrossModalAttention)
+    attn = AsymCrossModalAttention(dim=32, num_heads=2)
+    rng = np.random.default_rng(2)
+    B, n_mt, n_s = 2, 8, 12
+    x_v = jnp.asarray(rng.standard_normal((B, n_mt + n_s, 32)).astype(np.float32))
+    x_i = jnp.asarray(rng.standard_normal((B, n_mt + n_s, 32)).astype(np.float32))
+    variables = attn.init(jax.random.PRNGKey(0), x_v, x_i, n_mt)
+    ref_v, ref_i, _ = attn.apply(variables, x_v, x_i, n_mt)
+    monkeypatch.setattr(A, "FORCE_INTERPRET", True)
+    got_v, got_i, _ = attn.apply(variables, x_v, x_i, n_mt)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i),
+                               atol=1e-5, rtol=1e-4)
