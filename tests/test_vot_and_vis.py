@@ -1,0 +1,98 @@
+"""VOT trax-loop wrapper (with an injected fake server) and visualisation
+tools over a synthetic sequence."""
+import os
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multi_modal_tracking_tpu.eval.vot import Rectangle, VOTClient, run_vot_exp
+
+cv2 = pytest.importorskip("cv2")
+
+
+class _FakeRequest:
+    def __init__(self, typ, region=None, image=None):
+        self.type = typ
+        self.region = region
+        self.image = image
+
+
+class _FakeServer:
+    """Duck-typed trax server: initialize -> N frames -> quit."""
+
+    def __init__(self, tmpdir, n_frames=5):
+        self.reports = []
+        self.paths = []
+        rng = np.random.default_rng(0)
+        for k in range(n_frames):
+            pv = os.path.join(tmpdir, f"c_{k}.png")
+            pi = os.path.join(tmpdir, f"d_{k}.png")
+            cv2.imwrite(pv, rng.integers(0, 255, (96, 128, 3), np.uint8))
+            cv2.imwrite(pi, rng.integers(0, 4000, (96, 128), np.uint16).astype(np.uint16))
+            self.paths.append([pv, pi])
+        self._queue = [_FakeRequest("initialize", region=(40.0, 30.0, 30.0, 24.0),
+                                    image=self.paths[0])]
+        self._queue += [_FakeRequest("frame", image=p) for p in self.paths[1:]]
+        self._queue.append(_FakeRequest("quit"))
+        self.quit_called = False
+
+    def wait(self):
+        return self._queue.pop(0)
+
+    def status(self, region, props=None):
+        self.reports.append((region, props))
+
+    def quit(self):
+        self.quit_called = True
+
+
+@pytest.fixture(scope="module")
+def tiny_rgbt_tracker():
+    from multi_modal_tracking_tpu.models.asymmetric_shared import (MixFormerRGBT,
+                                                                   RGBTSpec)
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTTrackerJit
+    spec = RGBTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                    num_heads=2, head_dim=64, fusion_layers=1,
+                    ce_loc=None, ce_keep_ratio=None)
+    model = MixFormerRGBT(spec=spec)
+    t = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    return RGBTTrackerJit(model=model, variables=variables, template_size=32,
+                          search_size=64, update_interval=3)
+
+
+def test_run_vot_exp_with_fake_server(tmp_path, tiny_rgbt_tracker):
+    server = _FakeServer(str(tmp_path), n_frames=5)
+    run_vot_exp("asymmetric_shared_online", channels="rgbd", server=server,
+                tracker=tiny_rgbt_tracker)
+    # initialize status + 4 per-frame reports
+    assert len(server.reports) == 1 + 4
+    for region, props in server.reports[1:]:
+        assert isinstance(region, Rectangle)
+        assert np.isfinite([region.x, region.y, region.width, region.height]).all()
+    assert server.quit_called
+
+
+def test_render_result_video(tmp_path, tiny_rgbt_tracker):
+    from multi_modal_tracking_tpu.eval.data import RGBTSequence
+    from multi_modal_tracking_tpu.eval.visualize import render_result_video
+    rng = np.random.default_rng(1)
+    frames = [(rng.integers(0, 255, (96, 128, 3), np.uint8),
+               rng.integers(0, 255, (96, 128, 3), np.uint8)) for _ in range(4)]
+    gt = np.tile(np.asarray([[40.0, 30, 30, 24], [40.0, 30, 30, 24]]), (4, 1, 1))
+    seq = RGBTSequence(name="synth", frames=frames, dataset="synth",
+                       ground_truth_rect=gt)
+    results = {"mine": np.tile([42.0, 31, 28, 22], (4, 1))}
+    out = render_result_video(seq, results, str(tmp_path / "vis.mp4"), fps=5)
+    assert os.path.isfile(out) and os.path.getsize(out) > 0
+
+
+def test_feature_panel():
+    from multi_modal_tracking_tpu.eval.visualize import feature_panel
+    rng = np.random.default_rng(2)
+    panel = feature_panel(rng.standard_normal((18, 18, 64)), size=72)
+    assert panel.shape == (72, 72, 3) and panel.dtype == np.uint8
