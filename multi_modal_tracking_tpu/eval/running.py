@@ -28,7 +28,14 @@ from multi_modal_tracking_tpu.eval.data import RGBTSequence, Sequence
 
 
 def _imread(path):
-    """RGB uint8 frame loader (cv2 if available, else PIL)."""
+    """RGB uint8 frame loader: native libjpeg runtime when built (the C
+    threaded decoder in native/, replacing the reference's
+    jpeg4py/DataLoader workers — image_loader.py:15-100), else cv2/PIL."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from multi_modal_tracking_tpu import native
+        img = native.decode_jpeg(path) if native.available() else None
+        if img is not None:
+            return img
     try:
         import cv2
         img = cv2.imread(path, cv2.IMREAD_COLOR)
