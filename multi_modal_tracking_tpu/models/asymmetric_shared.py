@@ -87,9 +87,9 @@ class AsymCrossModalAttention(nn.Module):
         k_mt = jnp.concatenate([k_mt_V, k_mt_I], axis=2)
         v_mt = jnp.concatenate([v_mt_V, v_mt_I], axis=2)
 
-        from multi_modal_tracking_tpu.ops.attention import (FORCE_INTERPRET,
-                                                            mixed_attention)
-        if jax.default_backend() == "tpu" or FORCE_INTERPRET:
+        from multi_modal_tracking_tpu.ops import attention as _attn_ops
+        from multi_modal_tracking_tpu.ops.attention import mixed_attention
+        if _attn_ops.use_pallas_default() or _attn_ops.FORCE_INTERPRET:
             # Fused Pallas path: per modality, keys are laid out
             # [own templates ; other-modality templates ; own search], so the
             # standard asymmetric mask (template rows see j < n_mt, search

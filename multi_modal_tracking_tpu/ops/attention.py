@@ -133,19 +133,32 @@ def _fused_bwd(n_mt, scale, interpret, res, g):
 mixed_attention_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def use_pallas_default() -> bool:
+    """True when the fused kernel should be used: explicit USE_PALLAS
+    override if set, else TPU backend auto-detect."""
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    return jax.default_backend() == "tpu" and not FORCE_INTERPRET
+
+
 def mixed_attention(q, k, v, n_mt: int, scale: float,
                     use_pallas: Optional[bool] = None):
     """Dispatcher: Pallas kernel on TPU (compiled), XLA two-call otherwise.
 
-    use_pallas=None auto-selects by backend; tests pass use_pallas=True with
-    interpret mode via ops.attention.FORCE_INTERPRET.
+    use_pallas=None auto-selects (see use_pallas_default); tests pass
+    use_pallas=True with interpret mode via ops.attention.FORCE_INTERPRET.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and not FORCE_INTERPRET
+        use_pallas = use_pallas_default()
     if use_pallas or FORCE_INTERPRET:
         return mixed_attention_fused(q, k, v, n_mt, scale, FORCE_INTERPRET)
     return mixed_attention_xla(q, k, v, n_mt, scale)
 
+
+#: Explicit dispatch override: True -> always fused kernel, False -> always
+#: XLA, None -> auto by backend. Set False when jitting for CPU devices while
+#: the default backend is a TPU (e.g. virtual-mesh dry runs).
+USE_PALLAS: Optional[bool] = None
 
 #: Test hook: run the Pallas kernel in interpreter mode (CPU).
 FORCE_INTERPRET = False
