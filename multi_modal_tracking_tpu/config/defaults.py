@@ -70,7 +70,8 @@ def _rgbt_base() -> CfgNode:
         SEARCH_SIZE=288,
         EPOCH=500,
         UPDATE_INTERVALS=dict(LASOT=[200], GOT10K_TEST=[200], TRACKINGNET=[200],
-                              VOT20=[200], VOT20LT=[200]),
+                              VOT20=[200], VOT20LT=[200], LASHER=[200],
+                              RGBT234=[200], VTUAV=[200], VOT22RGBD=[25]),
     ))
     return c
 
