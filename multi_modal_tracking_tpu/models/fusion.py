@@ -234,6 +234,41 @@ class ConvFusion(nn.Module):
         return nn.relu(x)
 
 
+class DeformConvFusion(nn.Module):
+    """RGBT_Fusion_2 (fusion_utils.py:26-62): zero-initialised offset conv
+    over the concatenated modalities predicts (dy, dx, mask) for a
+    2-deform-group modulated deformable conv, then conv-BN-ReLU."""
+    out_channels: int = 768
+    deform_groups: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_v, x_i, deterministic=True, train: bool = False):
+        from multi_modal_tracking_tpu.ops.deform_conv import modulated_deform_conv2d
+        x = jnp.concatenate([x_v, x_i], axis=-1)
+        cin = x.shape[-1]
+        dg, k = self.deform_groups, 3
+        raw = nn.Conv(3 * dg * k * k, (3, 3), padding=1,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      dtype=self.dtype, name="fusion_offset")(x)
+        o1, o2, mask = jnp.split(raw, 3, axis=-1)
+        offset = jnp.stack([o1, o2], axis=-1).reshape(*o1.shape[:-1], -1)
+        mask = jax.nn.sigmoid(mask)
+        w = self.param("fusion_kernel", nn.initializers.he_normal(),
+                       (k, k, cin, self.out_channels))
+        x = modulated_deform_conv2d(x, offset, mask, w,
+                                    deform_groups=dg, padding=1)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="fusion_bn")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="fusion2")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="fusion2_bn")(x)
+        return nn.relu(x)
+
+
 class CatConvFusion(nn.Module):
     """RGBT_Fusion_Cat ablation (fusion_utils.py:86-110): 3 conv-BN-ReLU."""
     channels: int = 768
@@ -267,6 +302,14 @@ def build_fusion(fusion_class: str, channels: int, d_model: int, num_encoder_lay
                                       dtype=dtype, name=name, **table[fusion_class])
     if fusion_class == "RGBT_Fusion_1":
         return ConvFusion(out_channels=channels, dtype=dtype, name=name)
+    if fusion_class == "RGBT_Fusion_2":
+        return DeformConvFusion(out_channels=channels, deform_groups=2,
+                                dtype=dtype, name=name)
+    if fusion_class == "RGBT_Fusion_3":
+        # Pack variant (fusion_utils.py:65-83): same modulated deformable
+        # conv with internally predicted offsets, deform_groups=1.
+        return DeformConvFusion(out_channels=channels, deform_groups=1,
+                                dtype=dtype, name=name)
     if fusion_class == "RGBT_Fusion_Cat":
         return CatConvFusion(channels=channels, dtype=dtype, name=name)
     raise ValueError(f"Unknown FUSION_CLASS {fusion_class}")
