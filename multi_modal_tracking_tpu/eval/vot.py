@@ -69,13 +69,19 @@ class VOTClient:
     def region(self) -> Rectangle:
         return self._region
 
-    def report(self, region: Rectangle, confidence: Optional[float] = None):
+    def report(self, region, confidence: Optional[float] = None):
+        """region: Rectangle for box trackers, or a binary uint8 HxW array
+        for VOT2020 mask experiments."""
+        r = region
         try:
             import trax
-            r = trax.Region.create("rectangle", region.x, region.y,
-                                   region.width, region.height)
+            if isinstance(region, Rectangle):
+                r = trax.Region.create("rectangle", region.x, region.y,
+                                       region.width, region.height)
+            elif isinstance(region, np.ndarray):
+                r = trax.Mask.create(region)
         except Exception:
-            r = region
+            pass
         self._trax.status(r, {"confidence": confidence} if confidence is not None else {})
 
     def frame(self):
@@ -128,4 +134,54 @@ def run_vot_exp(script: str, training_yaml: Optional[str] = None,
         out = tracker.track(load(paths))
         x, y, w, h = out["target_bbox"]
         handle.report(Rectangle(x, y, w, h), out.get("pred_score", 1.0))
+    handle.quit()
+
+
+def run_vot20_mask_exp(script: str, training_yaml: Optional[str] = None,
+                       checkpoint: Optional[str] = None,
+                       refine_checkpoint: Optional[str] = None,
+                       mask_threshold: float = 0.6, server=None,
+                       tracker=None, refiner=None):
+    """VOT2020 mask experiment: the tracker's box is refined into a
+    segmentation mask by the Alpha-Refine module each frame
+    (external/AR/pytracking/VOT2020_super_only_mask_384_HP/
+    mixformer_alpha_seg_class.py:19-53; threshold 0.6).
+
+    Reports binary uint8 masks through the trax handle (falls back to the
+    rect when the injected server only understands rectangles).
+    """
+    from multi_modal_tracking_tpu.eval.evaltracker import create_tracker
+    from multi_modal_tracking_tpu.eval.params import get_parameters
+    from multi_modal_tracking_tpu.eval.running import _imread
+
+    handle = VOTClient(channels="color", server=server)
+    if tracker is None:
+        params = get_parameters(script, training_yaml, checkpoint=checkpoint)
+        tracker = create_tracker(params, dataset_name="VOT20", mode="RGB")
+    if refiner is None:
+        from multi_modal_tracking_tpu.models.alpha_refine import (ARcmSeg,
+                                                                  build_alpha_refine)
+        net, variables, spec = build_alpha_refine()
+        if refine_checkpoint:
+            from multi_modal_tracking_tpu.utils.checkpoint import load_variables
+            variables = load_variables(refine_checkpoint, variables)
+        refiner = ARcmSeg(variables, spec)
+
+    def load(paths):
+        return _imread(paths if isinstance(paths, str) else paths[0])
+
+    r = handle.region()
+    box = [r.x, r.y, r.width, r.height]
+    frame0 = load(handle._image)
+    tracker.initialize(frame0, {"init_bbox": box})
+    refiner.initialize(frame0, box)
+    while True:
+        paths = handle.frame()
+        if paths is None:
+            break
+        frame = load(paths)
+        out = tracker.track(frame)
+        box = out["target_bbox"]
+        mask = (refiner.get_mask(frame, box) > mask_threshold).astype("uint8")
+        handle.report(mask, out.get("pred_score", 1.0))
     handle.quit()

@@ -77,6 +77,35 @@ def test_run_vot_exp_with_fake_server(tmp_path, tiny_rgbt_tracker):
     assert server.quit_called
 
 
+def test_run_vot20_mask_exp_with_fake_server(tmp_path):
+    from multi_modal_tracking_tpu.eval.vot import run_vot20_mask_exp
+    from multi_modal_tracking_tpu.models.alpha_refine import (ARcmSeg,
+                                                              build_alpha_refine)
+    from multi_modal_tracking_tpu.models.mixformer import MixFormer, ViTSpec
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTrackerJit
+
+    spec = ViTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                   num_heads=2, head_dim=64)
+    model = MixFormer(spec=spec)
+    t = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    tracker = RGBTrackerJit(model=model, variables=variables, template_size=32,
+                            search_size=64, update_interval=100, mode="RGB")
+    _, ar_vars, ar_spec = build_alpha_refine(input_sz=64)
+    refiner = ARcmSeg(ar_vars, ar_spec)
+
+    server = _FakeServer(str(tmp_path), n_frames=4)
+    run_vot20_mask_exp("mixformer_vit", server=server, tracker=tracker,
+                       refiner=refiner)
+    assert len(server.reports) == 1 + 3
+    for region, props in server.reports[1:]:
+        assert isinstance(region, np.ndarray)
+        assert region.shape == (96, 128) and region.dtype == np.uint8
+        assert set(np.unique(region)).issubset({0, 1})
+    assert server.quit_called
+
+
 def test_render_result_video(tmp_path, tiny_rgbt_tracker):
     from multi_modal_tracking_tpu.eval.data import RGBTSequence
     from multi_modal_tracking_tpu.eval.visualize import render_result_video
