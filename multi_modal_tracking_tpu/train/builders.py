@@ -47,6 +47,18 @@ def names2datasets(names: List[str], image_loader=None):
         "SyntheticRGBT": lambda: SyntheticRGBT(),
         "SyntheticVideo": lambda: SyntheticVideo(),
     }
+    # LMDB twins (lib/train/dataset/*_lmdb.py, selected by settings.use_lmdb
+    # in the reference; here addressable directly by suffixed name).
+    from multi_modal_tracking_tpu.train.data.datasets import lmdb_twins as L
+    table.update({
+        "LASOT_lmdb": lambda: L.LaSOTLmdb(),
+        "GOT10K_vottrain_lmdb": lambda: L.GOT10kLmdb(split="vottrain"),
+        "GOT10K_votval_lmdb": lambda: L.GOT10kLmdb(split="votval"),
+        "GOT10K_train_full_lmdb": lambda: L.GOT10kLmdb(split=None),
+        "TRACKINGNET_lmdb": lambda: L.TrackingNetLmdb(),
+        "COCO17_lmdb": lambda: L.COCOSeqLmdb(),
+        "VID_lmdb": lambda: L.ImagenetVIDLmdb(),
+    })
     out = []
     for n in names:
         if n not in table:
