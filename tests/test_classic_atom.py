@@ -1,0 +1,68 @@
+"""ATOM-style tracker: online classifier + IoUNet refinement machinery."""
+import numpy as np
+import pytest
+
+from multi_modal_tracking_tpu.classic.atom import ATOMTracker
+
+
+def _frame(cx, cy, size=32, H=160, W=200, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(30, 60, (H, W, 3), np.uint8)
+    x0, y0 = int(cx - size // 2), int(cy - size // 2)
+    img[y0:y0 + size, x0:x0 + size] = [230, 60, 30]
+    img[y0 + 8:y0 + size - 8, x0 + 8:x0 + size - 8] = [30, 60, 230]
+    return img
+
+
+@pytest.fixture(scope="module")
+def atom_norefine():
+    # crop 160 -> 10x10 feature map: coarse enough for fast CPU compiles,
+    # fine enough (~13 px/cell at factor 4) to localise 5 px/frame motion
+    return ATOMTracker(crop_size=160, search_factor=4.0, refine=False,
+                       num_cg_iter=6, update_interval=3)
+
+
+def test_atom_classifier_follows(atom_norefine):
+    t = atom_norefine
+    cx, cy, size = 70.0, 80.0, 32
+    t.initialize(_frame(cx, cy), {"init_bbox": [cx - 16, cy - 16, size, size]})
+    errs = []
+    for k in range(1, 9):
+        cx += 4.0
+        cy += 3.0
+        out = t.track(_frame(cx, cy, seed=k))
+        b = out["target_bbox"]
+        errs.append(np.hypot(b[0] + b[2] / 2 - cx, b[1] + b[3] / 2 - cy))
+    errs = np.asarray(errs)
+    assert np.isfinite(errs).all()
+    # random-init backbone features still separate a high-contrast target:
+    # the tracker must stay within the target extent
+    assert errs.mean() < size, errs
+
+
+def test_atom_refinement_runs_and_is_finite():
+    t = ATOMTracker(crop_size=96, refine=True, refine_steps=3,
+                    num_cg_iter=4, update_interval=100)
+    t.initialize(_frame(80, 80), {"init_bbox": [64.0, 64.0, 32, 32]})
+    out = t.track(_frame(83, 82, seed=1))
+    b = np.asarray(out["target_bbox"])
+    assert np.isfinite(b).all()
+    assert b[2] > 0 and b[3] > 0
+
+
+def test_iou_net_gradients_flow():
+    """IoU ascent needs nonzero grads through PrRoI pooling wrt box coords."""
+    import jax
+    import jax.numpy as jnp
+    t = ATOMTracker(crop_size=96, refine=True)
+    feat = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, *t._feat_hw, t._feat_c)), jnp.float32)
+    box = jnp.asarray([1.0, 1.0, 4.0, 4.0])
+
+    def iou_of(b):
+        return t.iou_net.apply(t._iou_vars, feat, box, feat, b[None],
+                               t._scale)[0]
+
+    g = jax.grad(iou_of)(jnp.asarray([1.2, 1.1, 4.2, 4.3]))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0

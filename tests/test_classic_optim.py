@@ -1,0 +1,77 @@
+"""Functional CG / Gauss-Newton / GD solvers vs closed-form solutions."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multi_modal_tracking_tpu.classic.optimization import (
+    conjugate_gradient, gauss_newton_cg, gradient_descent_l2,
+    solve_normal_equations, steepest_descent_quadratic)
+
+
+def _spd(n, seed):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, n))
+    return (M @ M.T + n * np.eye(n)).astype(np.float32)
+
+
+def test_cg_solves_spd_system():
+    A = _spd(12, 0)
+    b = np.random.default_rng(1).standard_normal(12).astype(np.float32)
+    res = jax.jit(lambda b: conjugate_gradient(lambda x: jnp.asarray(A) @ x,
+                                               b, num_iter=12))(jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b),
+                               rtol=1e-3, atol=1e-3)
+    # residual trace decreases
+    t = np.asarray(res.residual_norms)
+    assert t[-1] < t[0]
+
+
+def test_cg_over_pytree():
+    A1, A2 = _spd(5, 2), _spd(7, 3)
+    b = {"a": jnp.ones(5), "b": 2.0 * jnp.ones(7)}
+    res = conjugate_gradient(
+        lambda x: {"a": jnp.asarray(A1) @ x["a"], "b": jnp.asarray(A2) @ x["b"]},
+        b, num_iter=10)
+    np.testing.assert_allclose(np.asarray(res.x["a"]),
+                               np.linalg.solve(A1, np.ones(5)), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.x["b"]),
+                               np.linalg.solve(A2, 2 * np.ones(7)), rtol=1e-3, atol=1e-3)
+
+
+def test_normal_equations_linear_least_squares():
+    rng = np.random.default_rng(4)
+    J = rng.standard_normal((20, 6)).astype(np.float32)
+    y = rng.standard_normal(20).astype(np.float32)
+    x = solve_normal_equations(lambda x: jnp.asarray(J) @ x - jnp.asarray(y),
+                               jnp.zeros(6), num_iter=12)
+    expected, *_ = np.linalg.lstsq(J, y, rcond=None)
+    np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-3, atol=1e-3)
+
+
+def test_gauss_newton_nonlinear():
+    """Fit exp(a*t) to data: GN converges from a nearby start."""
+    t = jnp.linspace(0, 1, 16)
+    y = jnp.exp(0.7 * t)
+    x = gauss_newton_cg(lambda a: jnp.exp(a * t) - y, jnp.asarray(0.2),
+                        num_gn_iter=6, num_cg_iter=4)
+    assert abs(float(x) - 0.7) < 1e-3
+
+
+def test_gradient_descent_l2():
+    A = _spd(6, 5)
+    b = np.random.default_rng(6).standard_normal(6).astype(np.float32)
+    loss = lambda x: 0.5 * x @ jnp.asarray(A) @ x - jnp.asarray(b) @ x
+    x = gradient_descent_l2(loss, jnp.zeros(6), num_iter=400,
+                            step_length=1.0 / np.linalg.eigvalsh(A).max(),
+                            momentum=0.9)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_steepest_descent_quadratic():
+    A = _spd(8, 7)
+    b = np.random.default_rng(8).standard_normal(8).astype(np.float32)
+    x = steepest_descent_quadratic(lambda x: jnp.asarray(A) @ x, jnp.asarray(b),
+                                   jnp.zeros(8), num_iter=60)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                               rtol=1e-2, atol=1e-2)

@@ -61,3 +61,36 @@ def test_map_box_back_roundtrip():
     back = np.asarray(_map_box_back(pred, prev, search_size, rf))
     cx_prev, cy_prev = 40 + 15, 30 + 12
     np.testing.assert_allclose(back, [cx_prev - 15, cy_prev - 12, 30, 24], atol=1e-4)
+
+
+def test_track_chunk_matches_per_frame(tiny_tracker):
+    """The scan'd chunk path must produce the exact per-frame trajectory,
+    including a padded partial tail, and leave the carried state usable for
+    further stepping."""
+    import copy
+    rng = np.random.default_rng(7)
+    H, W = 120, 160
+    frames = [(rng.integers(0, 255, (H, W, 3), dtype=np.uint8),
+               rng.integers(0, 255, (H, W, 3), dtype=np.uint8)) for _ in range(8)]
+    init = {"init_bbox": [40.0, 30.0, 30.0, 24.0]}
+
+    tiny_tracker.initialize(list(frames[0]), init)
+    per_frame = np.asarray([tiny_tracker.track(list(f))["target_bbox"]
+                            for f in frames[1:]])
+    st_seq = jax.tree_util.tree_map(np.asarray, tiny_tracker._state)
+
+    tiny_tracker.scan_chunk = 4          # 7 frames -> blocks of 4 + 3(padded)
+    tiny_tracker._scan_jit = {}
+    tiny_tracker.initialize(list(frames[0]), init)
+    fv = np.stack([f[0] for f in frames[1:]])
+    fi = np.stack([f[1] for f in frames[1:]])
+    chunked = tiny_tracker.track_chunk(fv, fi)
+    np.testing.assert_allclose(chunked, per_frame, rtol=1e-5, atol=1e-4)
+    # carried state identical after the padded tail
+    st_chunk = jax.tree_util.tree_map(np.asarray, tiny_tracker._state)
+    for a, b in zip(jax.tree_util.tree_leaves(st_seq),
+                    jax.tree_util.tree_leaves(st_chunk)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+    # and further per-frame stepping still works
+    out = tiny_tracker.track(list(frames[0]))
+    assert np.isfinite(out["target_bbox"]).all()
