@@ -175,11 +175,30 @@ def print_per_sequence_results(trackers: List[TrackerResults], dataset,
     return avg
 
 
+_PLOT_LABELS = {
+    # (xlabel, ylabel, title) per plot type per language; "cn" mirrors the
+    # reference's plot_results_cn.py (Chinese-labelled figure variant)
+    "en": {
+        "success": ("Overlap threshold", "Overlap Precision [%]", "Success plot"),
+        "prec": ("Location error threshold [pixels]", "Distance Precision [%]",
+                 "Precision plot"),
+        "norm_prec": ("Location error threshold", "Distance Precision [%]",
+                      "Normalized Precision plot"),
+    },
+    "cn": {
+        "success": ("重叠率阈值", "成功率 [%]", "成功率图"),
+        "prec": ("中心位置误差阈值 [像素]", "精确率 [%]", "精确率图"),
+        "norm_prec": ("归一化中心误差阈值", "精确率 [%]", "归一化精确率图"),
+    },
+}
+
+
 def plot_results(trackers: List[TrackerResults], dataset, report_name: str = "report",
                  plot_types=("success", "prec", "norm_prec"),
-                 result_plot_path: str = "plots", **kwargs):
+                 result_plot_path: str = "plots", language: str = "en", **kwargs):
     """Success / precision / normalized-precision plots
-    (plot_results.py:243-336). Saved as pdf+png per plot type."""
+    (plot_results.py:243-336; language="cn" reproduces plot_results_cn.py).
+    Saved as pdf+png per plot type."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -189,16 +208,14 @@ def plot_results(trackers: List[TrackerResults], dataset, report_name: str = "re
     scores = compute_scores(eval_data)
     os.makedirs(result_plot_path, exist_ok=True)
 
+    lab = _PLOT_LABELS[language]
     specs = {
         "success": (scores["auc_curve"], eval_data["threshold_set_overlap"],
-                    scores["AUC"], "Overlap threshold", "Overlap Precision [%]",
-                    "Success plot"),
+                    scores["AUC"], *lab["success"]),
         "prec": (scores["prec_curve"], eval_data["threshold_set_center"],
-                 scores["Precision"], "Location error threshold [pixels]",
-                 "Distance Precision [%]", "Precision plot"),
+                 scores["Precision"], *lab["prec"]),
         "norm_prec": (scores["norm_prec_curve"], eval_data["threshold_set_center_norm"],
-                      scores["Norm Precision"], "Location error threshold",
-                      "Distance Precision [%]", "Normalized Precision plot"),
+                      scores["Norm Precision"], *lab["norm_prec"]),
     }
     out_files = []
     for pt in plot_types:

@@ -1,0 +1,81 @@
+"""CLI utility surface: video converters, comparison videos, cross-dataset
+tables, Chinese-labelled plots."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_imgs2video_video2imgs_roundtrip(tmp_path):
+    from tracking.imgs2video import imgs2video
+    from tracking.video2imgs import video2imgs
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for k in range(6):
+        cv2.imwrite(str(img_dir / f"{k}.jpg"),
+                    rng.integers(0, 255, (64, 80, 3), np.uint8))
+    video = imgs2video(str(img_dir), str(tmp_path / "v.mp4"), fps=5)
+    assert os.path.getsize(video) > 0
+    n = video2imgs(video, str(tmp_path / "back"))
+    assert n == 6
+    assert len(os.listdir(tmp_path / "back")) == 6
+
+
+def test_gen_video_cli(tmp_path):
+    from multi_modal_tracking_tpu.eval.datasets import get_dataset
+    dataset = get_dataset("synthetic_rgbt")
+    seq = dataset[0]
+    res = tmp_path / "trk" / "synthetic_rgbt"
+    res.mkdir(parents=True)
+    gt = np.asarray(seq.ground_truth_rect)[:, 0]
+    np.savetxt(str(res / f"{seq.name}.txt"), gt, delimiter="\t", fmt="%.2f")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tracking", "gen_video.py"),
+         "--dataset_name", "synthetic_rgbt", "--sequence", seq.name,
+         "--results", f"mine={tmp_path / 'trk'}",
+         "--out_dir", str(tmp_path / "vids"), "--modality", "ir"],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert out.returncode == 0, out.stderr
+    assert any(f.endswith(".mp4") for f in os.listdir(tmp_path / "vids"))
+
+
+def test_crossdatasets_cli(tmp_path):
+    from multi_modal_tracking_tpu.eval.datasets import get_dataset
+    dataset = get_dataset("synthetic_rgbt")
+    res = tmp_path / "trkA" / "synthetic_rgbt"
+    res.mkdir(parents=True)
+    for seq in dataset:
+        gt = np.asarray(seq.ground_truth_rect)[:, 0]
+        np.savetxt(str(res / f"{seq.name}.txt"), gt, delimiter="\t", fmt="%.2f")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tracking", "analysis_results_crossdatasets.py"),
+         "--datasets_name", "synthetic_rgbt",
+         "--results_glob", str(tmp_path / "trk*")],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert out.returncode == 0, out.stderr
+    assert "AUC/Precision" in out.stdout
+    assert "synthetic_rgbt" in out.stdout
+
+
+def test_plot_results_cn(tmp_path):
+    from multi_modal_tracking_tpu.eval.analysis import TrackerResults, plot_results
+    from multi_modal_tracking_tpu.eval.datasets import get_dataset
+    dataset = get_dataset("synthetic_rgbt")
+    res = tmp_path / "trk"
+    res.mkdir()
+    for seq in dataset:
+        gt = np.asarray(seq.ground_truth_rect)[:, 0]
+        np.savetxt(str(res / f"{seq.name}.txt"), gt, delimiter="\t", fmt="%.2f")
+    files = plot_results([TrackerResults(str(res), "mine")], dataset, "synth_cn",
+                         result_plot_path=str(tmp_path / "plots"), language="cn")
+    assert files and all(os.path.getsize(f) > 0 for f in files)
