@@ -125,7 +125,8 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
     boxes[0] = np.asarray(seq.init_info()["init_bbox"])
     times[0] = time.time() - t0
 
-    use_chunks = hasattr(tracker, "track_chunk") and isinstance(seq, RGBTSequence)
+    scores = None
+    use_chunks = hasattr(tracker, "track_chunk")
     if use_chunks and n > 1:
         # Dispatch every chunk asynchronously (device arrays only) and fetch
         # all boxes in ONE D2H at sequence end — per-frame trajectories are
@@ -134,8 +135,15 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
         pending = []
         t_seq = time.time()
         for lo, hi, fv, fi in _Prefetcher(seq, 1, chunk):
-            pending.append(tracker.track_chunk(fv, fi, fetch=False))
-        all_boxes = np.concatenate([np.asarray(p) for p in pending], axis=0)
+            pending.append(tracker.track_chunk(fv, fi if fi is not None else fv,
+                                               fetch=False))
+        with_scores = isinstance(pending[0], tuple)
+        if with_scores:
+            all_boxes = np.concatenate([np.asarray(p[0]) for p in pending], axis=0)
+            scores = np.concatenate(
+                [np.ones((1,))] + [np.asarray(p[1]) for p in pending])[:n]
+        else:
+            all_boxes = np.concatenate([np.asarray(p) for p in pending], axis=0)
         t_end = time.time()
         boxes[1:] = all_boxes[: n - 1]
         times[1:] = (t_end - t_seq) / max(n - 1, 1)   # amortised per-frame time
@@ -146,8 +154,16 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
             out = tracker.track(frame)
             boxes[k] = np.asarray(out["target_bbox"])
             times[k] = time.time() - t0
+            if "pred_score" in out:
+                if scores is None:
+                    scores = np.ones((n,), dtype=np.float64)
+                scores[k] = out["pred_score"]
 
     np.savetxt(bbox_file, boxes, delimiter="\t", fmt="%d")
+    if scores is not None:
+        # per-frame confidence (running.py _save_tracker_output score txt)
+        np.savetxt(os.path.join(results_dir, f"{seq.name}_score.txt"),
+                   scores, fmt="%f")
     np.savetxt(os.path.join(results_dir, f"{seq.name}_time.txt"), times, fmt="%f")
     fps = n / max(times.sum(), 1e-9)
     if report_fps:

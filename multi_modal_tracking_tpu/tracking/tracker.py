@@ -95,6 +95,33 @@ def _put(x, dtype=None):
     return jax.device_put(arr, jax.devices()[0])
 
 
+def _run_chunked(run_block, carry, frames_v, frames_i, K: int):
+    """Host-side block driver for the scan'd track paths: split N frames into
+    K-sized blocks (tail padded + masked invalid), one committed upload + one
+    scan dispatch per block. run_block(carry, blk_v, blk_i, ok) ->
+    (carry, per-frame outputs pytree); returns (carry, [outputs per block])."""
+    N = frames_v.shape[0]
+    outs = []
+    for lo in range(0, N, K):
+        hi = min(lo + K, N)
+        whole = lo == 0 and hi == N     # skip the identity slice: on a
+        blk_v = frames_v if whole else frames_v[lo:hi]   # device array it
+        blk_i = frames_i if whole else frames_i[lo:hi]   # is an eager RPC
+        n = hi - lo
+        ok = np.ones((K,), np.bool_)
+        if n < K:
+            pad = K - n
+            xp = jnp if isinstance(frames_v, jax.Array) else np
+            blk_v = xp.concatenate([blk_v, xp.repeat(blk_v[-1:], pad, axis=0)])
+            blk_i = xp.concatenate([blk_i, xp.repeat(blk_i[-1:], pad, axis=0)])
+            ok[n:] = False
+        carry, out = run_block(carry, _put(blk_v), _put(blk_i), _put(ok))
+        if n < K:
+            out = jax.tree_util.tree_map(lambda a: a[:n], out)
+        outs.append(out)
+    return carry, outs
+
+
 def _map_box_back(pred_cxcywh, prev_state, search_size, resize_factor):
     """Crop-relative (cx,cy,w,h) in pixels -> image-coord xywh."""
     cx_prev = prev_state[0] + 0.5 * prev_state[2]
@@ -138,35 +165,38 @@ class RGBTTrackerJit:
                               frame_id=jnp.int32(0))
         return jax.jit(init_fn)
 
-    def _make_track(self, shape):
+    def _step(self, shape, variables, st: TrackState, img_v, img_i):
+        """One track step (the reference's per-frame track(), :74-114)."""
         H, W = shape
+        frame_id = st.frame_id + 1
+        sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
+        si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
 
-        def track_fn(variables, st: TrackState, img_v, img_i):
-            frame_id = st.frame_id + 1
-            sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
-            si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
+        t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
+        ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
+        s_vi = jnp.concatenate([sv, si], axis=0)
+        out = self.model.apply(variables, t_vi, ot_vi, s_vi, self.ce_keep_rate)
+        pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)      # cxcywh in [0,1]
+        pred = pred * (self.search_size / rf)
+        new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                             H, W, margin=10)
 
-            t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
-            ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
-            s_vi = jnp.concatenate([sv, si], axis=0)
-            out = self.model.apply(variables, t_vi, ot_vi, s_vi, self.ce_keep_rate)
-            pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)      # cxcywh in [0,1]
-            pred = pred * (self.search_size / rf)
-            new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
-                                 H, W, margin=10)
+        def updated():
+            otv, _ = _prep_rgb(img_v, new_state, self.template_factor, self.template_size)
+            oti, _ = _prep_tir(img_i, new_state, self.template_factor, self.template_size)
+            return otv, oti
 
-            def updated():
-                otv, _ = _prep_rgb(img_v, new_state, self.template_factor, self.template_size)
-                oti, _ = _prep_tir(img_i, new_state, self.template_factor, self.template_size)
-                return otv, oti
+        do_update = (frame_id % self.update_interval) == 0
+        otv, oti = jax.lax.cond(do_update, updated,
+                                lambda: (st.online_template_v, st.online_template_i))
+        new_st = TrackState(template_v=st.template_v, template_i=st.template_i,
+                            online_template_v=otv, online_template_i=oti,
+                            state=new_state, frame_id=frame_id)
+        return new_st, new_state
 
-            do_update = (frame_id % self.update_interval) == 0
-            otv, oti = jax.lax.cond(do_update, updated,
-                                    lambda: (st.online_template_v, st.online_template_i))
-            new_st = TrackState(template_v=st.template_v, template_i=st.template_i,
-                                online_template_v=otv, online_template_i=oti,
-                                state=new_state, frame_id=frame_id)
-            return new_st, new_state
+    def _make_track(self, shape):
+        def track_fn(variables, st, img_v, img_i):
+            return self._step(shape, variables, st, img_v, img_i)
         return jax.jit(track_fn)   # no donation: ~130ms/exec via IFRT proxy
 
     def _make_track_scan(self, shape, chunk: int):
@@ -178,35 +208,9 @@ class RGBTTrackerJit:
         chunk leaves the tracker state exactly as per-frame stepping would."""
 
         def track_fn(variables, st: TrackState, frames_v, frames_i, valid):
-            H, W = shape
-
             def body(st, fr):
                 img_v, img_i, ok = fr
-                frame_id = st.frame_id + 1
-                sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
-                si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
-                t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
-                ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
-                s_vi = jnp.concatenate([sv, si], axis=0)
-                out = self.model.apply(variables, t_vi, ot_vi, s_vi, self.ce_keep_rate)
-                pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
-                pred = pred * (self.search_size / rf)
-                new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
-                                     H, W, margin=10)
-
-                def updated():
-                    otv, _ = _prep_rgb(img_v, new_state, self.template_factor,
-                                       self.template_size)
-                    oti, _ = _prep_tir(img_i, new_state, self.template_factor,
-                                       self.template_size)
-                    return otv, oti
-
-                do_update = (frame_id % self.update_interval) == 0
-                otv, oti = jax.lax.cond(do_update, updated,
-                                        lambda: (st.online_template_v, st.online_template_i))
-                new_st = TrackState(template_v=st.template_v, template_i=st.template_i,
-                                    online_template_v=otv, online_template_i=oti,
-                                    state=new_state, frame_id=frame_id)
+                new_st, new_state = self._step(shape, variables, st, img_v, img_i)
                 # padded tail frames must not move the state
                 new_st = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(ok, a, b), new_st, st)
@@ -248,35 +252,17 @@ class RGBTTrackerJit:
         host round-trips are amortised (measured on v5e-1 via the RPC proxy:
         per-frame dispatch 18-270 ms/frame vs scan 8.4 ms/frame).
         """
-        N = frames_v.shape[0]
         K = self.scan_chunk
         key = (self._shape, K)
         if key not in self._scan_jit:
             self._scan_jit[key] = self._make_track_scan(self._shape, K)
         fn = self._scan_jit[key]
-        boxes = []
-        st = self._state
-        # ONE committed upload + ONE scan dispatch per K-frame block (a
-        # per-frame put/dispatch would pay a synchronous proxy round-trip
-        # each — and those degrade ~15x after the first D2H fetch). The tail
-        # block is padded to K with the last frame and masked invalid, so the
-        # carried state is bit-identical to per-frame stepping.
-        for lo in range(0, N, K):
-            hi = min(lo + K, N)
-            whole = lo == 0 and hi == N     # skip the identity slice: on a
-            blk_v = frames_v if whole else frames_v[lo:hi]   # device array it
-            blk_i = frames_i if whole else frames_i[lo:hi]   # is an eager RPC
-            n = hi - lo
-            ok = np.ones((K,), np.bool_)
-            if n < K:
-                pad = K - n
-                xp = jnp if isinstance(frames_v, jax.Array) else np
-                blk_v = xp.concatenate([blk_v, xp.repeat(blk_v[-1:], pad, axis=0)])
-                blk_i = xp.concatenate([blk_i, xp.repeat(blk_i[-1:], pad, axis=0)])
-                ok[n:] = False
-            st, bxs = fn(self.variables, st, _put(blk_v), _put(blk_i), _put(ok))
-            boxes.append(bxs[:n] if n < K else bxs)
-        self._state = st
+
+        def run_block(st, blk_v, blk_i, ok):
+            return fn(self.variables, st, blk_v, blk_i, ok)
+
+        self._state, boxes = _run_chunked(run_block, self._state,
+                                          frames_v, frames_i, K)
         stacked = jnp.concatenate(boxes, axis=0)
         # fetch=False defers the D2H: this environment's transfer proxy
         # permanently degrades upload bandwidth ~50x after the FIRST host
@@ -311,9 +297,12 @@ class RGBTOnlineTrackerJit:
     max_score_decay: float = 1.0
     ce_keep_rate: Optional[float] = None
 
+    scan_chunk: int = 32
+
     def __post_init__(self):
         self._init_jit = {}
         self._track_jit = {}
+        self._scan_jit = {}
 
     def _make_init(self, shape):
         def init_fn(variables, img_v, img_i, box):
@@ -328,54 +317,91 @@ class RGBTOnlineTrackerJit:
                 state=box.astype(jnp.float32), frame_id=jnp.int32(0))
         return jax.jit(init_fn)
 
-    def _make_track(self, shape):
+    def _step(self, shape, variables, st: OnlineTrackState, img_v, img_i):
         H, W = shape
+        frame_id = st.frame_id + 1
+        sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
+        si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
 
-        def track_fn(variables, st: OnlineTrackState, img_v, img_i):
-            frame_id = st.frame_id + 1
-            sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
-            si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
+        t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
+        ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
+        s_vi = jnp.concatenate([sv, si], axis=0)
+        out = self.model.apply(variables, t_vi, ot_vi, s_vi, self.ce_keep_rate,
+                               run_score_head=True)
+        pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+        pred_score = jax.nn.sigmoid(
+            out["pred_scores"].reshape(-1)[0].astype(jnp.float32))
+        pred = pred * (self.search_size / rf)
+        new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                             H, W, margin=10)
 
-            t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
-            ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
-            s_vi = jnp.concatenate([sv, si], axis=0)
-            out = self.model.apply(variables, t_vi, ot_vi, s_vi, self.ce_keep_rate,
-                                   run_score_head=True)
-            pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
-            pred_score = jax.nn.sigmoid(
-                out["pred_scores"].reshape(-1)[0].astype(jnp.float32))
-            pred = pred * (self.search_size / rf)
-            new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
-                                 H, W, margin=10)
+        # --- max-score candidate (decayed) -----------------------------------
+        max_score = st.max_pred_score * self.max_score_decay
+        is_better = (pred_score > 0.5) & (pred_score > max_score)
+        cand_v, _ = _prep_rgb(img_v, new_state, self.template_factor,
+                              self.template_size)
+        cand_i, _ = _prep_tir(img_i, new_state, self.template_factor,
+                              self.template_size)
+        max_tv = jnp.where(is_better, cand_v, st.max_template_v)
+        max_ti = jnp.where(is_better, cand_i, st.max_template_i)
+        max_score = jnp.where(is_better, pred_score, max_score)
 
-            # --- max-score candidate (decayed) -------------------------------
-            max_score = st.max_pred_score * self.max_score_decay
-            is_better = (pred_score > 0.5) & (pred_score > max_score)
-            cand_v, _ = _prep_rgb(img_v, new_state, self.template_factor,
-                                  self.template_size)
-            cand_i, _ = _prep_tir(img_i, new_state, self.template_factor,
-                                  self.template_size)
-            max_tv = jnp.where(is_better, cand_v, st.max_template_v)
-            max_ti = jnp.where(is_better, cand_i, st.max_template_i)
-            max_score = jnp.where(is_better, pred_score, max_score)
+        # --- interval-gated commit of the candidate --------------------------
+        do_update = (frame_id % self.update_interval) == 0
+        otv = jnp.where(do_update, max_tv, st.online_template_v)
+        oti = jnp.where(do_update, max_ti, st.online_template_i)
+        # after a commit, reset candidacy to the base template
+        max_tv = jnp.where(do_update, st.template_v, max_tv)
+        max_ti = jnp.where(do_update, st.template_i, max_ti)
+        max_score = jnp.where(do_update, jnp.float32(-1.0), max_score)
 
-            # --- interval-gated commit of the candidate ----------------------
-            do_update = (frame_id % self.update_interval) == 0
-            otv = jnp.where(do_update, max_tv, st.online_template_v)
-            oti = jnp.where(do_update, max_ti, st.online_template_i)
-            # after a commit, reset candidacy to the base template
-            max_tv = jnp.where(do_update, st.template_v, max_tv)
-            max_ti = jnp.where(do_update, st.template_i, max_ti)
-            max_score = jnp.where(do_update, jnp.float32(-1.0), max_score)
+        new_st = OnlineTrackState(
+            template_v=st.template_v, template_i=st.template_i,
+            online_template_v=otv, online_template_i=oti,
+            max_template_v=max_tv, max_template_i=max_ti,
+            max_pred_score=max_score, forget_id=st.forget_id,
+            state=new_state, frame_id=frame_id)
+        return new_st, new_state, pred_score
 
-            new_st = OnlineTrackState(
-                template_v=st.template_v, template_i=st.template_i,
-                online_template_v=otv, online_template_i=oti,
-                max_template_v=max_tv, max_template_i=max_ti,
-                max_pred_score=max_score, forget_id=st.forget_id,
-                state=new_state, frame_id=frame_id)
-            return new_st, new_state, pred_score
+    def _make_track(self, shape):
+        def track_fn(variables, st, img_v, img_i):
+            return self._step(shape, variables, st, img_v, img_i)
         return jax.jit(track_fn)   # no donation: ~130ms/exec via IFRT proxy
+
+    def _make_track_scan(self, shape, chunk: int):
+        def track_fn(variables, st, frames_v, frames_i, valid):
+            def body(st, fr):
+                img_v, img_i, ok = fr
+                new_st, new_state, score = self._step(shape, variables, st,
+                                                      img_v, img_i)
+                new_st = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), new_st, st)
+                return new_st, (new_state, score)
+
+            st, outs = jax.lax.scan(body, st, (frames_v, frames_i, valid))
+            return st, outs
+        return jax.jit(track_fn)
+
+    def track_chunk(self, frames_v, frames_i, fetch: bool = True):
+        """Scan'd chunk path (see RGBTTrackerJit.track_chunk). Returns
+        (boxes (N,4), scores (N,)) — the eval runner saves both
+        (running.py _save_tracker_output score txt)."""
+        K = self.scan_chunk
+        key = (self._shape, K)
+        if key not in self._scan_jit:
+            self._scan_jit[key] = self._make_track_scan(self._shape, K)
+        fn = self._scan_jit[key]
+
+        def run_block(st, blk_v, blk_i, ok):
+            return fn(self.variables, st, blk_v, blk_i, ok)
+
+        self._state, outs = _run_chunked(run_block, self._state,
+                                         frames_v, frames_i, K)
+        boxes = jnp.concatenate([o[0] for o in outs], axis=0)
+        scores = jnp.concatenate([o[1] for o in outs], axis=0)
+        if fetch:
+            return np.asarray(boxes), np.asarray(scores)
+        return boxes, scores
 
     def initialize(self, image, info: dict):
         img_v, img_i = image
@@ -423,10 +449,12 @@ class OnlineTrackerJit:
     max_score_decay: float = 1.0
     mode: str = "RGB"            # RGB | TIR | Prompt
     prompt_lambda: float = 0.5
+    scan_chunk: int = 32
 
     def __post_init__(self):
         self._init_jit = {}
         self._track_jit = {}
+        self._scan_jit = {}
 
     def _frame(self, img_v, img_i):
         if self.mode == "RGB":
@@ -454,57 +482,99 @@ class OnlineTrackerJit:
             return st, cache
         return jax.jit(init_fn)
 
-    def _make_track(self, shape):
+    def _step(self, shape, variables, st: OnlineTrackState, cache, img):
         H, W = shape
+        frame_id = st.frame_id + 1
+        s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
+        out = self.model.apply(variables, s, cache, run_score_head=True,
+                               method=self.model.forward_test)
+        pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+        pred_score = jax.nn.sigmoid(
+            out["pred_scores"].reshape(-1)[0].astype(jnp.float32)
+        ) if "pred_scores" in out else jnp.float32(1.0)
+        pred = pred * (self.search_size / rf)
+        new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                             H, W, margin=10)
 
-        def track_fn(variables, st: OnlineTrackState, cache, img):
-            frame_id = st.frame_id + 1
-            s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
-            out = self.model.apply(variables, s, cache, run_score_head=True,
-                                   method=self.model.forward_test)
-            pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
-            pred_score = jax.nn.sigmoid(
-                out["pred_scores"].reshape(-1)[0].astype(jnp.float32)
-            ) if "pred_scores" in out else jnp.float32(1.0)
-            pred = pred * (self.search_size / rf)
-            new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
-                                 H, W, margin=10)
+        max_score = st.max_pred_score * self.max_score_decay
+        is_better = (pred_score > 0.5) & (pred_score > max_score)
+        cand, _ = _prep_rgb(img, new_state, self.template_factor,
+                            self.template_size)
+        max_t = jnp.where(is_better, cand, st.max_template_v)
+        max_score = jnp.where(is_better, pred_score, max_score)
 
-            max_score = st.max_pred_score * self.max_score_decay
-            is_better = (pred_score > 0.5) & (pred_score > max_score)
-            cand, _ = _prep_rgb(img, new_state, self.template_factor,
-                                self.template_size)
-            max_t = jnp.where(is_better, cand, st.max_template_v)
-            max_score = jnp.where(is_better, pred_score, max_score)
+        do_update = (frame_id % self.update_interval) == 0
+        ring = jnp.where(
+            do_update,
+            jax.lax.dynamic_update_slice_in_dim(
+                st.online_template_v, max_t, st.forget_id, axis=0),
+            st.online_template_v)
+        forget_id = jnp.where(do_update,
+                              (st.forget_id + 1) % self.online_size,
+                              st.forget_id)
 
-            do_update = (frame_id % self.update_interval) == 0
-            ring = jnp.where(
-                do_update,
-                jax.lax.dynamic_update_slice_in_dim(
-                    st.online_template_v, max_t, st.forget_id, axis=0),
-                st.online_template_v)
-            forget_id = jnp.where(do_update,
-                                  (st.forget_id + 1) % self.online_size,
-                                  st.forget_id)
+        def refresh():
+            return self._set_online(variables, st.template_v, ring)
 
-            def refresh():
-                return self._set_online(variables, st.template_v, ring)
+        cache = jax.lax.cond(do_update, refresh, lambda: cache)
+        max_t = jnp.where(do_update, st.template_v, max_t)
+        max_score = jnp.where(do_update, jnp.float32(-1.0), max_score)
 
-            cache = jax.lax.cond(do_update, refresh, lambda: cache)
-            max_t = jnp.where(do_update, st.template_v, max_t)
-            max_score = jnp.where(do_update, jnp.float32(-1.0), max_score)
+        new_st = OnlineTrackState(
+            template_v=st.template_v, template_i=st.template_i,
+            online_template_v=ring, online_template_i=ring,
+            max_template_v=max_t, max_template_i=max_t,
+            max_pred_score=max_score, forget_id=forget_id,
+            state=new_state, frame_id=frame_id)
+        return new_st, cache, new_state, pred_score
 
-            new_st = OnlineTrackState(
-                template_v=st.template_v, template_i=st.template_i,
-                online_template_v=ring, online_template_i=ring,
-                max_template_v=max_t, max_template_i=max_t,
-                max_pred_score=max_score, forget_id=forget_id,
-                state=new_state, frame_id=frame_id)
-            return new_st, cache, new_state, pred_score
+    def _make_track(self, shape):
+        def track_fn(variables, st, cache, img):
+            return self._step(shape, variables, st, cache, img)
         # NOTE: no donate_argnums — buffer donation costs ~130ms/exec through
         # this environment's IFRT proxy (vs 0.4ms without); the state is ~1MB
         # so the HBM saving is irrelevant.
         return jax.jit(track_fn)
+
+    def _make_track_scan(self, shape, chunk: int):
+        def track_fn(variables, st, cache, frames_v, frames_i, valid):
+            def body(carry, fr):
+                st, cache = carry
+                img_v, img_i, ok = fr
+                frame = self._frame(img_v, img_i)
+                new_st, new_cache, new_state, score = self._step(
+                    shape, variables, st, cache, frame)
+                keep = lambda a, b: jnp.where(ok, a, b)
+                new_st = jax.tree_util.tree_map(keep, new_st, st)
+                new_cache = jax.tree_util.tree_map(keep, new_cache, cache)
+                return (new_st, new_cache), (new_state, score)
+
+            (st, cache), outs = jax.lax.scan(body, (st, cache),
+                                             (frames_v, frames_i, valid))
+            return st, cache, outs
+        return jax.jit(track_fn)
+
+    def track_chunk(self, frames_v, frames_i, fetch: bool = True):
+        """Scan'd chunk path over the cached-k/v forward_test steps. Returns
+        (boxes (N,4), scores (N,))."""
+        K = self.scan_chunk
+        key = (self._shape, K)
+        if key not in self._scan_jit:
+            self._scan_jit[key] = self._make_track_scan(self._shape, K)
+        fn = self._scan_jit[key]
+
+        def run_block(carry, blk_v, blk_i, ok):
+            st, cache = carry
+            st, cache, outs = fn(self.variables, st, cache, blk_v, blk_i, ok)
+            return (st, cache), outs
+
+        (self._state, self._cache), outs = _run_chunked(
+            run_block, (self._state, self._cache), frames_v, frames_i, K)
+        boxes = jnp.concatenate([o[0] for o in outs], axis=0)
+        scores = jnp.concatenate([o[1] for o in outs], axis=0)
+        if fetch:
+            return np.asarray(boxes), np.asarray(scores)
+        return boxes, scores
 
     def initialize(self, image, info: dict):
         img = image[0] if isinstance(image, (list, tuple)) else image
@@ -549,9 +619,12 @@ class RGBTrackerJit:
     mode: str = "RGB"            # RGB | TIR | Prompt
     prompt_lambda: float = 0.5
 
+    scan_chunk: int = 32
+
     def __post_init__(self):
         self._init_jit = {}
         self._track_jit = {}
+        self._scan_jit = {}
 
     def _frame(self, img_v, img_i):
         if self.mode == "RGB":
@@ -569,29 +642,62 @@ class RGBTrackerJit:
                               frame_id=jnp.int32(0))
         return jax.jit(init_fn)
 
-    def _make_track(self, shape):
+    def _step(self, shape, variables, st: TrackState, img):
         H, W = shape
+        frame_id = st.frame_id + 1
+        s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
+        out = self.model.apply(variables, st.template_v, st.online_template_v, s)
+        pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+        pred = pred * (self.search_size / rf)
+        new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                             H, W, margin=10)
 
-        def track_fn(variables, st: TrackState, img):
-            frame_id = st.frame_id + 1
-            s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
-            out = self.model.apply(variables, st.template_v, st.online_template_v, s)
-            pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
-            pred = pred * (self.search_size / rf)
-            new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
-                                 H, W, margin=10)
+        def updated():
+            ot, _ = _prep_rgb(img, new_state, self.template_factor, self.template_size)
+            return ot
 
-            def updated():
-                ot, _ = _prep_rgb(img, new_state, self.template_factor, self.template_size)
-                return ot
+        do_update = (frame_id % self.update_interval) == 0
+        ot = jax.lax.cond(do_update, updated, lambda: st.online_template_v)
+        new_st = TrackState(template_v=st.template_v, template_i=st.template_i,
+                            online_template_v=ot, online_template_i=ot,
+                            state=new_state, frame_id=frame_id)
+        return new_st, new_state
 
-            do_update = (frame_id % self.update_interval) == 0
-            ot = jax.lax.cond(do_update, updated, lambda: st.online_template_v)
-            new_st = TrackState(template_v=st.template_v, template_i=st.template_i,
-                                online_template_v=ot, online_template_i=ot,
-                                state=new_state, frame_id=frame_id)
-            return new_st, new_state
+    def _make_track(self, shape):
+        def track_fn(variables, st, img):
+            return self._step(shape, variables, st, img)
         return jax.jit(track_fn)   # no donation: ~130ms/exec via IFRT proxy
+
+    def _make_track_scan(self, shape, chunk: int):
+        def track_fn(variables, st, frames_v, frames_i, valid):
+            def body(st, fr):
+                img_v, img_i, ok = fr
+                frame = self._frame(img_v, img_i)
+                new_st, new_state = self._step(shape, variables, st, frame)
+                new_st = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), new_st, st)
+                return new_st, new_state
+
+            st, boxes = jax.lax.scan(body, st, (frames_v, frames_i, valid))
+            return st, boxes
+        return jax.jit(track_fn)
+
+    def track_chunk(self, frames_v, frames_i, fetch: bool = True):
+        """Scan'd chunk path (see RGBTTrackerJit.track_chunk); the RGB/TIR/
+        Prompt mode transform is applied per frame inside the scan."""
+        K = self.scan_chunk
+        key = (self._shape, K)
+        if key not in self._scan_jit:
+            self._scan_jit[key] = self._make_track_scan(self._shape, K)
+        fn = self._scan_jit[key]
+
+        def run_block(st, blk_v, blk_i, ok):
+            return fn(self.variables, st, blk_v, blk_i, ok)
+
+        self._state, boxes = _run_chunked(run_block, self._state,
+                                          frames_v, frames_i, K)
+        stacked = jnp.concatenate(boxes, axis=0)
+        return np.asarray(stacked) if fetch else stacked
 
     def initialize(self, image, info: dict):
         img = image[0] if isinstance(image, (list, tuple)) else image

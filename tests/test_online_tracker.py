@@ -105,3 +105,65 @@ def test_unimodal_online_cache_refresh_consistency():
     got_k = np.asarray(tracker._cache["mem"][0][0], np.float32)
     want_k = np.asarray(fresh["mem"][0][0], np.float32)
     np.testing.assert_allclose(got_k, want_k, atol=1e-5, rtol=1e-4)
+
+
+def test_rgbt_online_track_chunk_matches_per_frame(rgbt_online):
+    model, variables = rgbt_online
+
+    def make():
+        return RGBTOnlineTrackerJit(model=model, variables=variables,
+                                    template_factor=2.0, template_size=32,
+                                    search_factor=4.5, search_size=64,
+                                    update_interval=3, max_score_decay=0.98,
+                                    scan_chunk=3)
+    fv, fi = _frames(8, seed=5), _frames(8, seed=6)
+    init = {"init_bbox": [40.0, 30.0, 30.0, 24.0]}
+
+    t1 = make()
+    t1.initialize([fv[0], fi[0]], init)
+    per_frame = [t1.track([fv[k], fi[k]]) for k in range(1, 8)]
+    boxes_pf = np.asarray([o["target_bbox"] for o in per_frame])
+    scores_pf = np.asarray([o["pred_score"] for o in per_frame])
+
+    t2 = make()
+    t2.initialize([fv[0], fi[0]], init)
+    boxes_c, scores_c = t2.track_chunk(np.stack(fv[1:]), np.stack(fi[1:]))
+    np.testing.assert_allclose(boxes_c, boxes_pf, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(scores_c, scores_pf, rtol=1e-5, atol=1e-5)
+
+
+def test_unimodal_online_track_chunk_matches_per_frame():
+    spec = ViTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                   num_heads=2, head_dim=64, nlayer_head=2)
+    model = MixFormer(spec=spec, with_score=True)
+    t = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, a, b, c: model.init(
+        r, a, b, c, run_score_head=True))(jax.random.PRNGKey(0), t, t, s)
+
+    def make():
+        return OnlineTrackerJit(model=model, variables=variables,
+                                template_factor=2.0, template_size=32,
+                                search_factor=4.5, search_size=64,
+                                update_interval=2, online_size=2, scan_chunk=4)
+    frames = _frames(7, seed=7)
+    init = {"init_bbox": [40.0, 30.0, 30.0, 24.0]}
+
+    t1 = make()
+    t1.initialize(frames[0], init)
+    per_frame = [t1.track(frames[k]) for k in range(1, 7)]
+    boxes_pf = np.asarray([o["target_bbox"] for o in per_frame])
+
+    t2 = make()
+    t2.initialize(frames[0], init)
+    fv = np.stack(frames[1:])
+    boxes_c, scores_c = t2.track_chunk(fv, fv)
+    np.testing.assert_allclose(boxes_c, boxes_pf, rtol=1e-5, atol=1e-4)
+    assert scores_c.shape == (6,)
+    # carried cache still consistent after the padded tail
+    st = t2._state
+    fresh = jax.jit(lambda v, a, b: model.apply(v, a, b, method=model.set_online))(
+        variables, st.template_v, st.online_template_v)
+    np.testing.assert_allclose(np.asarray(t2._cache["mem"][0][0], np.float32),
+                               np.asarray(fresh["mem"][0][0], np.float32),
+                               atol=1e-5, rtol=1e-4)

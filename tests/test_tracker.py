@@ -94,3 +94,33 @@ def test_track_chunk_matches_per_frame(tiny_tracker):
     # and further per-frame stepping still works
     out = tiny_tracker.track(list(frames[0]))
     assert np.isfinite(out["target_bbox"]).all()
+
+
+def test_rgb_tracker_chunk_tir_mode():
+    """Unimodal RGBTrackerJit scan chunk (TIR mode: JET applied in-scan)."""
+    from multi_modal_tracking_tpu.models.mixformer import MixFormer, ViTSpec
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTrackerJit
+    spec = ViTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                   num_heads=2, head_dim=64)
+    model = MixFormer(spec=spec)
+    t = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+
+    def make():
+        return RGBTrackerJit(model=model, variables=variables, template_size=32,
+                             search_size=64, update_interval=2, mode="TIR",
+                             scan_chunk=3)
+    rng = np.random.default_rng(11)
+    fv = rng.integers(0, 255, (6, 96, 128, 3), np.uint8)
+    fi = rng.integers(0, 255, (6, 96, 128, 3), np.uint8)
+    init = {"init_bbox": [40.0, 30.0, 30.0, 24.0]}
+
+    t1 = make()
+    t1.initialize([fv[0], fi[0]], init)
+    boxes_pf = np.asarray([t1.track([fv[k], fi[k]])["target_bbox"]
+                           for k in range(1, 6)])
+    t2 = make()
+    t2.initialize([fv[0], fi[0]], init)
+    boxes_c = t2.track_chunk(fv[1:], fi[1:])
+    np.testing.assert_allclose(boxes_c, boxes_pf, rtol=1e-5, atol=1e-4)
