@@ -1,0 +1,137 @@
+"""Training path for the Alpha-Refine (box -> mask) network.
+
+Parity target: external/AR/ltr/ — the vendored training library Alpha-Refine
+was trained with: actors/segm.py-style actor (reference branch = template
+crop + box, test branch = search crop + ground-truth mask), losses = binary
+cross-entropy + a soft-IoU (Lovasz-stand-in) term on the mask logits,
+AdamW over the refine net, samplers drawing (ref, test) pairs.
+
+TPU-first: one jitted train step (loss + grads + optax update) over the
+flax AlphaRefineNet; mask targets are (B, H, W, 1) float arrays; batches are
+host-staged numpy like the main tracker trainer. Datasets with only box
+annotations bootstrap rectangle masks (AR's box2seg initialisation).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from multi_modal_tracking_tpu.models.alpha_refine import (AlphaRefineNet,
+                                                          RefineSpec)
+
+
+def box_to_mask(box_xywh: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Rectangle mask from a box (AR box2seg bootstrap for box-only data)."""
+    m = np.zeros((h, w), np.float32)
+    x0 = int(round(max(box_xywh[0], 0)))
+    y0 = int(round(max(box_xywh[1], 0)))
+    x1 = int(round(min(box_xywh[0] + box_xywh[2], w)))
+    y1 = int(round(min(box_xywh[1] + box_xywh[3], h)))
+    if x1 > x0 and y1 > y0:
+        m[y0:y1, x0:x1] = 1.0
+    return m
+
+
+def mask_losses(logits: jax.Array, target: jax.Array,
+                bce_weight: float = 1.0, iou_weight: float = 1.0
+                ) -> Tuple[jax.Array, dict]:
+    """BCE + soft-IoU on (B, H, W, 1) logits vs {0,1} targets (the reference
+    trains seg_network with BCE + Lovasz hinge; soft-IoU is the smooth,
+    XLA-friendly surrogate of the Lovasz extension)."""
+    logits = logits.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    bce = optax.sigmoid_binary_cross_entropy(logits, target).mean()
+    p = jax.nn.sigmoid(logits)
+    inter = (p * target).sum(axis=(1, 2, 3))
+    union = (p + target - p * target).sum(axis=(1, 2, 3))
+    soft_iou = 1.0 - (inter / jnp.maximum(union, 1e-6)).mean()
+    loss = bce_weight * bce + iou_weight * soft_iou
+    return loss, {"mask_bce": bce, "mask_soft_iou": soft_iou}
+
+
+class RefineTrainState(NamedTuple):
+    variables: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_refine_train_step(net: AlphaRefineNet, tx: optax.GradientTransformation):
+    """Jitted (state, batch) -> (state, metrics). Batch keys:
+    ref_images (B,S,S,3) float 0..1, ref_boxes (B,4) crop-coord xywh,
+    test_images (B,S,S,3), test_masks (B,S,S,1) in {0,1}."""
+
+    def loss_fn(variables, batch):
+        logits = net.apply(variables, batch["ref_images"], batch["ref_boxes"],
+                           batch["test_images"], method=net.forward_train)
+        return mask_losses(logits, batch["test_masks"])
+
+    @jax.jit
+    def step(state: RefineTrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.variables, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.variables)
+        variables = optax.apply_updates(state.variables, updates)
+        metrics = dict(metrics, loss=loss)
+        return RefineTrainState(variables, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def build_refine_trainer(input_sz: int = 256, lr: float = 1e-3,
+                         weight_decay: float = 1e-4, rng_seed: int = 0,
+                         dtype=jnp.float32):
+    """Net + AdamW + jitted step, ready for a host batch loop
+    (the ltr run_training equivalent, minus the dataset plumbing that
+    train/builders.py provides)."""
+    from multi_modal_tracking_tpu.models.alpha_refine import build_alpha_refine
+    net, variables, spec = build_alpha_refine(input_sz=input_sz, dtype=dtype,
+                                              rng_seed=rng_seed)
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    state = RefineTrainState(variables=variables, opt_state=tx.init(variables),
+                             step=jnp.asarray(0))
+    return net, spec, state, make_refine_train_step(net, tx)
+
+
+def batch_from_box_dataset(samples, input_sz: int, rng: np.random.Generator):
+    """Host-side batch builder: each sample is (ref_img, ref_box, test_img,
+    test_box_or_mask) in full-image coords; crops both frames 2x around the
+    box (ARcm_seg search_factor) and rasterises the target mask."""
+    from multi_modal_tracking_tpu.train.data.processing_utils import sample_target
+    ref_images, ref_boxes, test_images, test_masks = [], [], [], []
+    for ref_img, ref_box, test_img, test_tgt in samples:
+        crop_r, rf_r, _ = sample_target(ref_img, ref_box, 2.0, input_sz)
+        w, h = ref_box[2] * rf_r, ref_box[3] * rf_r
+        c = input_sz / 2.0
+        ref_boxes.append(np.asarray([c - w / 2, c - h / 2, w, h], np.float32))
+        ref_images.append(crop_r.astype(np.float32) / 255.0)
+        if isinstance(test_tgt, np.ndarray) and test_tgt.ndim == 2:
+            # real mask: crop it with the same window as the image
+            box = _mask_box(test_tgt)
+            crop_t, rf_t, _ = sample_target(test_img, box, 2.0, input_sz)
+            m, _, _ = sample_target(test_tgt[..., None].repeat(3, -1) * 255.0,
+                                    box, 2.0, input_sz)
+            mask = (m[..., :1] > 127).astype(np.float32)
+        else:
+            box = np.asarray(test_tgt, np.float32)
+            crop_t, rf_t, _ = sample_target(test_img, box, 2.0, input_sz)
+            w, h = box[2] * rf_t, box[3] * rf_t
+            mask = box_to_mask([c - w / 2, c - h / 2, w, h], input_sz,
+                               input_sz)[..., None]
+        test_images.append(crop_t.astype(np.float32) / 255.0)
+        test_masks.append(mask)
+    return {"ref_images": np.stack(ref_images),
+            "ref_boxes": np.stack(ref_boxes),
+            "test_images": np.stack(test_images),
+            "test_masks": np.stack(test_masks)}
+
+
+def _mask_box(mask: np.ndarray) -> np.ndarray:
+    ys, xs = np.nonzero(mask)
+    if len(xs) == 0:
+        return np.asarray([0.0, 0.0, mask.shape[1], mask.shape[0]], np.float32)
+    return np.asarray([xs.min(), ys.min(), xs.max() - xs.min() + 1,
+                       ys.max() - ys.min() + 1], np.float32)
