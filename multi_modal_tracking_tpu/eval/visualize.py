@@ -83,6 +83,47 @@ def feature_panel(feat: np.ndarray, size: int = 144) -> np.ndarray:
     return cv2.resize(img, (size, size), interpolation=cv2.INTER_NEAREST)
 
 
+def attention_panel(score_grid: np.ndarray, frame_crop: Optional[np.ndarray] = None,
+                    size: int = 144, alpha: float = 0.5) -> np.ndarray:
+    """(gs, gs) attention score grid -> JET heatmap panel, optionally blended
+    over the search crop (the reference's attention-map visualisation,
+    lib/test/tracker/mixformer_cvt_online.py:99-131 / vis_attn.png)."""
+    cv2 = _cv2()
+    m = np.asarray(score_grid, np.float32)
+    m = (m - m.min()) / max(float(m.max() - m.min()), 1e-6)
+    heat = cv2.applyColorMap((m * 255).astype(np.uint8), cv2.COLORMAP_JET)
+    heat = cv2.resize(heat, (size, size), interpolation=cv2.INTER_NEAREST)
+    if frame_crop is not None:
+        base = cv2.resize(np.asarray(frame_crop, np.uint8), (size, size))
+        heat = cv2.addWeighted(base, 1 - alpha, heat, alpha, 0)
+    return heat
+
+
+def dump_attention_maps(tracker, image, out_dir: str, frame_id: int = 0,
+                        size: int = 144) -> List[str]:
+    """Run the flagship CE model with return_attn_maps and dump per-CE-block
+    template->search attention heatmaps for both modalities."""
+    import jax.numpy as jnp
+    cv2 = _cv2()
+    os.makedirs(out_dir, exist_ok=True)
+    st = tracker._state
+    t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
+    ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
+    s_vi = _search_crop(tracker, image)
+    _, _, _, attn_maps = tracker.model.apply(
+        tracker.variables, t_vi, ot_vi, s_vi, tracker.ce_keep_rate,
+        method=lambda m, t, ot, s, k: m.backbone(t, ot, s, k, True, True,
+                                                 return_attn_maps=True))
+    paths = []
+    for bi, maps in sorted(attn_maps.items()):
+        row = np.concatenate([attention_panel(np.asarray(maps[0, mod]), size=size)
+                              for mod in (0, 1)], axis=1)
+        p = os.path.join(out_dir, f"attn_block{bi:02d}_{frame_id:04d}.jpg")
+        cv2.imwrite(p, row)
+        paths.append(p)
+    return paths
+
+
 def dump_search_features(trackers: Dict[str, object], image, info: dict,
                          out_dir: str, frame_id: int = 0) -> List[str]:
     """Run several RGBT models on the same frame and dump per-model fused /

@@ -169,31 +169,40 @@ class SharedBlock(nn.Module):
 
     def __call__(self, x_v, x_i, n_mt: int, gidx_v, gidx_i,
                  lens_keep: Optional[int] = None, ce_rows: Optional[Tuple[int, ...]] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, return_scores: bool = False):
         """lens_keep: static keep count (None = no CE at this block).
         ce_rows: static template-row indices for CTR_POINT attention pooling
-        (None = mean over all template rows)."""
+        (None = mean over all template rows). return_scores additionally
+        returns the pooled t->s attention per modality (diagnostic hook,
+        cf. the reference's attention-map visualisation)."""
         B = x_v.shape[0]
         exe_ce = lens_keep is not None and lens_keep < gidx_v.shape[1]
         nv, ni = self.norm1_v(x_v), self.norm1_i(x_i)
-        av, ai, attn_t2s = self.attn(nv, ni, n_mt, return_attention=exe_ce)
+        av, ai, attn_t2s = self.attn(nv, ni, n_mt,
+                                     return_attention=exe_ce or return_scores)
         x_v = x_v + self.dp1(av, deterministic)
         x_i = x_i + self.dp1(ai, deterministic)
 
-        if exe_ce:
+        scores = None
+        if exe_ce or return_scores:
             lens_s = gidx_v.shape[1]
             if ce_rows is not None:
                 a = attn_t2s[:, :, jnp.asarray(ce_rows), :]       # (B, H, 4, 2*L_s)
             else:
                 a = attn_t2s
             a = a.mean(axis=(1, 2))                               # (B, 2*L_s)
-            x_v, gidx_v = _ce_select(a[:, :lens_s], x_v, gidx_v, n_mt, lens_keep)
-            x_i, gidx_i = _ce_select(a[:, lens_s:], x_i, gidx_i, n_mt, lens_keep)
+            if return_scores:
+                scores = (a[:, :lens_s], a[:, lens_s:], gidx_v, gidx_i)
+            if exe_ce:
+                x_v, gidx_v = _ce_select(a[:, :lens_s], x_v, gidx_v, n_mt, lens_keep)
+                x_i, gidx_i = _ce_select(a[:, lens_s:], x_i, gidx_i, n_mt, lens_keep)
 
         mv, mi = self.norm2_v(x_v), self.norm2_i(x_i)
         m = self.mlp(jnp.concatenate([mv, mi], axis=0))
         x_v = x_v + self.dp2(m[:B], deterministic)
         x_i = x_i + self.dp2(m[B:], deterministic)
+        if return_scores:
+            return x_v, x_i, gidx_v, gidx_i, scores
         return x_v, x_i, gidx_v, gidx_i
 
 
@@ -265,10 +274,15 @@ class AsymSharedViT(nn.Module):
         return tuple(flat + g * n_t for g in range(4))
 
     def __call__(self, x_t, x_ot, x_s, ce_keep_rate: Optional[float] = None,
-                 use_ce_template_mask: bool = True, deterministic: bool = True):
+                 use_ce_template_mask: bool = True, deterministic: bool = True,
+                 return_attn_maps: bool = False):
         """Inputs stacked bimodal NHWC batches: x_* shape (2B, H, W, 3) with
         [:B]=RGB, [B:]=TIR. Returns (t, ot, s) feature maps of shape
-        (2B, h, w, C) (search tokens zero-restored at pruned positions)."""
+        (2B, h, w, C) (search tokens zero-restored at pruned positions).
+        return_attn_maps additionally returns, per CE block, the pooled
+        template->search attention scattered back to the (B, 2, gs, gs) grid
+        per modality — the reference's attention-map visualisation hook
+        (lib/test/tracker/mixformer_cvt_online.py:99-131)."""
         t = self.patch_embed(x_t) + self.pos_embed_t.astype(self.dtype)
         ot = self.patch_embed(x_ot) + self.pos_embed_t.astype(self.dtype)
         s = self.patch_embed(x_s) + self.pos_embed_s.astype(self.dtype)
@@ -287,10 +301,26 @@ class AsymSharedViT(nn.Module):
         gidx = jnp.broadcast_to(jnp.arange(n_s, dtype=jnp.int32)[None], (B, n_s))
         gidx_v = gidx
         gidx_i = gidx
+        gs = self.grid_size_s
+        attn_maps = {}
+
+        def scatter_grid(score, gi):
+            full = jnp.zeros((B, n_s), jnp.float32)
+            full = jax.vmap(lambda buf, idx, val: buf.at[idx].set(val))(
+                full, gi, score.astype(jnp.float32))
+            return full.reshape(B, gs, gs)
+
         for bi, blk in enumerate(self.blocks):
-            x_v, x_i, gidx_v, gidx_i = blk(x_v, x_i, n_mt, gidx_v, gidx_i,
-                                           lens_keep=keeps[bi], ce_rows=ce_rows,
-                                           deterministic=deterministic)
+            want = return_attn_maps and (self.ce_loc is not None and bi in self.ce_loc)
+            out = blk(x_v, x_i, n_mt, gidx_v, gidx_i,
+                      lens_keep=keeps[bi], ce_rows=ce_rows,
+                      deterministic=deterministic, return_scores=want)
+            if want:
+                x_v, x_i, gidx_v, gidx_i, (a_v, a_i, gv, gi) = out
+                attn_maps[bi] = jnp.stack([scatter_grid(a_v, gv),
+                                           scatter_grid(a_i, gi)], axis=1)
+            else:
+                x_v, x_i, gidx_v, gidx_i = out
 
         # Restore original search-token order; pruned positions become zeros
         # (scatter parity with _recover_search, asymmetric_shared_ce.py:427).
@@ -308,8 +338,11 @@ class AsymSharedViT(nn.Module):
 
         gt, gs = self.grid_size_t, self.grid_size_s
         t, ot, s = x[:, :n_t], x[:, n_t:2 * n_t], x[:, 2 * n_t:]
-        return (t.reshape(B2, gt, gt, -1), ot.reshape(B2, gt, gt, -1),
-                s.reshape(B2, gs, gs, -1))
+        feats = (t.reshape(B2, gt, gt, -1), ot.reshape(B2, gt, gt, -1),
+                 s.reshape(B2, gs, gs, -1))
+        if return_attn_maps:
+            return feats + (attn_maps,)
+        return feats
 
 
 @dataclasses.dataclass(frozen=True)

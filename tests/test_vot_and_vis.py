@@ -125,3 +125,30 @@ def test_feature_panel():
     rng = np.random.default_rng(2)
     panel = feature_panel(rng.standard_normal((18, 18, 64)), size=72)
     assert panel.shape == (72, 72, 3) and panel.dtype == np.uint8
+
+
+def test_dump_attention_maps(tmp_path):
+    from multi_modal_tracking_tpu.config import get_default_config
+    from multi_modal_tracking_tpu.eval.visualize import dump_attention_maps
+    from multi_modal_tracking_tpu.models.asymmetric_shared import build_mixformer_rgbt
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTTrackerJit
+    cfg = get_default_config("asymmetric_shared_ce")
+    cfg.DATA.SEARCH.SIZE = 96
+    cfg.DATA.TEMPLATE.SIZE = 64
+    cfg.MODEL.FUSION_LAYERS = 1
+    cfg.MODEL.BACKBONE.CE_LOC = [1]
+    model = build_mixformer_rgbt(cfg)
+    t = jnp.zeros((2, 64, 64, 3))
+    s = jnp.zeros((2, 96, 96, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    tr = RGBTTrackerJit(model=model, variables=variables, template_size=64,
+                        search_size=96, ce_keep_rate=None)
+    rng = np.random.default_rng(3)
+    fv = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    fi = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    tr.initialize([fv, fi], {"init_bbox": [40.0, 30.0, 30.0, 24.0]})
+    paths = dump_attention_maps(tr, [fv, fi], str(tmp_path / "attn"))
+    assert len(paths) == 1          # one CE block
+    assert all(os.path.getsize(p) > 0 for p in paths)
+    img = cv2.imread(paths[0])
+    assert img.shape == (144, 288, 3)   # two modalities side by side
