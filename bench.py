@@ -59,13 +59,6 @@ def main():
     fi = rng.integers(0, 255, (N_FRAMES, FRAME_H, FRAME_W, 3), dtype=np.uint8)
 
     tracker.initialize([fv[0], fi[0]], {"init_bbox": [280.0, 220.0, 80.0, 60.0]})
-    # Warm-up: compile the scan'd track chunk (tracker.py track_chunk: one
-    # H2D upload + one lax.scan dispatch per scan_chunk frames). block (NOT
-    # fetch): a host fetch here would flip the proxy into its slow-upload
-    # mode before the timed pass.
-    jax.block_until_ready(tracker.track_chunk(
-        fv[: tracker.scan_chunk], fi[: tracker.scan_chunk], fetch=False))
-    tracker.initialize([fv[0], fi[0]], {"init_bbox": [280.0, 220.0, 80.0, 60.0]})
 
     # The per-frame loop = H2D copy + crop+JET+normalise + backbone+fusion+
     # head + box decode + template update, boxes chained on device
@@ -73,11 +66,15 @@ def main():
     # timed legs because the RPC proxy to the chip has two one-way artefacts
     # a directly-attached host does not: (1) the FIRST D2H fetch costs
     # ~10-20 s while the proxy flips transfer modes, (2) every upload after
-    # that first fetch is ~35x slower. So: leg 1 times the pristine H2D
-    # uploads; then one throwaway fetch flips the proxy (untimed — it is a
-    # one-off session cost, not per-frame work); leg 2 times the scan'd
-    # track steps over the uploaded frames, ending with a 16-byte fetch of
-    # the final box that forces completion of the whole dependency chain.
+    # that first fetch is ~35x slower. Order of operations:
+    #   leg 1 (timed): the pristine H2D uploads (before any fetch);
+    #   warm-up (untimed): one full scan'd chunk ending in a 16-byte fetch —
+    #     forces remote compile + first execution to COMPLETE (a bare
+    #     block_until_ready returns early on this transport) and flips the
+    #     proxy, both one-off session costs, not per-frame work;
+    #   leg 2 (timed): the scan'd track steps over the uploaded frames,
+    #     ending with a 16-byte fetch of the final box that forces
+    #     completion of the whole dependency chain.
     # fps = frames / (upload + compute), both legs real device work.
     from multi_modal_tracking_tpu.tracking.tracker import _put
 
@@ -87,7 +84,9 @@ def main():
     jax.block_until_ready((dv, di))
     t_upload = time.perf_counter() - t0
 
-    np.asarray(tracker._state.frame_id)       # proxy mode flip (untimed)
+    warm = tracker.track_chunk(dv, di, fetch=False)     # compile + flip
+    np.asarray(warm[-1])
+    tracker.initialize([fv[0], fi[0]], {"init_bbox": [280.0, 220.0, 80.0, 60.0]})
 
     t0 = time.perf_counter()
     pending = tracker.track_chunk(dv, di, fetch=False)

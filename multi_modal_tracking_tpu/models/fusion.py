@@ -77,9 +77,13 @@ class MSDeformAttnBimodal(nn.Module):
 
         normalizer = jnp.asarray([[s[1], s[0]] for s in spatial_shapes], dtype=jnp.float32)  # (L, 2) [W, H]
         loc = reference_points[None, :, None, :, None, :] + off / normalizer[None, None, None, :, None, :]
-        out = ms_deform_attn(value.astype(jnp.float32), spatial_shapes,
-                             loc.astype(jnp.float32), w.astype(jnp.float32))
-        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out.astype(self.dtype))
+        # sampling runs in the model dtype (bf16 on TPU: the interpolation
+        # weights carry ~2 valid decimals, well inside tracking tolerance,
+        # and the matmul-lowered sampler then rides the MXU at full rate);
+        # coordinates stay f32 inside ms_deform_attn.
+        out = ms_deform_attn(value, spatial_shapes,
+                             loc.astype(jnp.float32), w.astype(self.dtype))
+        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
 
 
 class _ModalLayerNorm(nn.Module):

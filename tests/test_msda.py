@@ -1,6 +1,7 @@
 """MSDeformAttn sampling vs the torch grid_sample oracle (the reference's own
 CUDA-kernel parity oracle, ms_deform_attn_func.py:41-61 semantics)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
@@ -67,3 +68,27 @@ def test_msda_differentiable():
     g = jax.grad(lambda l: ms_deform_attn(value, shapes, l, w).sum())(loc)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_dense_and_gather_lowerings_agree():
+    """Above _DENSE_MAX_SOURCE the gather path runs; both lowerings must
+    produce the same numbers on the same inputs."""
+    import multi_modal_tracking_tpu.ops.msda as M
+    rng = np.random.default_rng(5)
+    B, Mh, D, P = 2, 4, 8, 4
+    shapes = ((6, 7), (3, 4))
+    S = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.standard_normal((B, S, Mh, D)), jnp.float32)
+    Lq = 10
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, (B, Lq, Mh, 2, P, 2)), jnp.float32)
+    attw = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((B, Lq, Mh, 2, P)), jnp.float32), axis=(-2, -1))
+    dense = M.ms_deform_attn(value, shapes, loc, attw)
+    orig = M._DENSE_MAX_SOURCE
+    try:
+        M._DENSE_MAX_SOURCE = 0          # force the gather lowering
+        gather = M.ms_deform_attn(value, shapes, loc, attw)
+    finally:
+        M._DENSE_MAX_SOURCE = orig
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(gather),
+                               rtol=1e-5, atol=1e-5)
