@@ -173,19 +173,29 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
 
 def run_dataset(dataset, tracker, results_dir: str, skip_if_done: bool = True,
                 chunk: int = 16, threads: int = 0,
-                tracker_factory=None) -> List[dict]:
+                tracker_factory=None, devices=None) -> List[dict]:
     """Run a tracker over every sequence (lib/test/evaluation/running.py:200).
 
     threads>0 with tracker_factory maps sequences over a thread pool, one
-    tracker per worker (the TPU analogue of the reference's per-GPU process
-    pool — workers share the chip; XLA serialises the device work while host
-    IO overlaps)."""
+    tracker per worker — the TPU analogue of the reference's per-GPU process
+    pool (running.py:134-141 pins device_id = proc_idx % num_gpus). With
+    `devices` (e.g. jax.devices()), workers are pinned round-robin: each
+    worker's uploads commit to its device and its jit executions follow the
+    argument placement, so sequences evaluate on all chips concurrently.
+    Without `devices`, workers share device 0 (host IO still overlaps)."""
     stats = []
     if threads and tracker_factory is not None:
+        import itertools
+
+        from multi_modal_tracking_tpu.tracking.tracker import set_put_device
+
         local = threading.local()
+        worker_ids = itertools.count()
 
         def work(seq):
             if not hasattr(local, "tracker"):
+                if devices:
+                    set_put_device(devices[next(worker_ids) % len(devices)])
                 local.tracker = tracker_factory()
             return run_sequence(seq, local.tracker, results_dir,
                                 skip_if_done=skip_if_done, chunk=chunk)

@@ -22,6 +22,7 @@ graph per frame resolution.
 from __future__ import annotations
 
 import dataclasses
+import threading
 import functools
 from typing import Any, Optional, Tuple
 
@@ -83,16 +84,28 @@ def _prep_tir(img, box, factor, out_sz):
     return normalize_imagenet(apply_jet(crop))[None], rf
 
 
+_put_device = threading.local()
+
+
+def set_put_device(device) -> None:
+    """Pin this thread's committed uploads (and hence its jit executions,
+    which follow argument placement) to `device` — the unit of the eval
+    runner's device round-robin (eval/running.py run_dataset)."""
+    _put_device.dev = device
+
+
 def _put(x, dtype=None):
-    """Committed device_put to the first device. jnp.asarray would create an
-    UNCOMMITTED array, which this environment's IFRT proxy keeps host-held
-    and lazily materialises with a slow per-exec round-trip; a committed put
-    streams the bytes once at full bandwidth. Already-device arrays pass
-    through untouched (np.asarray on one would be a full D2H fetch)."""
+    """Committed device_put to this thread's device (default: first device).
+    jnp.asarray would create an UNCOMMITTED array, which this environment's
+    IFRT proxy keeps host-held and lazily materialises with a slow per-exec
+    round-trip; a committed put streams the bytes once at full bandwidth.
+    Already-device arrays pass through untouched (np.asarray on one would be
+    a full D2H fetch)."""
     if isinstance(x, jax.Array) and (dtype is None or x.dtype == dtype):
         return x
     arr = np.asarray(x, dtype) if dtype is not None else np.asarray(x)
-    return jax.device_put(arr, jax.devices()[0])
+    dev = getattr(_put_device, "dev", None)
+    return jax.device_put(arr, dev if dev is not None else jax.devices()[0])
 
 
 def _run_chunked(run_block, carry, frames_v, frames_i, K: int):

@@ -102,3 +102,39 @@ def test_sequence_list_name_lookup(dataset):
     seq = dataset["synthetic_00"]
     assert seq.name == "synthetic_00"
     assert seq.multimodal and seq.ground_truth_rect.ndim == 3
+
+
+def test_run_dataset_device_round_robin(tmp_path, dataset):
+    """Sequences fan out over all (virtual) devices: each worker's tracker
+    uploads must land on its pinned device, and the runner must still write
+    every result (the per-GPU process-pool analogue, running.py:134-141)."""
+    import jax
+
+    from multi_modal_tracking_tpu.eval.running import run_dataset
+
+    devices = jax.devices()
+    assert len(devices) >= 2
+    seen = []
+
+    class DeviceProbeTracker:
+        def initialize(self, image, info):
+            from multi_modal_tracking_tpu.tracking.tracker import _put
+            seen.append(_put(np.zeros(1)).devices())
+            self._box = list(map(float, info["init_bbox"]))
+
+        def track(self, image, info=None):
+            return {"target_bbox": self._box}
+
+    res_dir = str(tmp_path / "rr")
+    stats = run_dataset(dataset, None, res_dir, skip_if_done=False,
+                        threads=len(devices),
+                        tracker_factory=DeviceProbeTracker,
+                        devices=devices)
+    assert len(stats) == len(dataset)
+    used = set()
+    for s in seen:
+        used |= {d.id for d in s}
+    assert len(used) >= 2, used        # really fanned out
+    for seq in dataset:
+        got = np.loadtxt(os.path.join(res_dir, f"{seq.name}.txt"))
+        assert got.shape == (len(seq.frames), 4)

@@ -72,8 +72,10 @@ def main():
         tracker = create_tracker(params, dataset_name=args.dataset_name, mode=mode)
         factory = (lambda: create_tracker(params, dataset_name=args.dataset_name,
                                           mode=mode)) if args.threads else None
+        import jax
         run_dataset(dataset, tracker, results_dir, skip_if_done=not args.rerun,
-                    chunk=args.chunk, threads=args.threads, tracker_factory=factory)
+                    chunk=args.chunk, threads=args.threads, tracker_factory=factory,
+                    devices=jax.devices() if args.threads else None)
         print(f"results -> {results_dir}")
 
 
