@@ -33,6 +33,53 @@ def create_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def create_mesh_2d(n_data: int, n_model: int,
+                   axes: Sequence[str] = ("data", "model")) -> Mesh:
+    """2-D (data x model) mesh for combined data + tensor parallelism.
+
+    The reference has no TP (models are <= ViT-L, SURVEY §2.6); here it comes
+    from GSPMD: annotate the params with param_shardings() and the SAME train
+    step emits Megatron-style column/row-parallel matmuls with all-reduces
+    over ICI — no model-code changes."""
+    devs = jax.devices()
+    need = n_data * n_model
+    if len(devs) < need:
+        devs = jax.devices("cpu")
+    assert len(devs) >= need, f"need {need} devices, have {len(devs)}"
+    return Mesh(np.asarray(devs[:need]).reshape(n_data, n_model), tuple(axes))
+
+
+def param_shardings(params, mesh: Mesh, model_axis: str = "model"):
+    """Megatron-style tensor-parallel PartitionSpecs for a flax param tree.
+
+    Column-parallel (shard the output dim): attention qkv, MLP fc1/linear1.
+    Row-parallel (shard the input dim): attention out-proj, MLP fc2/linear2.
+    Everything else (LNs, biases of row-parallel layers, embeds, convs,
+    heads) replicated. Biases of column-parallel layers shard with their
+    outputs. Dims that don't divide the model axis stay replicated."""
+    if model_axis not in mesh.axis_names:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+    n_model = mesh.shape[model_axis]
+    col_names = {"qkv", "fc1", "linear1"}
+    row_names = {"proj", "fc2", "linear2", "output_proj"}
+
+    def spec_for(path, x):
+        names = [getattr(k, "key", str(k)) for k in path]
+        owner = names[-2] if len(names) >= 2 else ""
+        leaf = names[-1]
+        if x.ndim >= 2 and leaf == "kernel":
+            if owner in col_names and x.shape[-1] % n_model == 0:
+                return P(*([None] * (x.ndim - 1)), model_axis)
+            if owner in row_names and x.shape[-2] % n_model == 0:
+                return P(*([None] * (x.ndim - 2)), model_axis, None)
+        if leaf == "bias" and owner in col_names and x.shape[-1] % n_model == 0:
+            return P(*([None] * (x.ndim - 1)), model_axis)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, spec_for(p, x)), params)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim across the data axis."""
     return NamedSharding(mesh, P(axis))

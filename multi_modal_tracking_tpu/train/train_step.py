@@ -72,13 +72,18 @@ def bucketize_keep_rate(rate: Optional[float], n_search: int, bucket: int = 16) 
 
 def make_train_step(model, tx, mesh=None, rgbt: bool = True,
                     iou_weight: float = 2.0, l1_weight: float = 5.0,
-                    train_score: bool = False, score_weight: float = 1.0):
+                    train_score: bool = False, score_weight: float = 1.0,
+                    state_shardings=None):
     """Build a jitted (ce_keep_rate-static) train step.
 
     Batch dict (host, numpy/jnp):
       rgbt: template_v/i, online_template_v/i, search_v/i: (B, H, W, 3) f32
             normalised crops; gt_xywh: (B, 4); labels: (B,) for SPM stage.
       unimodal: template, online_template, search, gt_xywh (+labels).
+
+    state_shardings: optional TrainState sharding pytree (e.g. built from
+    parallel.mesh.param_shardings for tensor parallelism over a 2-D mesh);
+    default replicates params and shards only the batch on the 'data' axis.
     """
     def _forward(params, batch_stats, batch, ce_keep_rate, rngs):
         variables = {"params": params}
@@ -126,8 +131,9 @@ def make_train_step(model, tx, mesh=None, rgbt: bool = True,
         if mesh is not None:
             rep = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
-            return jax.jit(step, in_shardings=(rep, data, rep),
-                           out_shardings=(rep, rep), donate_argnums=(0,))
+            st = state_shardings if state_shardings is not None else rep
+            return jax.jit(step, in_shardings=(st, data, rep),
+                           out_shardings=(st, rep), donate_argnums=(0,))
         return jax.jit(step, donate_argnums=(0,))
 
     def train_step(state, batch, rng, ce_keep_rate: Optional[float] = None):
