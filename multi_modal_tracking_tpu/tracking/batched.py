@@ -1,0 +1,204 @@
+"""Batched multi-sequence tracking: one device, N sequences in lockstep.
+
+The reference parallelises offline evaluation with a process pool, one GPU
+per worker (lib/test/evaluation/running.py:134-141,225-231). A TPU chip is
+one giant MXU — the idiomatic equivalent is to vmap the (already scan'd)
+track step over a BATCH of sequences, so every frame step runs N tracking
+problems in one fused program. Per-sequence trajectories are identical to
+single-sequence tracking: state never mixes across the vmapped axis, and a
+per-(frame, sequence) validity mask freezes finished sequences exactly like
+the tail padding of tracker.py track_chunk.
+
+Throughput: batch-1 tracking leaves the MXU mostly idle (the flagship runs
+~10% utilisation); batching sequences multiplies arithmetic intensity at
+the same latency per step, the classic offline-eval win the reference
+cannot express with DDP.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multi_modal_tracking_tpu.tracking.tracker import (RGBTTrackerJit,
+                                                       TrackState, _put)
+
+
+@dataclasses.dataclass
+class BatchedRGBTTrackerJit:
+    """Tracks `batch` RGBT sequences of one frame resolution in lockstep.
+
+    API: initialize(frames0_v/i (N,H,W,3), boxes (N,4)) then
+    track_block(frames_v/i (T,N,H,W,3), valid (T,N)) -> boxes (T,N,4).
+    Per-sequence results equal RGBTTrackerJit run sequentially.
+    """
+    model: Any
+    variables: Any
+    template_factor: float = 2.0
+    template_size: int = 128
+    search_factor: float = 5.0
+    search_size: int = 288
+    update_interval: int = 200
+    ce_keep_rate: Optional[float] = None
+    scan_chunk: int = 16
+
+    def __post_init__(self):
+        self._single = RGBTTrackerJit(
+            model=self.model, variables=self.variables,
+            template_factor=self.template_factor, template_size=self.template_size,
+            search_factor=self.search_factor, search_size=self.search_size,
+            update_interval=self.update_interval, ce_keep_rate=self.ce_keep_rate)
+        self._init_jit = {}
+        self._scan_jit = {}
+
+    def _make_init(self, shape):
+        # vmap the single-sequence init over the batch axis
+        def init_fn(variables, imgs_v, imgs_i, boxes):
+            def one(img_v, img_i, box):
+                from multi_modal_tracking_tpu.tracking.tracker import (_prep_rgb,
+                                                                       _prep_tir)
+                tv, _ = _prep_rgb(img_v, box, self.template_factor, self.template_size)
+                ti, _ = _prep_tir(img_i, box, self.template_factor, self.template_size)
+                return TrackState(template_v=tv, template_i=ti,
+                                  online_template_v=tv, online_template_i=ti,
+                                  state=box.astype(jnp.float32),
+                                  frame_id=jnp.int32(0))
+            return jax.vmap(one)(imgs_v, imgs_i, boxes)
+        return jax.jit(init_fn)
+
+    def _make_scan(self, shape, chunk: int):
+        single_step = self._single._step
+
+        def track_fn(variables, st, frames_v, frames_i, valid):
+            def body(st, fr):
+                fv, fi, ok = fr            # (N, H, W, 3) x2, (N,)
+
+                def one(st1, f1v, f1i, ok1):
+                    new_st, box = single_step(shape, variables, st1, f1v, f1i)
+                    new_st = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(ok1, a, b), new_st, st1)
+                    return new_st, box
+                return jax.vmap(one)(st, fv, fi, ok)
+
+            st, boxes = jax.lax.scan(body, st, (frames_v, frames_i, valid))
+            return st, boxes               # boxes (T, N, 4)
+        return jax.jit(track_fn)
+
+    # --------------------------------------------------------------- host API
+    def initialize(self, frames_v: np.ndarray, frames_i: np.ndarray,
+                   boxes: np.ndarray):
+        """frames_*: (N, H, W, 3) uint8 frame-0 stack; boxes: (N, 4) xywh."""
+        shape = frames_v.shape[1:3]
+        if shape not in self._init_jit:
+            self._init_jit[shape] = self._make_init(shape)
+        self._state = self._init_jit[shape](
+            self.variables, _put(frames_v), _put(frames_i),
+            _put(boxes, np.float32))
+        self._shape = shape
+
+    def track_block(self, frames_v: np.ndarray, frames_i: np.ndarray,
+                    valid: Optional[np.ndarray] = None, fetch: bool = True):
+        """frames_*: (T, N, H, W, 3); valid: (T, N) bool (False freezes that
+        sequence's state for the frame). Returns (T, N, 4) boxes."""
+        T, N = frames_v.shape[:2]
+        K = self.scan_chunk
+        key = (self._shape, K, N)
+        if key not in self._scan_jit:
+            self._scan_jit[key] = self._make_scan(self._shape, K)
+        fn = self._scan_jit[key]
+        if valid is None:
+            valid = np.ones((T, N), np.bool_)
+        boxes = []
+        st = self._state
+        for lo in range(0, T, K):
+            hi = min(lo + K, T)
+            whole = lo == 0 and hi == T
+            bv = frames_v if whole else frames_v[lo:hi]
+            bi = frames_i if whole else frames_i[lo:hi]
+            ok = valid[lo:hi]
+            n = hi - lo
+            if n < K:
+                pad = K - n
+                xp = jnp if isinstance(frames_v, jax.Array) else np
+                bv = xp.concatenate([bv, xp.repeat(bv[-1:], pad, axis=0)])
+                bi = xp.concatenate([bi, xp.repeat(bi[-1:], pad, axis=0)])
+                ok = np.concatenate([ok, np.zeros((pad, N), np.bool_)])
+            st, bxs = fn(self.variables, st, _put(bv), _put(bi), _put(ok))
+            boxes.append(bxs[:n] if n < K else bxs)
+        self._state = st
+        stacked = jnp.concatenate(boxes, axis=0)
+        return np.asarray(stacked) if fetch else stacked
+
+
+def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,
+                          results_dir: str, chunk: Optional[int] = None,
+                          skip_if_done: bool = True) -> List[dict]:
+    """Evaluate a same-resolution group of RGBT sequences in lockstep and
+    write the standard per-sequence result files (eval/running.py layout).
+
+    Sequences are padded to the longest length; finished sequences are
+    frozen by the validity mask, and their padded frames replay the last
+    real frame (uploaded once — the frames tensor is built per time block).
+    """
+    import os
+    import time as _time
+
+    from multi_modal_tracking_tpu.eval.running import _load_frame
+
+    os.makedirs(results_dir, exist_ok=True)
+    todo = [s for s in sequences
+            if not (skip_if_done and
+                    os.path.isfile(os.path.join(results_dir, f"{s.name}.txt")))]
+    if not todo:
+        return []
+    N = len(todo)
+    lengths = [len(s.frames) for s in todo]
+    T = max(lengths)
+
+    f0 = [_load_frame(s, 0) for s in todo]
+    frames0_v = np.stack([f[0] for f in f0])
+    frames0_i = np.stack([f[1] for f in f0])
+    boxes0 = np.stack([np.asarray(s.init_info()["init_bbox"], np.float32).reshape(-1)[-4:]
+                       for s in todo])
+    t_start = _time.time()
+    tracker.initialize(frames0_v, frames0_i, boxes0)
+
+    K = chunk or tracker.scan_chunk
+    all_boxes = np.zeros((T - 1, N, 4), np.float64)
+    pending = []
+    for lo in range(1, T, K):
+        hi = min(lo + K, T)
+        blk_v = np.empty((hi - lo, N, *frames0_v.shape[1:]), frames0_v.dtype)
+        blk_i = np.empty_like(blk_v)
+        ok = np.zeros((hi - lo, N), np.bool_)
+        for j, s in enumerate(todo):
+            for t in range(lo, hi):
+                k = min(t, lengths[j] - 1)
+                fr = _load_frame(s, k)
+                blk_v[t - lo, j] = fr[0]
+                blk_i[t - lo, j] = fr[1]
+                ok[t - lo, j] = t < lengths[j]
+        pending.append((lo, hi, tracker.track_block(blk_v, blk_i, ok, fetch=False)))
+    for lo, hi, bxs in pending:
+        all_boxes[lo - 1: hi - 1] = np.asarray(bxs)
+    elapsed = _time.time() - t_start
+
+    stats = []
+    total_frames = sum(lengths)
+    for j, s in enumerate(todo):
+        n = lengths[j]
+        out = np.zeros((n, 4), np.float64)
+        out[0] = boxes0[j]
+        out[1:] = all_boxes[: n - 1, j]
+        np.savetxt(os.path.join(results_dir, f"{s.name}.txt"), out,
+                   delimiter="\t", fmt="%d")
+        per = elapsed * (n / total_frames)
+        np.savetxt(os.path.join(results_dir, f"{s.name}_time.txt"),
+                   np.full((n,), per / n), fmt="%f")
+        stats.append({"seq": s.name, "n_frames": n, "fps": n / max(per, 1e-9)})
+    print(f"batched eval: {N} sequences x {T} frames in {elapsed:.1f}s "
+          f"({total_frames / max(elapsed, 1e-9):.1f} aggregate FPS)")
+    return stats

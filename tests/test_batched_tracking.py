@@ -1,0 +1,85 @@
+"""Batched multi-sequence tracking: per-sequence trajectories must equal
+sequential single-sequence tracking, including length masking."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multi_modal_tracking_tpu.models.asymmetric_shared import (MixFormerRGBT,
+                                                               RGBTSpec)
+from multi_modal_tracking_tpu.tracking.batched import (BatchedRGBTTrackerJit,
+                                                       run_sequences_batched)
+from multi_modal_tracking_tpu.tracking.tracker import RGBTTrackerJit
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    spec = RGBTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                    num_heads=2, head_dim=64, fusion_layers=1,
+                    ce_loc=None, ce_keep_ratio=None)
+    model = MixFormerRGBT(spec=spec)
+    t = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    return model, variables
+
+
+def _seq_frames(n, seed, H=96, W=128):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 255, (n, H, W, 3), np.uint8),
+            rng.integers(0, 255, (n, H, W, 3), np.uint8))
+
+
+def test_batched_matches_sequential(model_vars):
+    model, variables = model_vars
+    kw = dict(model=model, variables=variables, template_size=32,
+              search_size=64, update_interval=3)
+    boxes0 = np.asarray([[40.0, 30, 30, 24], [50.0, 20, 24, 30], [30.0, 40, 20, 20]],
+                        np.float32)
+    lengths = [7, 5, 7]                      # ragged: seq 1 ends early
+    seqs = [_seq_frames(lengths[j], seed=j) for j in range(3)]
+
+    # sequential reference
+    seq_boxes = []
+    for j in range(3):
+        tr = RGBTTrackerJit(**kw)
+        tr.initialize([seqs[j][0][0], seqs[j][1][0]], {"init_bbox": boxes0[j]})
+        seq_boxes.append(np.asarray(
+            [tr.track([seqs[j][0][k], seqs[j][1][k]])["target_bbox"]
+             for k in range(1, lengths[j])]))
+
+    # batched lockstep with masking + padded timelines
+    bt = BatchedRGBTTrackerJit(**kw, scan_chunk=4)
+    bt.initialize(np.stack([s[0][0] for s in seqs]),
+                  np.stack([s[1][0] for s in seqs]), boxes0)
+    T = max(lengths) - 1
+    fv = np.zeros((T, 3, 96, 128, 3), np.uint8)
+    fi = np.zeros_like(fv)
+    ok = np.zeros((T, 3), np.bool_)
+    for j in range(3):
+        for t in range(T):
+            k = min(t + 1, lengths[j] - 1)
+            fv[t, j] = seqs[j][0][k]
+            fi[t, j] = seqs[j][1][k]
+            ok[t, j] = t + 1 < lengths[j]
+    got = bt.track_block(fv, fi, ok)
+    for j in range(3):
+        np.testing.assert_allclose(got[: lengths[j] - 1, j], seq_boxes[j],
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_run_sequences_batched_writes_results(tmp_path, model_vars):
+    model, variables = model_vars
+    from multi_modal_tracking_tpu.eval.datasets import get_dataset
+    ds = get_dataset("synthetic_rgbt")
+    tracker = BatchedRGBTTrackerJit(model=model, variables=variables,
+                                    template_size=32, search_size=64,
+                                    scan_chunk=8)
+    stats = run_sequences_batched(list(ds), tracker, str(tmp_path / "res"))
+    assert len(stats) == len(ds)
+    for seq in ds:
+        b = np.loadtxt(tmp_path / "res" / f"{seq.name}.txt")
+        assert b.shape == (len(seq.frames), 4)
+        assert np.isfinite(b).all()

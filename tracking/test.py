@@ -38,6 +38,9 @@ def main():
     p.add_argument("--chunk", type=int, default=16,
                    help="frames per device scan dispatch")
     p.add_argument("--threads", type=int, default=0)
+    p.add_argument("--batch_sequences", type=int, default=0,
+                   help="track N same-resolution sequences in lockstep on "
+                        "one chip (vmapped offline-eval fast path)")
     p.add_argument("--sequence", type=str, default=None, help="run a single sequence")
     p.add_argument("--rerun", action="store_true", help="do not skip finished sequences")
     args = p.parse_args()
@@ -73,9 +76,32 @@ def main():
         factory = (lambda: create_tracker(params, dataset_name=args.dataset_name,
                                           mode=mode)) if args.threads else None
         import jax
-        run_dataset(dataset, tracker, results_dir, skip_if_done=not args.rerun,
-                    chunk=args.chunk, threads=args.threads, tracker_factory=factory,
-                    devices=jax.devices() if args.threads else None)
+        from multi_modal_tracking_tpu.tracking.tracker import RGBTTrackerJit
+        if args.batch_sequences > 1 and isinstance(tracker, RGBTTrackerJit):
+            from multi_modal_tracking_tpu.eval.running import _load_frame
+            from multi_modal_tracking_tpu.tracking.batched import (
+                BatchedRGBTTrackerJit, run_sequences_batched)
+            bt = BatchedRGBTTrackerJit(
+                model=tracker.model, variables=tracker.variables,
+                template_factor=tracker.template_factor,
+                template_size=tracker.template_size,
+                search_factor=tracker.search_factor,
+                search_size=tracker.search_size,
+                update_interval=tracker.update_interval,
+                ce_keep_rate=tracker.ce_keep_rate, scan_chunk=args.chunk)
+            groups = {}
+            for seq in dataset:
+                groups.setdefault(_load_frame(seq, 0)[0].shape[:2], []).append(seq)
+            for shape, seqs in groups.items():
+                for lo in range(0, len(seqs), args.batch_sequences):
+                    run_sequences_batched(seqs[lo: lo + args.batch_sequences], bt,
+                                          results_dir, chunk=args.chunk,
+                                          skip_if_done=not args.rerun)
+        else:
+            run_dataset(dataset, tracker, results_dir, skip_if_done=not args.rerun,
+                        chunk=args.chunk, threads=args.threads,
+                        tracker_factory=factory,
+                        devices=jax.devices() if args.threads else None)
         print(f"results -> {results_dir}")
 
 
