@@ -31,6 +31,8 @@ def names2datasets(names: List[str], image_loader=None):
         "VTUAV": lambda: R.VTUAV(**kw),
         "VTUAV_Test": lambda: R.VTUAV(split_dirs=("test_data",), **kw),
         "DepthTrack": lambda: R.DepthTrack(**kw),
+        "DepthTrack_Train": lambda: R.DepthTrack(split="train", **kw),
+        "DepthTrack_Test": lambda: R.DepthTrack(split="test", **kw),
         "KAIST": lambda: R.KAIST(**kw),
         "LLVIP": lambda: R.LLVIP(**kw),
         "M3FD": lambda: R.M3FD(**kw),
