@@ -103,7 +103,13 @@ def build_dataloaders(cfg, seed: int = 0):
             train_cls=cfg.TRAIN.get("TRAIN_SCORE", False),
             rgbt=rgbt,
             seed=seed if train else seed + 1)
-        return Loader(sampler, batch_size=cfg.TRAIN.BATCH_SIZE,
+        # Multi-host: TRAIN.BATCH_SIZE is the GLOBAL batch; each process
+        # loads its local slice (DistributedSampler analogue — the per-host
+        # batches are assembled into one global sharded array by
+        # parallel.distributed.shard_host_batch).
+        import jax
+        local_bsz = max(1, cfg.TRAIN.BATCH_SIZE // jax.process_count())
+        return Loader(sampler, batch_size=local_bsz,
                       num_workers=cfg.TRAIN.NUM_WORKER, name=name, training=train,
                       epoch_interval=1 if train else cfg.TRAIN.VAL_EPOCH_INTERVAL)
 

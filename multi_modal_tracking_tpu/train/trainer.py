@@ -28,7 +28,9 @@ import jax
 import numpy as np
 
 from multi_modal_tracking_tpu.models.build import build_model
-from multi_modal_tracking_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from multi_modal_tracking_tpu.parallel.distributed import (process_seed,
+                                                           shard_host_batch)
+from multi_modal_tracking_tpu.parallel.mesh import create_mesh, replicate
 from multi_modal_tracking_tpu.train.builders import build_dataloaders, is_rgbt_config
 from multi_modal_tracking_tpu.train.data.loader import batch_to_model_inputs
 from multi_modal_tracking_tpu.train.optimizer import make_optimizer, trainable_mask
@@ -54,7 +56,11 @@ class Trainer:
         self.ckpt_dir = os.path.join(save_dir, "checkpoints", script)
         self.epoch = 0
 
-        self.train_loader, self.val_loader = build_dataloaders(cfg, seed=seed)
+        # Per-host sampler seed (run_training_ddp.py:18-24 base_seed + rank):
+        # under multi-host each process draws a disjoint sample stream and
+        # feeds its local shard of the global batch (shard_host_batch).
+        self.train_loader, self.val_loader = build_dataloaders(
+            cfg, seed=process_seed(seed))
         self.steps_per_epoch = max(
             1, cfg.DATA.TRAIN.SAMPLE_PER_EPOCH // cfg.TRAIN.BATCH_SIZE)
 
@@ -140,9 +146,12 @@ class Trainer:
             inputs = batch_to_model_inputs(batch, rgbt=self.rgbt)
             bsz = inputs["gt_xywh"].shape[0]
             if self.mesh is not None:
-                if bsz % len(self.mesh.devices.flat) != 0:
+                # bsz is this host's local batch; it must tile this host's
+                # slice of the mesh (global divisibility follows).
+                local_devs = max(1, len(self.mesh.devices.flat) // jax.process_count())
+                if bsz % local_devs != 0:
                     continue          # drop ragged tail batch
-                inputs = shard_batch(inputs, self.mesh)
+                inputs = shard_host_batch(inputs, self.mesh)
             if train:
                 self.rng, sub = jax.random.split(self.rng)
                 self.state, metrics = self._step(self.state, inputs, sub,

@@ -43,7 +43,9 @@ def main():
                         "one chip (vmapped offline-eval fast path)")
     p.add_argument("--sequence", type=str, default=None, help="run a single sequence")
     p.add_argument("--rerun", action="store_true", help="do not skip finished sequences")
-    args = p.parse_args()
+    argv, extras = _split_params_argv(sys.argv[1:])
+    args = p.parse_args(argv)
+    param_overrides = _parse_params_overrides(p, extras)
 
     from multi_modal_tracking_tpu.eval.datasets import get_dataset
     from multi_modal_tracking_tpu.eval.evaltracker import create_tracker, is_rgbt_script
@@ -72,6 +74,8 @@ def main():
         params = get_parameters(args.script, args.config, args.tracking_yaml,
                                 checkpoint=ckpt,
                                 search_area_scale=args.search_area_scale)
+        for k, v in param_overrides.items():
+            setattr(params, k, v)
         tracker = create_tracker(params, dataset_name=args.dataset_name, mode=mode)
         factory = (lambda: create_tracker(params, dataset_name=args.dataset_name,
                                           mode=mode)) if args.threads else None
@@ -103,6 +107,50 @@ def main():
                         tracker_factory=factory,
                         devices=jax.devices() if args.threads else None)
         print(f"results -> {results_dir}")
+
+
+def _split_params_argv(argv):
+    """Pull `--params__<name> <value>` / `--params__<name>=<value>` pairs out
+    of argv BEFORE argparse runs (so bare values can't be mistaken for the
+    optional positional). Returns (remaining_argv, extracted_tokens)."""
+    rest, extras = [], []
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok.startswith("--params__"):
+            extras.append(tok)
+            if "=" not in tok and i + 1 < len(argv):
+                i += 1
+                extras.append(argv[i])
+        else:
+            rest.append(tok)
+        i += 1
+    return rest, extras
+
+
+def _parse_params_overrides(parser, unknown):
+    """Dynamic --params__<name> <value> passthrough onto TrackerParams
+    (reference tracking/test.py:72-92). Values are literal-coerced
+    (int/float/bool where possible, else string)."""
+    import ast
+    out = {}
+    i = 0
+    while i < len(unknown):
+        tok = unknown[i]
+        if not tok.startswith("--params__"):
+            parser.error(f"unrecognized argument: {tok}")
+        key, eq, val = tok[len("--params__"):].partition("=")
+        if not eq:
+            i += 1
+            if i >= len(unknown):
+                parser.error(f"--params__{key} needs a value")
+            val = unknown[i]
+        try:
+            out[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            out[key] = val
+        i += 1
+    return out
 
 
 def _epoch_of(path):

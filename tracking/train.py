@@ -32,7 +32,20 @@ def main():
     p.add_argument("--resume", action="store_true", help="resume from latest ckpt")
     p.add_argument("--no_mesh", action="store_true", help="single-device (debug)")
     p.add_argument("--no_fail_safe", action="store_true")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(or set JAX_COORDINATOR_ADDRESS)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
+
+    # Multi-host bootstrap (the torchrun/NCCL dist_init analogue,
+    # run_training_ddp.py:91-99): must happen before any jax device use.
+    from multi_modal_tracking_tpu.parallel.distributed import initialize_distributed
+    if initialize_distributed(args.coordinator, args.num_processes, args.process_id):
+        import jax
+        print(f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+              f"{jax.local_device_count()} local / {jax.device_count()} global devices")
 
     from multi_modal_tracking_tpu.config import get_default_config
     from multi_modal_tracking_tpu.train.trainer import Trainer
