@@ -69,6 +69,12 @@ def _rgbt_base() -> CfgNode:
         SEARCH_FACTOR=5.0,
         SEARCH_SIZE=288,
         EPOCH=500,
+        # GT-anchored jitter for feature-visualisation crops
+        # (experiments/tracking_vis.yaml of the reference).
+        SEARCH_CENTER_JITTER=0.0,
+        SEARCH_SCALE_JITTER=0.0,
+        TEMPLATE_CENTER_JITTER=0.0,
+        TEMPLATE_SCALE_JITTER=0.0,
         UPDATE_INTERVALS=dict(LASOT=[200], GOT10K_TEST=[200], TRACKINGNET=[200],
                               VOT20=[200], VOT20LT=[200], LASHER=[200],
                               RGBT234=[200], VTUAV=[200], VOT22RGBD=[25]),

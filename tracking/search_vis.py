@@ -28,6 +28,9 @@ def main():
     p.add_argument("--frames", type=int, nargs="*", default=[0],
                    help="frame indices to dump")
     p.add_argument("--out", type=str, default="output/search_vis")
+    p.add_argument("--tracking_yaml", type=str, default="tracking_vis",
+                   help="tracking-time overlay (experiments/<name>.yaml); "
+                        "tracking_vis applies GT-anchored jitter crops")
     args = p.parse_args()
 
     from multi_modal_tracking_tpu.eval.datasets import get_dataset
@@ -43,7 +46,8 @@ def main():
     for i, script in enumerate(args.scripts):
         cfg_name = args.configs[i] if args.configs else None
         ckpt = args.checkpoints[i] if args.checkpoints else None
-        params = get_parameters(script, cfg_name, checkpoint=ckpt)
+        params = get_parameters(script, cfg_name, tracking_yaml=args.tracking_yaml,
+                                checkpoint=ckpt)
         trackers[script] = create_tracker(params, dataset_name=args.dataset_name)
 
     info = seq.init_info()
