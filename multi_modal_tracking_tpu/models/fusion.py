@@ -44,11 +44,26 @@ def _msda_grid_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
 
 
 class MSDeformAttnBimodal(nn.Module):
-    """Bimodal multi-scale deformable attention (2 levels = 2 modalities)."""
+    """Multi-scale deformable attention over 2 levels = 2 modalities.
+
+    attn_type (deformable_encoder.py:119-124 DeformAttn_type):
+      'bimodal'   offsets/weights predicted from the CONCAT of both modal
+                  queries and SHARED across modalities
+                  (ops/modules/ms_deform_attn_bimodal.py:97-111)
+      'bimodal_2' separate offsets/weights PER modality, still predicted from
+                  the concat bimodal query (2x prediction width;
+                  ms_deform_attn_bimodal_2.py:58-60,109-110 — the reference
+                  `view`s the doubled features straight to sequence length,
+                  interleaving modalities; we keep them aligned with the
+                  [V; I] token order, which is the stated intent)
+      'normal'    standard MSDeformAttn: each query predicts its own
+                  offsets/weights from itself (ms_deform_attn.py)
+    """
     d_model: int = 256
     n_levels: int = 2
     n_heads: int = 8
     n_points: int = 4
+    attn_type: str = "bimodal"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -58,20 +73,41 @@ class MSDeformAttnBimodal(nn.Module):
         B, Lq, C = query.shape
         M, L, P = self.n_heads, self.n_levels, self.n_points
         Lq_uni = Lq // 2
-        q_bi = jnp.concatenate([query[:, :Lq_uni], query[:, Lq_uni:]], axis=2)  # (B, Lq/2, 2C)
 
         value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(src)
         value = value.reshape(B, Lq, M, C // M)
 
-        off = nn.Dense(M * L * P * 2, dtype=self.dtype, name="sampling_offsets",
-                       kernel_init=nn.initializers.zeros,
-                       bias_init=lambda *_: jnp.asarray(_msda_grid_bias(M, L, P)))(q_bi)
-        off = off.reshape(B, Lq_uni, M, L, P, 2)
-        off = jnp.concatenate([off, off], axis=1)                              # shared V/I
-
-        w = nn.Dense(M * L * P, dtype=self.dtype, name="attention_weights",
-                     kernel_init=nn.initializers.zeros)(q_bi)
-        w = jnp.concatenate([w, w], axis=1).reshape(B, Lq, M, L * P)
+        grid_bias = lambda reps: (lambda *_: jnp.asarray(
+            np.tile(_msda_grid_bias(M, L, P), reps)))
+        if self.attn_type == "normal":
+            off = nn.Dense(M * L * P * 2, dtype=self.dtype, name="sampling_offsets",
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=grid_bias(1))(query)
+            off = off.reshape(B, Lq, M, L, P, 2)
+            w = nn.Dense(M * L * P, dtype=self.dtype, name="attention_weights",
+                         kernel_init=nn.initializers.zeros)(query)
+            w = w.reshape(B, Lq, M, L * P)
+        else:
+            q_bi = jnp.concatenate([query[:, :Lq_uni], query[:, Lq_uni:]], axis=2)  # (B, Lq/2, 2C)
+            if self.attn_type == "bimodal_2":
+                off = nn.Dense(M * L * P * 2 * 2, dtype=self.dtype, name="sampling_offsets",
+                               kernel_init=nn.initializers.zeros,
+                               bias_init=grid_bias(2))(q_bi)
+                off = off.reshape(B, Lq_uni, 2, M, L, P, 2)
+                off = jnp.concatenate([off[:, :, 0], off[:, :, 1]], axis=1)   # per-modal V/I
+                w = nn.Dense(M * L * P * 2, dtype=self.dtype, name="attention_weights",
+                             kernel_init=nn.initializers.zeros)(q_bi)
+                w = w.reshape(B, Lq_uni, 2, M, L * P)
+                w = jnp.concatenate([w[:, :, 0], w[:, :, 1]], axis=1)
+            else:
+                off = nn.Dense(M * L * P * 2, dtype=self.dtype, name="sampling_offsets",
+                               kernel_init=nn.initializers.zeros,
+                               bias_init=grid_bias(1))(q_bi)
+                off = off.reshape(B, Lq_uni, M, L, P, 2)
+                off = jnp.concatenate([off, off], axis=1)                     # shared V/I
+                w = nn.Dense(M * L * P, dtype=self.dtype, name="attention_weights",
+                             kernel_init=nn.initializers.zeros)(q_bi)
+                w = jnp.concatenate([w, w], axis=1).reshape(B, Lq, M, L * P)
         w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(self.dtype)
         w = w.reshape(B, Lq, M, L, P)
 
@@ -110,13 +146,15 @@ class DeformableEncoderLayer(nn.Module):
     n_points: int = 4
     dropout: float = 0.1
     ln_specific: bool = True
+    attn_type: str = "bimodal"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, deterministic=True):
         q = src + pos
         src2 = MSDeformAttnBimodal(self.d_model, self.n_levels, self.n_heads,
-                                   self.n_points, dtype=self.dtype, name="self_attn")(
+                                   self.n_points, attn_type=self.attn_type,
+                                   dtype=self.dtype, name="self_attn")(
             q, reference_points, src, spatial_shapes)
         src2 = nn.Dropout(self.dropout)(src2, deterministic=deterministic)
         src = _ModalLayerNorm(self.ln_specific, dtype=self.dtype, name="norm1")(src + src2)
@@ -137,6 +175,7 @@ class DeformableAttentionFusion(nn.Module):
     n_points: int = 4
     dropout: float = 0.1
     ln_specific: bool = True
+    attn_type: str = "bimodal"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -162,7 +201,8 @@ class DeformableAttentionFusion(nn.Module):
         for i in range(self.num_encoder_layers):
             src = DeformableEncoderLayer(self.d_model, 4 * self.d_model, 2, self.n_heads,
                                          self.n_points, self.dropout, self.ln_specific,
-                                         dtype=self.dtype, name=f"layers_{i}")(
+                                         self.attn_type, dtype=self.dtype,
+                                         name=f"layers_{i}")(
                 src, pos, ref, spatial_shapes, deterministic)
         return src
 
@@ -183,17 +223,21 @@ class AttentionFusionBimodal(nn.Module):
 
     mode:
       'cat'        separate in-adjusts, concat modal outputs -> out adjust
-                   (Attention_Fusion_Bimodal / _LNSpecific)
+                   (Attention_Fusion_Bimodal / _LNSpecific / _Bimodal_2 /
+                   Attention_Fusion_512)
       'sum'        separate in-adjusts, sum modal outputs -> out adjust
                    (Attention_Fusion_Bimodal_LNSpecific_Sum)
       'shared_sum' shared in-adjust, sum outputs, shared out adjust
                    (Attention_Fusion_Bimodal_LNSpecific_2 — flagship)
+      'raw_sum'    no adjusts at all: encoder at d_model=channels, modal
+                   outputs summed (Attention_Fusion_1, fusion_utils.py:113-126)
     """
     channels: int = 768
     d_model: int = 512
     num_encoder_layers: int = 6
     ln_specific: bool = True
     mode: str = "shared_sum"
+    attn_type: str = "bimodal"
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
@@ -201,18 +245,24 @@ class AttentionFusionBimodal(nn.Module):
     def __call__(self, x_v: jax.Array, x_i: jax.Array, deterministic=True) -> jax.Array:
         """(B, H, W, channels) x2 -> (B, H, W, channels) fused map."""
         B, H, W, _ = x_v.shape
-        if self.mode == "shared_sum":
-            adj = _AdjustConv(self.d_model, dtype=self.dtype, name="adjust_in")
+        d_model = self.channels if self.mode == "raw_sum" else self.d_model
+        if self.mode == "raw_sum":
+            v, i = x_v, x_i
+        elif self.mode == "shared_sum":
+            adj = _AdjustConv(d_model, dtype=self.dtype, name="adjust_in")
             v, i = adj(x_v), adj(x_i)
         else:
-            v = _AdjustConv(self.d_model, dtype=self.dtype, name="adjust_v")(x_v)
-            i = _AdjustConv(self.d_model, dtype=self.dtype, name="adjust_i")(x_i)
-        out = DeformableAttentionFusion(self.d_model, 8, self.num_encoder_layers,
+            v = _AdjustConv(d_model, dtype=self.dtype, name="adjust_v")(x_v)
+            i = _AdjustConv(d_model, dtype=self.dtype, name="adjust_i")(x_i)
+        out = DeformableAttentionFusion(d_model, 8, self.num_encoder_layers,
                                         ln_specific=self.ln_specific, dropout=self.dropout,
+                                        attn_type=self.attn_type,
                                         dtype=self.dtype, name="fusion_attention")(
             v, i, deterministic)
-        out_v = out[:, :H * W].reshape(B, H, W, self.d_model)
-        out_i = out[:, H * W:].reshape(B, H, W, self.d_model)
+        out_v = out[:, :H * W].reshape(B, H, W, d_model)
+        out_i = out[:, H * W:].reshape(B, H, W, d_model)
+        if self.mode == "raw_sum":
+            return out_v + out_i
         if self.mode == "cat":
             cat = jnp.concatenate([out_v, out_i], axis=-1)
             return _AdjustConv(self.channels, dtype=self.dtype, name="adjust_cat")(cat)
@@ -295,7 +345,10 @@ class CatConvFusion(nn.Module):
 def build_fusion(fusion_class: str, channels: int, d_model: int, num_encoder_layers: int,
                  dtype=jnp.float32, name: str = "fusion_vi"):
     table = {
+        "Attention_Fusion_1": dict(ln_specific=False, mode="raw_sum", attn_type="bimodal"),
+        "Attention_Fusion_512": dict(ln_specific=False, mode="cat", attn_type="normal"),
         "Attention_Fusion_Bimodal": dict(ln_specific=False, mode="cat"),
+        "Attention_Fusion_Bimodal_2": dict(ln_specific=False, mode="cat", attn_type="bimodal_2"),
         "Attention_Fusion_Bimodal_LNSpecific": dict(ln_specific=True, mode="cat"),
         "Attention_Fusion_Bimodal_LNSpecific_Sum": dict(ln_specific=True, mode="sum"),
         "Attention_Fusion_Bimodal_LNSpecific_2": dict(ln_specific=True, mode="shared_sum"),

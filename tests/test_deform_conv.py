@@ -95,3 +95,58 @@ def test_deform_fusion_modules():
     g = jax.grad(lambda v: (fusion.apply(v, xv, xi) ** 2).sum())(variables)
     leaves = jax.tree.leaves(g["params"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_attention_fusion_variants():
+    """The full Attention_Fusion_* zoo builds, runs and differentiates.
+
+    Covers the three DeformAttn_type paths (bimodal / bimodal_2 / normal,
+    reference deformable_encoder.py:119-124) and the raw-sum wrapper
+    (Attention_Fusion_1, fusion_utils.py:113-126)."""
+    import jax
+    from multi_modal_tracking_tpu.models.fusion import build_fusion
+    rng = np.random.default_rng(3)
+    C = 32
+    xv = jnp.asarray(rng.standard_normal((1, 4, 4, C)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((1, 4, 4, C)).astype(np.float32))
+    for cls in ("Attention_Fusion_1", "Attention_Fusion_512",
+                "Attention_Fusion_Bimodal_2"):
+        fusion = build_fusion(cls, C, d_model=C, num_encoder_layers=1)
+        variables = fusion.init(jax.random.PRNGKey(0), xv, xi)
+        out = jax.jit(fusion.apply)(variables, xv, xi)
+        assert out.shape == (1, 4, 4, C), cls
+        assert np.isfinite(np.asarray(out)).all(), cls
+        g = jax.grad(lambda v: (fusion.apply(v, xv, xi) ** 2).sum())(variables)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(g["params"])), cls
+
+
+def test_bimodal2_predicts_per_modal_offsets():
+    """bimodal_2 gives each modality its own offsets: with modal inputs
+    swapped the two halves must NOT mirror exactly (they would for the
+    shared 'bimodal' prediction when queries are modality-symmetric)."""
+    import jax
+    from multi_modal_tracking_tpu.models.fusion import MSDeformAttnBimodal
+    rng = np.random.default_rng(4)
+    C, H, W = 16, 3, 3
+    src = jnp.asarray(rng.standard_normal((1, 2 * H * W, C)).astype(np.float32))
+    ys, xs = np.meshgrid((np.arange(H) + .5) / H, (np.arange(W) + .5) / W, indexing="ij")
+    ref1 = np.stack([xs.ravel(), ys.ravel()], -1)
+    ref = jnp.asarray(np.tile(np.concatenate([ref1, ref1], 0)[:, None], (1, 2, 1)),
+                      jnp.float32)
+    shapes = ((H, W), (H, W))
+    for attn_type in ("bimodal", "bimodal_2", "normal"):
+        m = MSDeformAttnBimodal(d_model=C, attn_type=attn_type)
+        v = m.init(jax.random.PRNGKey(1), src, ref, src, shapes)
+        out = m.apply(v, src, ref, src, shapes)
+        assert out.shape == (1, 2 * H * W, C), attn_type
+        assert np.isfinite(np.asarray(out)).all(), attn_type
+    # parameter widths differ: bimodal_2 predicts 2x offsets/weights
+    m1 = MSDeformAttnBimodal(d_model=C, attn_type="bimodal")
+    m2 = MSDeformAttnBimodal(d_model=C, attn_type="bimodal_2")
+    p1 = m1.init(jax.random.PRNGKey(1), src, ref, src, shapes)["params"]
+    p2 = m2.init(jax.random.PRNGKey(1), src, ref, src, shapes)["params"]
+    assert (p2["sampling_offsets"]["kernel"].shape[-1]
+            == 2 * p1["sampling_offsets"]["kernel"].shape[-1])
+    assert (p2["attention_weights"]["kernel"].shape[-1]
+            == 2 * p1["attention_weights"]["kernel"].shape[-1])
