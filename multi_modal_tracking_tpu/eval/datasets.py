@@ -28,6 +28,7 @@ dataset_dict = dict(
     synthetic_rgbt=DatasetInfo(_BASE + "datasets_rgbt", "SyntheticRGBTEvalDataset", dict()),
     # unimodal
     lasot=DatasetInfo(_BASE + "datasets_rgb", "LaSOTDataset", dict()),
+    lasot_lmdb=DatasetInfo(_BASE + "datasets_rgb", "LaSOTLmdbDataset", dict()),
     got10k_test=DatasetInfo(_BASE + "datasets_rgb", "GOT10kDataset", dict(split="test")),
     got10k_val=DatasetInfo(_BASE + "datasets_rgb", "GOT10kDataset", dict(split="val")),
     got10k_ltrval=DatasetInfo(_BASE + "datasets_rgb", "GOT10kDataset", dict(split="ltrval")),

@@ -49,6 +49,43 @@ class LaSOTDataset(BaseDataset):
                         object_class=name.rsplit("-", 1)[0], target_visible=visible)
 
 
+class LaSOTLmdbDataset(BaseDataset):
+    """LaSOT test split packed into one lmdb
+    (lib/test/evaluation/lasot_lmdbdataset.py): frame entries are
+    (db_path, key) pairs decoded by the runner's frame loader; annotations
+    decoded from '<class>/<seq>/{groundtruth,full_occlusion,out_of_view}.txt'
+    keys, sequence names from 'list.txt' (falls back to the directory-less
+    env path)."""
+
+    def __init__(self, root=None, sequence_list=None):
+        super().__init__()
+        from multi_modal_tracking_tpu.utils.lmdb_utils import decode_str
+        self._decode_str = decode_str
+        self.base_path = root or self.env_settings.require("lasot_lmdb_dir")
+        if sequence_list is None:
+            sequence_list = [l for l in decode_str(self.base_path, "list.txt").split("\n")
+                             if l.strip()]
+        self.sequence_list = sequence_list
+
+    def get_sequence_list(self):
+        return SequenceList([self._construct_sequence(s) for s in self.sequence_list])
+
+    def _construct_sequence(self, seq):
+        name = seq.split("/")[-1]
+        rows = [r for r in self._decode_str(
+            self.base_path, f"{seq}/groundtruth.txt").split("\n") if r.strip()]
+        gt = np.asarray([[float(v) for v in r.split(",")] for r in rows], np.float64)
+        occ = np.asarray(list(map(int, self._decode_str(
+            self.base_path, f"{seq}/full_occlusion.txt").split(","))))
+        oov = np.asarray(list(map(int, self._decode_str(
+            self.base_path, f"{seq}/out_of_view.txt").split(","))))
+        visible = ((occ == 0) & (oov == 0)).astype(np.uint8)
+        frames = [(self.base_path, f"{seq}/img/{i:08d}.jpg")
+                  for i in range(1, gt.shape[0] + 1)]
+        return Sequence(name, frames, "lasot", gt,
+                        object_class=name.rsplit("-", 1)[0], target_visible=visible)
+
+
 class GOT10kDataset(BaseDataset):
     """GOT-10k test/val/ltrval: GOT-10k_<Split>_NNNNNN/*.jpg + groundtruth.txt."""
 

@@ -70,6 +70,10 @@ def _load_frame(seq, k):
         return [img_v, img_i]
     if isinstance(fr, np.ndarray):
         return fr
+    if isinstance(fr, (tuple, list)):
+        # lmdb-packed frame: (db_path, key) pair (lasot_lmdbdataset.py:56)
+        from multi_modal_tracking_tpu.utils.lmdb_utils import decode_img
+        return decode_img(*fr)
     return _imread(fr)
 
 

@@ -143,3 +143,39 @@ def test_registry_names():
     with pytest.raises(Exception):
         # no fake env installed and no local paths -> must raise, not return
         names2datasets(["LASOT_lmdb"])
+
+
+def test_lasot_lmdb_eval_dataset(fake_db, tmp_path):
+    """Eval-side lasot_lmdb registry entry: sequences built from lmdb keys,
+    frames as (db, key) pairs decodable by the runner's frame loader
+    (lib/test/evaluation/lasot_lmdbdataset.py)."""
+    rng = np.random.default_rng(5)
+    root = str(tmp_path / "lasot_lmdb")
+    seq = "dog/dog-3"
+    n = 4
+    store = {
+        "list.txt": f"{seq}\n".encode(),
+        f"{seq}/groundtruth.txt": ("\n".join("10,20,30,40" for _ in range(n)) + "\n").encode(),
+        f"{seq}/full_occlusion.txt": ",".join("0" for _ in range(n)).encode(),
+        f"{seq}/out_of_view.txt": ("0," * (n - 1) + "1").encode(),
+    }
+    for i in range(1, n + 1):
+        store[f"{seq}/img/{i:08d}.jpg"] = _jpg(rng)
+    fake_db(root, store)
+
+    from multi_modal_tracking_tpu.eval.datasets import get_dataset
+    from multi_modal_tracking_tpu.eval.datasets_rgb import LaSOTLmdbDataset
+    seqs = LaSOTLmdbDataset(root=root).get_sequence_list()
+    assert len(seqs) == 1
+    s = seqs["dog-3"]
+    assert s.ground_truth_rect.shape == (n, 4)
+    assert s.target_visible.tolist() == [1, 1, 1, 0]
+
+    from multi_modal_tracking_tpu.eval.running import _load_frame
+    img = _load_frame(s, 0)
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+
+    # registry name resolves (constructor needs the configured path, so just
+    # assert it's present and errors cleanly without one)
+    from multi_modal_tracking_tpu.eval.datasets import dataset_dict
+    assert "lasot_lmdb" in dataset_dict
