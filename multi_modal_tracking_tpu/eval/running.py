@@ -15,6 +15,7 @@ over multiple local devices when present.
 """
 from __future__ import annotations
 
+import math
 import os
 import threading
 import time
@@ -110,10 +111,49 @@ class _Prefetcher:
             yield item
 
 
+def _write_vis_video(path: str, frames) -> str:
+    """mp4 writer + optional ffmpeg h264 re-encode (the reference writes a
+    temp mp4v file then re-encodes, running.py:26-80)."""
+    import shutil
+    import subprocess
+    import cv2
+    tmp = os.path.join(os.path.dirname(path), "temp_" + os.path.basename(path))
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+    if shutil.which("ffmpeg"):
+        subprocess.run(["ffmpeg", "-nostdin", "-y", "-loglevel", "quiet",
+                        "-i", tmp, "-vcodec", "h264", path], check=True)
+        os.remove(tmp)
+    else:
+        os.replace(tmp, path)
+    return path
+
+
+def _vis_frame(frame, pred_box, prev_box, search_factor: float):
+    """Raw frame + predicted box (green) + search region (yellow)."""
+    import cv2
+    img = np.ascontiguousarray(frame if frame.ndim == 3 else frame[0])
+    x, y, w, h = [float(v) for v in pred_box]
+    cv2.rectangle(img, (int(x), int(y)), (int(x + w), int(y + h)), (0, 255, 0), 2)
+    px, py, pw, ph = [float(v) for v in prev_box]
+    crop_sz = math.ceil(math.sqrt(max(pw * ph, 1.0)) * search_factor)
+    cx, cy = px + pw / 2, py + ph / 2
+    cv2.rectangle(img, (int(cx - crop_sz / 2), int(cy - crop_sz / 2)),
+                  (int(cx + crop_sz / 2), int(cy + crop_sz / 2)), (0, 255, 255), 1)
+    return img
+
+
 def run_sequence(seq: Sequence, tracker, results_dir: str,
                  skip_if_done: bool = True, chunk: int = 16,
-                 report_fps: bool = True) -> Optional[dict]:
-    """Track one sequence; write <results_dir>/<seq>.txt (+ _time.txt)."""
+                 report_fps: bool = True, save_vis: bool = False) -> Optional[dict]:
+    """Track one sequence; write <results_dir>/<seq>.txt (+ _time.txt).
+
+    save_vis renders a per-frame search-region visualisation video to
+    <results_dir>/vis_video/<seq>.mp4 (reference params.vis_search,
+    running.py:26-80); it forces the per-frame (non-chunked) path."""
     os.makedirs(results_dir, exist_ok=True)
     bbox_file = os.path.join(results_dir, f"{seq.name}.txt")
     if skip_if_done and os.path.isfile(bbox_file):
@@ -130,7 +170,8 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
     times[0] = time.time() - t0
 
     scores = None
-    use_chunks = hasattr(tracker, "track_chunk")
+    vis_frames = [] if save_vis else None
+    use_chunks = hasattr(tracker, "track_chunk") and not save_vis
     if use_chunks and n > 1:
         # Dispatch every chunk asynchronously (device arrays only) and fetch
         # all boxes in ONE D2H at sequence end — per-frame trajectories are
@@ -162,6 +203,16 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
                 if scores is None:
                     scores = np.ones((n,), dtype=np.float64)
                 scores[k] = out["pred_score"]
+            if vis_frames is not None:
+                fv = frame[0] if isinstance(frame, (list, tuple)) else frame
+                vis_frames.append(_vis_frame(
+                    fv.copy(), boxes[k], boxes[k - 1],
+                    getattr(tracker, "search_factor", 4.5)))
+
+    if vis_frames:
+        vis_dir = os.path.join(results_dir, "vis_video")
+        os.makedirs(vis_dir, exist_ok=True)
+        _write_vis_video(os.path.join(vis_dir, f"{seq.name}.mp4"), vis_frames)
 
     np.savetxt(bbox_file, boxes, delimiter="\t", fmt="%d")
     if scores is not None:
@@ -177,7 +228,8 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
 
 def run_dataset(dataset, tracker, results_dir: str, skip_if_done: bool = True,
                 chunk: int = 16, threads: int = 0,
-                tracker_factory=None, devices=None) -> List[dict]:
+                tracker_factory=None, devices=None,
+                save_vis: bool = False) -> List[dict]:
     """Run a tracker over every sequence (lib/test/evaluation/running.py:200).
 
     threads>0 with tracker_factory maps sequences over a thread pool, one
@@ -202,13 +254,15 @@ def run_dataset(dataset, tracker, results_dir: str, skip_if_done: bool = True,
                     set_put_device(devices[next(worker_ids) % len(devices)])
                 local.tracker = tracker_factory()
             return run_sequence(seq, local.tracker, results_dir,
-                                skip_if_done=skip_if_done, chunk=chunk)
+                                skip_if_done=skip_if_done, chunk=chunk,
+                                save_vis=save_vis)
         with ThreadPoolExecutor(max_workers=threads) as ex:
             stats = [s for s in ex.map(work, dataset) if s is not None]
     else:
         for seq in dataset:
             s = run_sequence(seq, tracker, results_dir,
-                             skip_if_done=skip_if_done, chunk=chunk)
+                             skip_if_done=skip_if_done, chunk=chunk,
+                             save_vis=save_vis)
             if s is not None:
                 stats.append(s)
     if stats:

@@ -138,3 +138,20 @@ def test_run_dataset_device_round_robin(tmp_path, dataset):
     for seq in dataset:
         got = np.loadtxt(os.path.join(res_dir, f"{seq.name}.txt"))
         assert got.shape == (len(seq.frames), 4)
+
+
+def test_save_vis_video(tmp_path, dataset):
+    """save_vis renders <results>/vis_video/<seq>.mp4 with one frame per
+    tracked frame (reference params.vis_search, running.py:26-80)."""
+    pytest.importorskip("cv2")
+    trk = OracleTracker(dataset)
+    seq = dataset[0]
+    trk.bind(seq.name)
+    run_sequence(seq, trk, str(tmp_path), skip_if_done=False,
+                 report_fps=False, save_vis=True)
+    video = tmp_path / "vis_video" / f"{seq.name}.mp4"
+    assert video.is_file() and video.stat().st_size > 0
+    import cv2
+    cap = cv2.VideoCapture(str(video))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == len(seq.frames) - 1
+    cap.release()

@@ -43,6 +43,9 @@ def main():
                         "one chip (vmapped offline-eval fast path)")
     p.add_argument("--sequence", type=str, default=None, help="run a single sequence")
     p.add_argument("--rerun", action="store_true", help="do not skip finished sequences")
+    p.add_argument("--vis_search", action="store_true",
+                   help="save per-sequence search-region visualisation videos "
+                        "(reference params.vis_search)")
     argv, extras = _split_params_argv(sys.argv[1:])
     args = p.parse_args(argv)
     param_overrides = _parse_params_overrides(p, extras)
@@ -105,7 +108,8 @@ def main():
             run_dataset(dataset, tracker, results_dir, skip_if_done=not args.rerun,
                         chunk=args.chunk, threads=args.threads,
                         tracker_factory=factory,
-                        devices=jax.devices() if args.threads else None)
+                        devices=jax.devices() if args.threads else None,
+                        save_vis=args.vis_search)
         print(f"results -> {results_dir}")
 
 
