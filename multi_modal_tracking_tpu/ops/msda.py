@@ -8,16 +8,18 @@ MSDeformAttnFunction) whose numerics are defined by the pure-PyTorch oracle
 bilinear sampling with grid_sample(align_corners=False, padding_mode='zeros')
 at pixel coordinate loc * size - 0.5, followed by an attention-weighted sum.
 
-TPU-first design: no custom autograd needed — the op is a differentiable
-composition of interpolations and multiplies, so XLA derives the backward
-pass. Two lowerings behind one signature:
-  - DENSE (default for levels with H*W <= _DENSE_MAX_SOURCE): the bilinear
-    taps and attention weights are folded into one interpolation matrix
-    A (B, Lq, M, S) built from broadcast compares, and sampling becomes a
-    single einsum with the value tensor — gathers (slow scalar-ish memory
-    ops on TPU) turn into an MXU matmul. Measured on v5e-1 this took the
-    flagship's 6-layer fusion from 6.9 ms to matmul-bound sub-ms.
-  - GATHER for large maps where the dense matrix would not pay off.
+TPU-first design — three lowerings behind one signature:
+  - PALLAS (default on TPU): per (batch, head) grid cell the 16 bilinear
+    taps (4 points x 4 corners, attention weights folded in) are compare-
+    accumulated into one interpolation matrix A (Lq, H*W) held in VMEM, and
+    sampling becomes one MXU matmul A @ V per level. The tracking-shape maps
+    (2 levels of 18x18, Lq=648) never leave VMEM; the whole op is ~0.1 GFLOP
+    of dense matmul instead of the gather/tiny-einsum soup XLA derives.
+    Backward is a custom VJP that recomputes through the XLA composition
+    (exact — the op is a differentiable composition, standard remat trade).
+  - DENSE XLA (CPU / fallback, levels with H*W <= _DENSE_MAX_SOURCE): same
+    interpolation-matrix idea as one einsum per level.
+  - GATHER XLA for large maps where a dense matrix would not pay off.
 
 Shapes (L levels with static spatial shapes):
   value              : (B, S, M, D)        S = sum_l H_l*W_l
@@ -28,10 +30,13 @@ Shapes (L levels with static spatial shapes):
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+import functools
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _bilinear_sample_level(value_l: jax.Array, loc: jax.Array, H: int, W: int) -> jax.Array:
@@ -112,11 +117,110 @@ def _dense_sample_level(value_l: jax.Array, loc: jax.Array, attw: jax.Array,
     return jnp.einsum("blms,bsmd->blmd", A, value_l)
 
 
-def ms_deform_attn(value: jax.Array,
-                   spatial_shapes: Sequence[Tuple[int, int]],
-                   sampling_locations: jax.Array,
-                   attention_weights: jax.Array) -> jax.Array:
-    """Multi-scale deformable attention core (see module docstring)."""
+def _tap_tables(spatial_shapes, sampling_locations, attention_weights):
+    """Fold bilinear corner weights and attention weights into per-tap
+    (flat index, weight) tables.
+
+    Returns idx (B, M, Lq, L*16) int32 (-1 = dead tap) and
+    w (B, M, Lq, L*16) f32, tap-major within each level.
+    """
+    loc = sampling_locations.astype(jnp.float32)
+    attw = attention_weights.astype(jnp.float32)
+    B, Lq, M = loc.shape[0], loc.shape[1], loc.shape[2]
+    P = loc.shape[4]
+    idx_levels, w_levels = [], []
+    for lid, (H, W) in enumerate(spatial_shapes):
+        idx_parts, w_parts = [], []
+        x = loc[:, :, :, lid, :, 0] * W - 0.5          # (B, Lq, M, P)
+        y = loc[:, :, :, lid, :, 1] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        aw = attw[:, :, :, lid]                        # (B, Lq, M, P)
+        for xi, yi, bw in ((x0i, y0i, (1 - fx) * (1 - fy)),
+                           (x0i + 1, y0i, fx * (1 - fy)),
+                           (x0i, y0i + 1, (1 - fx) * fy),
+                           (x0i + 1, y0i + 1, fx * fy)):
+            inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+            idx_parts.append(jnp.where(inside, yi * W + xi, -1))
+            w_parts.append(bw * aw)
+        # (B, Lq, M, P, 4) -> (B, Lq, M, P*4), P-major within the level
+        idx_levels.append(jnp.stack(idx_parts, -1).reshape(B, Lq, M, P * 4))
+        w_levels.append(jnp.stack(w_parts, -1).reshape(B, Lq, M, P * 4))
+    idx = jnp.concatenate(idx_levels, axis=-1)         # (B, Lq, M, L*P*4)
+    w = jnp.concatenate(w_levels, axis=-1)
+    return idx.transpose(0, 2, 1, 3), w.transpose(0, 2, 1, 3)
+
+
+def _msda_kernel(idx_ref, w_ref, v_ref, o_ref, *, spatial_shapes,
+                 taps_per_level, acc_dtype):
+    """One (batch, head): build A (Lq, S_l) from tap tables, matmul with V."""
+    Lq = idx_ref.shape[2]
+    D = v_ref.shape[3]
+    acc = jnp.zeros((Lq, D), jnp.float32)
+    off = 0
+    toff = 0
+    for (H, W) in spatial_shapes:
+        S_l = H * W
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Lq, S_l), 1)
+        A = jnp.zeros((Lq, S_l), jnp.float32)
+        for t in range(taps_per_level):
+            idx_t = idx_ref[0, 0, :, toff + t: toff + t + 1]   # (Lq, 1)
+            w_t = w_ref[0, 0, :, toff + t: toff + t + 1]
+            A = A + jnp.where(iota == idx_t, w_t.astype(jnp.float32), 0.0)
+        V_l = v_ref[0, 0, off: off + S_l, :]                    # (S_l, D)
+        acc = acc + jax.lax.dot_general(
+            A.astype(acc_dtype), V_l,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        off += S_l
+        toff += taps_per_level
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+def _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
+                     attention_weights, interpret=False):
+    B, S, M, D = value.shape
+    Lq = sampling_locations.shape[1]
+    idx, w = _tap_tables(spatial_shapes, sampling_locations, attention_weights)
+    # bf16 A rides the MXU at full rate; its 8-bit mantissa covers the
+    # bilinear-weight resolution needed at 18x18 tracking maps. Keep f32
+    # when the value itself is f32 (CPU tests / strict parity).
+    acc_dtype = value.dtype if value.dtype == jnp.bfloat16 else jnp.float32
+    T = idx.shape[-1]
+    kernel = functools.partial(_msda_kernel, spatial_shapes=tuple(spatial_shapes),
+                               taps_per_level=T // len(spatial_shapes),
+                               acc_dtype=acc_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, M),
+        in_specs=[
+            pl.BlockSpec((1, 1, Lq, T), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lq, T), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, D), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Lq, D), lambda b, m: (b, m, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, Lq, D), value.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * Lq * S * D,
+            bytes_accessed=(2 * B * M * Lq * T * 4 + B * S * M * D
+                            * value.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, w.astype(acc_dtype), value.transpose(0, 2, 1, 3))
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
+
+
+def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
+                        attention_weights):
+    """Differentiable XLA composition (dense / gather lowerings)."""
     B, S, M, D = value.shape
     Lq = sampling_locations.shape[1]
     L = len(spatial_shapes)
@@ -143,3 +247,67 @@ def ms_deform_attn(value: jax.Array,
         o = (samp * attw[..., None]).sum(axis=(3, 4))
         out = o if out is None else out + o
     return out.reshape(B, Lq, M * D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def ms_deform_attn_fused(value, spatial_shapes, sampling_locations,
+                         attention_weights, interpret=False):
+    """Pallas-fused MSDA forward with exact XLA backward (see module doc)."""
+    return _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
+                            attention_weights, interpret)
+
+
+def _fused_fwd(value, spatial_shapes, loc, attw, interpret):
+    out = _msda_pallas_fwd(value, spatial_shapes, loc, attw, interpret)
+    return out, (value, loc, attw)
+
+
+def _fused_bwd(spatial_shapes, interpret, res, g):
+    value, loc, attw = res
+    _, vjp = jax.vjp(
+        lambda v, l, w: _ms_deform_attn_xla(v, spatial_shapes, l, w),
+        value, loc, attw)
+    return vjp(g)
+
+
+ms_deform_attn_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def use_pallas_default() -> bool:
+    """True when the fused kernel should be used: explicit USE_PALLAS
+    override if set, else TPU backend auto-detect."""
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    return jax.default_backend() == "tpu" and not FORCE_INTERPRET
+
+
+def ms_deform_attn(value: jax.Array,
+                   spatial_shapes: Sequence[Tuple[int, int]],
+                   sampling_locations: jax.Array,
+                   attention_weights: jax.Array,
+                   use_pallas: Optional[bool] = None) -> jax.Array:
+    """Multi-scale deformable attention core (see module docstring).
+
+    Dispatches to the Pallas kernel on TPU when every level's map fits the
+    VMEM-resident interpolation matrix, else the XLA composition."""
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    fits = all(h * w <= _PALLAS_MAX_SOURCE for h, w in spatial_shapes)
+    if (use_pallas or FORCE_INTERPRET) and fits:
+        return ms_deform_attn_fused(value, tuple(spatial_shapes),
+                                    sampling_locations, attention_weights,
+                                    FORCE_INTERPRET)
+    return _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
+                               attention_weights)
+
+
+#: Per-level source-size bound for the Pallas lowering: A is (Lq, H*W) in
+#: VMEM per grid cell.
+_PALLAS_MAX_SOURCE = 4096
+
+#: Explicit dispatch override: True -> always Pallas, False -> always XLA,
+#: None -> auto by backend (mirrors ops.attention.USE_PALLAS).
+USE_PALLAS: Optional[bool] = None
+
+#: Test hook: run the Pallas kernel in interpreter mode (CPU).
+FORCE_INTERPRET = False

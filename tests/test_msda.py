@@ -92,3 +92,56 @@ def test_dense_and_gather_lowerings_agree():
         M._DENSE_MAX_SOURCE = orig
     np.testing.assert_allclose(np.asarray(dense), np.asarray(gather),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_msda_pallas_matches_xla_interpret():
+    """Fused Pallas lowering (interpret mode on CPU) == XLA composition,
+    forward and gradients — the same parity contract the reference enforces
+    for its CUDA kernel (ops/test.py:31-41,54+)."""
+    from multi_modal_tracking_tpu.ops import msda as msda_mod
+    rng = np.random.default_rng(11)
+    B, M, D, P = 2, 4, 16, 4
+    shapes = ((6, 7), (5, 4))
+    S = sum(h * w for h, w in shapes)
+    Lq = 9
+    value = jnp.asarray(rng.standard_normal((B, S, M, D)).astype(np.float32))
+    # include out-of-range locations to exercise the dead-tap (-1) path
+    loc = jnp.asarray(rng.uniform(-0.15, 1.15, (B, Lq, M, len(shapes), P, 2))
+                      .astype(np.float32))
+    w = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((B, Lq, M, len(shapes), P)).astype(np.float32)), -1)
+
+    ref = msda_mod._ms_deform_attn_xla(value, shapes, loc, w)
+    got = msda_mod.ms_deform_attn_fused(value, shapes, loc, w, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_ref(v, l, ww):
+        return (msda_mod._ms_deform_attn_xla(v, shapes, l, ww) ** 2).sum()
+
+    def loss_fused(v, l, ww):
+        return (msda_mod.ms_deform_attn_fused(v, shapes, l, ww, True) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(value, loc, w)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(value, loc, w)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_msda_dispatcher_pallas_toggle():
+    from multi_modal_tracking_tpu.ops import msda as msda_mod
+    rng = np.random.default_rng(12)
+    shapes = ((4, 4),)
+    value = jnp.asarray(rng.standard_normal((1, 16, 2, 8)).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(0.1, 0.9, (1, 5, 2, 1, 4, 2)).astype(np.float32))
+    w = jnp.full((1, 5, 2, 1, 4), 0.25, jnp.float32)
+    base = msda_mod.ms_deform_attn(value, shapes, loc, w)
+    old = msda_mod.FORCE_INTERPRET
+    msda_mod.FORCE_INTERPRET = True
+    try:
+        via_kernel = msda_mod.ms_deform_attn(value, shapes, loc, w)
+    finally:
+        msda_mod.FORCE_INTERPRET = old
+    np.testing.assert_allclose(np.asarray(via_kernel), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
