@@ -102,3 +102,31 @@ class ConvBNRelu(nn.Module):
 class LayerNorm(nn.LayerNorm):
     """LayerNorm with the reference eps default."""
     epsilon: float = 1e-6
+
+
+def merge_template_search(inp_list, return_search: bool = False,
+                          return_template: bool = False):
+    """STARK-style sequence-dict merge (lib/utils/merge.py:4-15): concatenate
+    per-source {feat (L, B, C), mask (B, L), pos (L, B, C)} dicts along the
+    sequence axis; the search-region entry must be last."""
+    seq = {"feat": jnp.concatenate([x["feat"] for x in inp_list], axis=0),
+           "mask": jnp.concatenate([x["mask"] for x in inp_list], axis=1),
+           "pos": jnp.concatenate([x["pos"] for x in inp_list], axis=0)}
+    if return_search:
+        x = inp_list[-1]
+        seq.update({"feat_x": x["feat"], "mask_x": x["mask"], "pos_x": x["pos"]})
+    if return_template:
+        z = inp_list[0]
+        seq.update({"feat_z": z["feat"], "mask_z": z["mask"], "pos_z": z["pos"]})
+    return seq
+
+
+def get_qkv(inp_list):
+    """q from the search entry (feat+pos), k/v from the concatenation of all
+    entries (lib/utils/merge.py:18-29). Returns (q, k, v, key_padding_mask)."""
+    dict_x = inp_list[-1]
+    cat = merge_template_search(inp_list)
+    q = dict_x["feat"] + dict_x["pos"]
+    k = cat["feat"] + cat["pos"]
+    v = cat["feat"]
+    return q, k, v, cat["mask"]

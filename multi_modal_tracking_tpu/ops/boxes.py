@@ -170,3 +170,49 @@ def clip_box_batch(box: jax.Array, H, W, margin: int = 0) -> jax.Array:
     w = jnp.maximum(margin, x2 - x1)
     h = jnp.maximum(margin, y2 - y1)
     return jnp.stack([x1, y1, w, h], axis=-1)
+
+
+def rect_to_rel(bb: jax.Array, sz_norm: jax.Array = None) -> jax.Array:
+    """[x, y, w, h] -> relative parametrization [cx/sw, cy/sh, log w, log h]
+    (lib/train/data/bounding_box_utils.py:4-18)."""
+    c = bb[..., :2] + 0.5 * bb[..., 2:]
+    c_rel = c / (bb[..., 2:] if sz_norm is None else sz_norm)
+    return jnp.concatenate([c_rel, jnp.log(bb[..., 2:])], axis=-1)
+
+
+def rel_to_rect(bb: jax.Array, sz_norm: jax.Array = None) -> jax.Array:
+    """Inverse of rect_to_rel (lib/train/data/bounding_box_utils.py:21-30)."""
+    sz = jnp.exp(bb[..., 2:])
+    c = bb[..., :2] * (sz if sz_norm is None else sz_norm)
+    return jnp.concatenate([c - 0.5 * sz, sz], axis=-1)
+
+
+def masks_to_bboxes(mask: jax.Array, fmt: str = "c") -> jax.Array:
+    """Tight bbox of each binary mask, shape (..., H, W) -> (..., 4)
+    (lib/train/data/bounding_box_utils.py:33-67). All-empty masks give
+    [0, 0, 0, 0] ('v') / width-height 1 at origin ('c'/'t'), matching the
+    reference's [0,0,0,0] vertex fallback. Vectorised masked min/max instead
+    of the reference's per-mask nonzero() python loop, so it jits."""
+    m = mask > 0
+    H, W = m.shape[-2], m.shape[-1]
+    any_ = m.any(axis=(-2, -1))
+    cols = m.any(axis=-2)                       # (..., W)
+    rows = m.any(axis=-1)                       # (..., H)
+    xi = jnp.arange(W, dtype=jnp.float32)
+    yi = jnp.arange(H, dtype=jnp.float32)
+    x1 = jnp.min(jnp.where(cols, xi, jnp.inf), axis=-1)
+    x2 = jnp.max(jnp.where(cols, xi, -jnp.inf), axis=-1)
+    y1 = jnp.min(jnp.where(rows, yi, jnp.inf), axis=-1)
+    y2 = jnp.max(jnp.where(rows, yi, -jnp.inf), axis=-1)
+    zeros = jnp.zeros_like(x1)
+    x1, y1 = jnp.where(any_, x1, zeros), jnp.where(any_, y1, zeros)
+    x2, y2 = jnp.where(any_, x2, zeros), jnp.where(any_, y2, zeros)
+    v = jnp.stack([x1, y1, x2, y2], axis=-1)
+    if fmt == "v":
+        return v
+    s = v[..., 2:] - v[..., :2] + 1.0
+    if fmt == "c":
+        return jnp.concatenate([v[..., :2] + 0.5 * s, s], axis=-1)
+    if fmt == "t":
+        return jnp.concatenate([v[..., :2], s], axis=-1)
+    raise ValueError(f"Undefined bounding box layout '{fmt}'")
