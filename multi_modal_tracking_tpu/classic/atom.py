@@ -29,6 +29,7 @@ import flax.linen as nn
 
 from multi_modal_tracking_tpu.classic.dcf import (gauss_label_2d, hann2d,
                                                   max2d, subpixel_peak)
+from multi_modal_tracking_tpu.classic.augmentation import InitAugmenter
 from multi_modal_tracking_tpu.classic.optimization import solve_normal_equations
 from multi_modal_tracking_tpu.models.alpha_refine import RefineBackbone
 from multi_modal_tracking_tpu.ops.crop import crop_resize
@@ -96,10 +97,20 @@ class ATOMTracker:
     refine_steps: int = 5
     refine_lr: float = 1.0
     rng_seed: int = 0
+    augmentation: Optional[dict] = None  # None -> DEFAULT_AUGMENTATION; {} off
+    random_shift_factor: float = 1.0 / 3.0
 
     def __post_init__(self):
         self.backbone = RefineBackbone()
         self.iou_net = IoUNet()
+        # init-sample augmentation (atom.py:473-523 generate_init_samples)
+        self.augmenter = InitAugmenter(
+            self.crop_size, spec=self.augmentation,
+            random_shift_factor=self.random_shift_factor, seed=self.rng_seed)
+        if self.augmenter.num_samples > self.memory_size:
+            raise ValueError(
+                f"memory_size={self.memory_size} < augmented init batch "
+                f"{self.augmenter.num_samples}")
         z = jnp.zeros((1, self.crop_size, self.crop_size, 3))
         self._bb_vars = jax.jit(self.backbone.init)(
             jax.random.PRNGKey(self.rng_seed), z)
@@ -154,16 +165,29 @@ class ATOMTracker:
         center = jnp.asarray([box_xywh[1] + box_xywh[3] / 2.0,
                               box_xywh[0] + box_xywh[2] / 2.0])
         size = jnp.asarray([box_xywh[3], box_xywh[2]])
-        feat, _ = self._features(image, center, size)
+        # augmented init batch (atom.py:473-523): one crop, A transformed
+        # copies, ONE batched backbone forward, + feature-dropout copies.
+        box = jnp.stack([center[1] - size[1] / 2.0, center[0] - size[0] / 2.0,
+                         size[1], size[0]])
+        crop, _ = crop_resize(image, box, self.search_factor, self.crop_size)
+        aug = self.augmenter(crop)                       # (A_img, H, W, 3)
+        feats = self.backbone.apply(self._bb_vars, aug / 255.0)["layer3"]
+        feats = self.augmenter.augment_features(
+            feats, jax.random.PRNGKey(self.rng_seed + 2))  # (A, h, w, C)
+        A = self.augmenter.num_samples
         h, w = self._feat_hw
+        # per-sample label centres follow each transform's target shift
+        centers = jnp.asarray([h / 2.0, w / 2.0])[None] + \
+            jnp.asarray(self.augmenter.shifts) * self._scale
+        aug_labels = jax.vmap(self._label)(centers)      # (A, h, w)
         samples = jnp.zeros((self.memory_size, h, w, self._feat_c),
-                            feat.dtype).at[0].set(feat[0])
-        labels = jnp.zeros((self.memory_size, h, w)).at[0].set(
-            self._label(jnp.asarray([h / 2.0, w / 2.0])))
-        weights = jnp.zeros((self.memory_size,)).at[0].set(1.0)
+                            feats.dtype).at[:A].set(feats)
+        labels = jnp.zeros((self.memory_size, h, w)).at[:A].set(aug_labels)
+        # uniform init weights (pytracking init_sample_weights = 1/A)
+        weights = jnp.zeros((self.memory_size,)).at[:A].set(1.0 / A)
         filt = jnp.zeros((self.filter_size, self.filter_size, self._feat_c))
         st = ATOMState(filt=filt, samples=samples, labels=labels,
-                       weights=weights, mem_ptr=jnp.asarray(1, jnp.int32),
+                       weights=weights, mem_ptr=jnp.asarray(A, jnp.int32),
                        center=center, target_sz=size)
         return self._optimize_filter(st)
 
@@ -214,7 +238,11 @@ class ATOMTracker:
         # memory insert at ring pointer
         lbl_center = jnp.asarray([h / 2.0, w / 2.0]) + \
             (center - state.center) * fs
-        ptr = state.mem_ptr % self.memory_size
+        # slot 0 (the identity init sample) is never overwritten, matching the
+        # reference's protected init samples; the ring wraps into slots 1..M-1
+        M = self.memory_size
+        ptr = jnp.where(state.mem_ptr < M, state.mem_ptr,
+                        1 + (state.mem_ptr - M) % (M - 1))
         samples = jax.lax.dynamic_update_index_in_dim(state.samples, feat[0], ptr, 0)
         labels = jax.lax.dynamic_update_index_in_dim(
             state.labels, self._label(lbl_center), ptr, 0)
