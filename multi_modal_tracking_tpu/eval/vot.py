@@ -185,3 +185,56 @@ def run_vot20_mask_exp(script: str, training_yaml: Optional[str] = None,
         mask = (refiner.get_mask(frame, box) > mask_threshold).astype("uint8")
         handle.report(mask, out.get("pred_score", 1.0))
     handle.quit()
+
+
+# --------------------------------------------------------------------------
+# Mask <-> rect helpers (lib/test/vot20/vot20_utils.py:4-60, duplicated in
+# lib/test/vot_rgbd_test/vot22_utils.py) used by the VOT mask experiments.
+
+def make_full_size(x: np.ndarray, output_sz) -> np.ndarray:
+    """Zero-pad (right/down) or crop a mask to output_sz = [width, height]
+    (vot20_utils.py:4-22)."""
+    if x.shape[0] == output_sz[1] and x.shape[1] == output_sz[0]:
+        return x
+    pad_x = output_sz[0] - x.shape[1]
+    if pad_x < 0:
+        x = x[:, :x.shape[1] + pad_x]
+        pad_x = 0
+    pad_y = output_sz[1] - x.shape[0]
+    if pad_y < 0:
+        x = x[:x.shape[0] + pad_y, :]
+        pad_y = 0
+    return np.pad(x, ((0, pad_y), (0, pad_x)), "constant", constant_values=0)
+
+
+def rect_from_mask(mask: np.ndarray):
+    """Tight [x, y, w, h] around the nonzero pixels (vot20_utils.py:25-36)."""
+    x_ = np.sum(mask, axis=0)
+    y_ = np.sum(mask, axis=1)
+    x0 = np.min(np.nonzero(x_))
+    x1 = np.max(np.nonzero(x_))
+    y0 = np.min(np.nonzero(y_))
+    y1 = np.max(np.nonzero(y_))
+    return [x0, y0, x1 - x0 + 1, y1 - y0 + 1]
+
+
+def mask_from_rect(rect, output_sz) -> np.ndarray:
+    """Binary uint8 mask of rect [x, y, w, h] inside output_sz = [w, h]
+    (vot20_utils.py:39-52)."""
+    mask = np.zeros((output_sz[1], output_sz[0]), dtype=np.uint8)
+    x0 = max(int(round(rect[0])), 0)
+    y0 = max(int(round(rect[1])), 0)
+    x1 = min(int(round(rect[0] + rect[2])), output_sz[0])
+    y1 = min(int(round(rect[1] + rect[3])), output_sz[1])
+    mask[y0:y1, x0:x1] = 1
+    return mask
+
+
+def bbox_clip(x1, y1, x2, y2, boundary, min_sz: int = 10):
+    """Clip an xyxy box to image boundary (H, W) keeping >= min_sz extent
+    (vot20_utils.py:54-60)."""
+    x1_new = max(0, min(x1, boundary[1] - min_sz))
+    y1_new = max(0, min(y1, boundary[0] - min_sz))
+    x2_new = max(min_sz, min(x2, boundary[1]))
+    y2_new = max(min_sz, min(y2, boundary[0]))
+    return x1_new, y1_new, x2_new, y2_new

@@ -152,3 +152,21 @@ def test_dump_attention_maps(tmp_path):
     assert all(os.path.getsize(p) > 0 for p in paths)
     img = cv2.imread(paths[0])
     assert img.shape == (144, 288, 3)   # two modalities side by side
+
+
+def test_vot20_mask_utils():
+    """vot20_utils.py:4-60 equivalents."""
+    from multi_modal_tracking_tpu.eval.vot import (bbox_clip, make_full_size,
+                                                   mask_from_rect,
+                                                   rect_from_mask)
+    import numpy as np
+    m = np.zeros((5, 6), np.uint8)
+    m[1:4, 2:5] = 1
+    assert rect_from_mask(m) == [2, 1, 3, 3]
+    full = make_full_size(m, [8, 7])           # pad to w=8, h=7
+    assert full.shape == (7, 8) and full[1:4, 2:5].all()
+    cropped = make_full_size(m, [4, 3])        # crop down
+    assert cropped.shape == (3, 4)
+    r = mask_from_rect([2, 1, 3, 3], [6, 5])
+    np.testing.assert_array_equal(r, m)
+    assert bbox_clip(-5, -5, 900, 900, (480, 640)) == (0, 0, 640, 480)
