@@ -44,8 +44,18 @@ class BatchedRGBTTrackerJit:
     update_interval: int = 200
     ce_keep_rate: Optional[float] = None
     scan_chunk: int = 16
+    #: optional jax.sharding.Mesh with a "data" axis: the sequence batch is
+    #: sharded over it (params replicated), scaling lockstep eval across
+    #: chips with zero collectives — the ICI-era analogue of the reference's
+    #: process-per-GPU eval pool (running.py:134-141). N must divide by the
+    #: axis size.
+    mesh: Optional[Any] = None
 
     def __post_init__(self):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._repl = NamedSharding(self.mesh, P())
+            self.variables = jax.device_put(self.variables, self._repl)
         self._single = RGBTTrackerJit(
             model=self.model, variables=self.variables,
             template_factor=self.template_factor, template_size=self.template_size,
@@ -87,6 +97,17 @@ class BatchedRGBTTrackerJit:
             return st, boxes               # boxes (T, N, 4)
         return jax.jit(track_fn)
 
+    def _put_batch(self, x, batch_axis: int, dtype=None):
+        """Upload with the batch axis sharded over the mesh's data axis
+        (replicated otherwise); identical to _put when mesh is None."""
+        if self.mesh is None:
+            return _put(x, dtype)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        arr = np.asarray(x, dtype) if not isinstance(x, jax.Array) else x
+        spec = [None] * arr.ndim
+        spec[batch_axis] = "data"
+        return jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
+
     # --------------------------------------------------------------- host API
     def initialize(self, frames_v: np.ndarray, frames_i: np.ndarray,
                    boxes: np.ndarray):
@@ -95,8 +116,9 @@ class BatchedRGBTTrackerJit:
         if shape not in self._init_jit:
             self._init_jit[shape] = self._make_init(shape)
         self._state = self._init_jit[shape](
-            self.variables, _put(frames_v), _put(frames_i),
-            _put(boxes, np.float32))
+            self.variables, self._put_batch(frames_v, 0),
+            self._put_batch(frames_i, 0),
+            self._put_batch(boxes, 0, np.float32))
         self._shape = shape
 
     def track_block(self, frames_v: np.ndarray, frames_i: np.ndarray,
@@ -126,7 +148,8 @@ class BatchedRGBTTrackerJit:
                 bv = xp.concatenate([bv, xp.repeat(bv[-1:], pad, axis=0)])
                 bi = xp.concatenate([bi, xp.repeat(bi[-1:], pad, axis=0)])
                 ok = np.concatenate([ok, np.zeros((pad, N), np.bool_)])
-            st, bxs = fn(self.variables, st, _put(bv), _put(bi), _put(ok))
+            st, bxs = fn(self.variables, st, self._put_batch(bv, 1),
+                         self._put_batch(bi, 1), self._put_batch(ok, 1))
             boxes.append(bxs[:n] if n < K else bxs)
         self._state = st
         stacked = jnp.concatenate(boxes, axis=0)

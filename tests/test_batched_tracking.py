@@ -83,3 +83,28 @@ def test_run_sequences_batched_writes_results(tmp_path, model_vars):
         b = np.loadtxt(tmp_path / "res" / f"{seq.name}.txt")
         assert b.shape == (len(seq.frames), 4)
         assert np.isfinite(b).all()
+
+
+def test_batched_mesh_sharded_matches_unsharded(model_vars):
+    """Sequence batch sharded over an 8-device data mesh == single device."""
+    from jax.sharding import Mesh
+    model, variables = model_vars
+    kw = dict(model=model, variables=variables, template_size=32,
+              search_size=64, update_interval=3, scan_chunk=4)
+    N, T = 8, 6
+    rng = np.random.default_rng(7)
+    fv = rng.integers(0, 255, (T, N, 96, 128, 3), np.uint8)
+    fi = rng.integers(0, 255, (T, N, 96, 128, 3), np.uint8)
+    boxes0 = np.stack([[30.0 + i, 30, 24, 24] for i in range(N)]).astype(np.float32)
+
+    plain = BatchedRGBTTrackerJit(**kw)
+    plain.initialize(fv[0], fi[0], boxes0)
+    ref = plain.track_block(fv, fi)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sharded = BatchedRGBTTrackerJit(**kw, mesh=mesh)
+    sharded.initialize(fv[0], fi[0], boxes0)
+    out = sharded.track_block(fv, fi)
+    # per-sequence state is sharded over devices
+    assert sharded._state.state.sharding.is_fully_replicated is False
+    np.testing.assert_allclose(out, ref, atol=1e-3)
