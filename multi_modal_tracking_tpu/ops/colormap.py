@@ -37,14 +37,26 @@ def apply_jet(img: jax.Array) -> jax.Array:
     """Device variant: float/uint8 (..., H, W) or (..., H, W, 3) in 0..255 ->
     (..., H, W, 3) float32 JET-mapped (still 0..255 scale).
 
-    Implemented as a 256-entry gather; for the tracking loop this fuses with
-    the normalisation that follows.
+    Bit-exact closed form instead of a 256-entry gather: each cv2 JET channel
+    is a clamped tent function with slope +/-4 per index,
+
+        B = clamp(min(4 i + 128, -4 i + 638), 0, 255) - [i == 159]
+        G = clamp(min(4 i - 128, -4 i + 892), 0, 255)
+        R = clamp(min(4 i - 382, -4 i + 1148), 0, 255)
+
+    (verified equal to cv2's LUT on all 256 entries, incl. the single
+    off-by-one cv2 rounding artefact at B[159]). Pure elementwise VPU
+    arithmetic — XLA fuses it straight into the following normalisation,
+    where the gather lowering could not fuse and serialised on TPU.
     """
-    lut = jnp.asarray(JET_LUT_BGR, dtype=jnp.float32)  # (256, 3)
     if img.ndim >= 3 and img.shape[-1] == 3:
         xi = img.astype(jnp.int32)
         idx = (9798 * xi[..., 2] + 19235 * xi[..., 1] + 3735 * xi[..., 0] + 16384) >> 15
     else:
         idx = jnp.round(img.astype(jnp.float32)).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, 255)
-    return lut[idx]
+    i = jnp.clip(idx, 0, 255).astype(jnp.float32)
+    b = jnp.clip(jnp.minimum(4.0 * i + 128.0, -4.0 * i + 638.0), 0.0, 255.0) \
+        - (i == 159.0)
+    g = jnp.clip(jnp.minimum(4.0 * i - 128.0, -4.0 * i + 892.0), 0.0, 255.0)
+    r = jnp.clip(jnp.minimum(4.0 * i - 382.0, -4.0 * i + 1148.0), 0.0, 255.0)
+    return jnp.stack([b, g, r], axis=-1)
