@@ -44,6 +44,10 @@ def main():
     t = jnp.zeros((2, 128, 128, 3), jnp.float32)
     s = jnp.zeros((2, 288, 288, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    # bf16-model params are cast to bf16 at every use anyway; pre-casting is
+    # numerically identical and halves per-forward weight HBM reads.
+    from multi_modal_tracking_tpu.utils.checkpoint import cast_floating
+    variables = cast_floating(variables, jnp.bfloat16)
 
     tracker = RGBTTrackerJit(model=model, variables=variables,
                              template_factor=cfg.TEST.TEMPLATE_FACTOR,

@@ -91,3 +91,26 @@ def load_variables(path: str, target_variables: Any) -> Any:
                 target_variables["batch_stats"], state_dict["batch_stats"])
         return out
     return serialization.from_state_dict(target_variables, state_dict)
+
+
+def cast_floating(variables: Any, dtype) -> Any:
+    """Cast every floating-point leaf of a variables pytree to `dtype`.
+
+    Inference-time use: models built with dtype=bf16 cast their f32 params to
+    bf16 at every use anyway (flax promotion), so pre-casting is numerically
+    identical while halving the per-forward weight HBM traffic — ViT-B reads
+    all ~86M params once per tracking step. Only the 'params' collection is
+    cast; batch_stats (and any other state) stay in their stored dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    if isinstance(variables, dict) and "params" in variables:
+        out = dict(variables)
+        out["params"] = jax.tree_util.tree_map(cast, variables["params"])
+        return out
+    return jax.tree_util.tree_map(cast, variables)

@@ -192,3 +192,17 @@ def test_mae_ln_expansion():
     assert "blocks.0.norm1_v.weight" in out and "blocks.0.norm1_i.weight" in out
     assert "blocks.0.norm1.weight" not in out and "pos_embed" not in out
     assert "patch_embed.proj.weight" in out
+
+
+def test_cast_floating_params_only():
+    import numpy as np
+    import jax.numpy as jnp
+    from multi_modal_tracking_tpu.utils.checkpoint import cast_floating
+    v = {"params": {"w": jnp.ones((2, 2), jnp.float32),
+                    "step": jnp.asarray(3, jnp.int32)},
+         "batch_stats": {"mean": jnp.zeros((2,), jnp.float32)}}
+    out = cast_floating(v, jnp.bfloat16)
+    assert out["params"]["w"].dtype == jnp.bfloat16
+    assert out["params"]["step"].dtype == jnp.int32          # ints untouched
+    assert out["batch_stats"]["mean"].dtype == jnp.float32   # stats untouched
+    np.testing.assert_allclose(np.asarray(out["params"]["w"], np.float32), 1.0)
