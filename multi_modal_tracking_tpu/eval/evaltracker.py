@@ -35,8 +35,8 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
     (lib/test/evaluation/tracker.py:56-57).
     """
     from multi_modal_tracking_tpu.tracking.tracker import (OnlineTrackerJit,
+                                                            RGBTCachedTrackerJit,
                                                             RGBTOnlineTrackerJit,
-                                                            RGBTTrackerJit,
                                                             RGBTrackerJit)
 
     cfg = params.cfg
@@ -76,7 +76,9 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
             return RGBTOnlineTrackerJit(
                 ce_keep_rate=ce_rate,
                 max_score_decay=online_size_decay(cfg)[1], **common)
-        return RGBTTrackerJit(ce_keep_rate=ce_rate, **common)
+        # cached-template fast path: bit-identical trajectories at ~40%
+        # fewer backbone FLOPs per frame (tests/test_tracker.py equality)
+        return RGBTCachedTrackerJit(ce_keep_rate=ce_rate, **common)
     if online:
         size, decay = online_size_decay(cfg, dataset_name)
         return OnlineTrackerJit(mode=mode, online_size=size,

@@ -131,6 +131,52 @@ class AsymCrossModalAttention(nn.Module):
             attn_t2s = jax.nn.softmax(a.astype(jnp.float32), axis=-1)
         return x_v, x_i, attn_t2s
 
+    # ------------------------------------------------- cached-template path
+    # The reference applies a k/v-cache fast path only to its unimodal online
+    # models (mixformer_vit/mixformer.py:79-109 forward_test/set_online); the
+    # same asymmetry makes it exact for the flagship too: template tokens
+    # never attend to search, so their per-block q/k/v depend only on the
+    # templates and can be computed once per template update instead of every
+    # frame.
+
+    def _qkv_heads(self, x):
+        qkv = self.qkv(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return (_heads(q, self.num_heads), _heads(k, self.num_heads),
+                _heads(v, self.num_heads))
+
+    def template_step(self, nv, ni):
+        """Normed template tokens (B, n_mt, C) per modality -> attention
+        output + this block's cache {q,k,v per modality}."""
+        B = nv.shape[0]
+        q, k, v = self._qkv_heads(jnp.concatenate([nv, ni], axis=0))
+        xV = _attend(q[:B], k[:B], v[:B], self.scale)
+        xI = _attend(q[B:], k[B:], v[B:], self.scale)
+        out = self.proj(_merge(jnp.concatenate([xV, xI], axis=0)))
+        cache = {"qV": q[:B], "kV": k[:B], "vV": v[:B],
+                 "qI": q[B:], "kI": k[B:], "vI": v[B:]}
+        return out[:B], out[B:], cache
+
+    def search_step(self, nsv, nsi, cache, return_attention: bool = False):
+        """Normed search tokens (B, n_s, C) per modality + cached template
+        q/k/v -> attention output (search rows only) + t->s CE attention."""
+        B = nsv.shape[0]
+        qs, ks, vs = self._qkv_heads(jnp.concatenate([nsv, nsi], axis=0))
+        k_mt = jnp.concatenate([cache["kV"], cache["kI"]], axis=2)
+        v_mt = jnp.concatenate([cache["vV"], cache["vI"]], axis=2)
+        x_s_V = _attend(qs[:B], jnp.concatenate([k_mt, ks[:B]], axis=2),
+                        jnp.concatenate([v_mt, vs[:B]], axis=2), self.scale)
+        x_s_I = _attend(qs[B:], jnp.concatenate([k_mt, ks[B:]], axis=2),
+                        jnp.concatenate([v_mt, vs[B:]], axis=2), self.scale)
+        out = self.proj(_merge(jnp.concatenate([x_s_V, x_s_I], axis=0)))
+        attn_t2s = None
+        if return_attention:
+            q_mt = jnp.concatenate([cache["qV"], cache["qI"]], axis=2)
+            k_s = jnp.concatenate([ks[:B], ks[B:]], axis=2)
+            a = jnp.einsum("bhqd,bhkd->bhqk", q_mt, k_s) * self.scale
+            attn_t2s = jax.nn.softmax(a.astype(jnp.float32), axis=-1)
+        return out[:B], out[B:], attn_t2s
+
 
 def _ce_select(attn_m: jax.Array, tokens: jax.Array, gidx: jax.Array,
                n_mt: int, lens_keep: int):
@@ -204,6 +250,45 @@ class SharedBlock(nn.Module):
         if return_scores:
             return x_v, x_i, gidx_v, gidx_i, scores
         return x_v, x_i, gidx_v, gidx_i
+
+    # ------------------------------------------------- cached-template path
+    def template_step(self, x_v, x_i):
+        """Template-only block step; returns evolved template tokens + the
+        block's attention cache (exact same values the full path computes)."""
+        B = x_v.shape[0]
+        av, ai, cache = self.attn.template_step(self.norm1_v(x_v),
+                                                self.norm1_i(x_i))
+        x_v = x_v + av
+        x_i = x_i + ai
+        m = self.mlp(jnp.concatenate([self.norm2_v(x_v), self.norm2_i(x_i)],
+                                     axis=0))
+        return x_v + m[:B], x_i + m[B:], cache
+
+    def search_step(self, s_v, s_i, cache, gidx_v, gidx_i,
+                    lens_keep: Optional[int] = None,
+                    ce_rows: Optional[Tuple[int, ...]] = None):
+        """Search-only block step against a template cache. Mirrors __call__
+        for the search rows (template rows are frozen at their cached
+        values); CE selection operates on pure search-token tensors."""
+        B = s_v.shape[0]
+        exe_ce = lens_keep is not None and lens_keep < gidx_v.shape[1]
+        av, ai, attn_t2s = self.attn.search_step(self.norm1_v(s_v),
+                                                 self.norm1_i(s_i), cache,
+                                                 return_attention=exe_ce)
+        s_v = s_v + av
+        s_i = s_i + ai
+        if exe_ce:
+            lens_s = gidx_v.shape[1]
+            if ce_rows is not None:
+                a = attn_t2s[:, :, jnp.asarray(ce_rows), :]
+            else:
+                a = attn_t2s
+            a = a.mean(axis=(1, 2))
+            s_v, gidx_v = _ce_select(a[:, :lens_s], s_v, gidx_v, 0, lens_keep)
+            s_i, gidx_i = _ce_select(a[:, lens_s:], s_i, gidx_i, 0, lens_keep)
+        m = self.mlp(jnp.concatenate([self.norm2_v(s_v), self.norm2_i(s_i)],
+                                     axis=0))
+        return s_v + m[:B], s_i + m[B:], gidx_v, gidx_i
 
 
 def ce_keep_schedule(n_search: int, depth: int, ce_loc: Sequence[int],
@@ -344,6 +429,62 @@ class AsymSharedViT(nn.Module):
             return feats + (attn_maps,)
         return feats
 
+    # ------------------------------------------------- cached-template path
+    def build_template_cache(self, x_t, x_ot):
+        """Run the template tokens through all blocks once, collecting every
+        block's attention cache. Returns {"kv": [per-block cache], "t": ...,
+        "ot": ...} with final template feature maps for the score branch."""
+        t = self.patch_embed(x_t) + self.pos_embed_t.astype(self.dtype)
+        ot = self.patch_embed(x_ot) + self.pos_embed_t.astype(self.dtype)
+        B2 = t.shape[0]
+        B = B2 // 2
+        n_t = t.shape[1]
+        x = jnp.concatenate([t, ot], axis=1)
+        x_v, x_i = x[:B], x[B:]
+        kv = []
+        for blk in self.blocks:
+            x_v, x_i, c = blk.template_step(x_v, x_i)
+            kv.append(c)
+        x = jnp.concatenate([x_v, x_i], axis=0)
+        gt = self.grid_size_t
+        return {"kv": kv,
+                "t": x[:, :n_t].reshape(B2, gt, gt, -1),
+                "ot": x[:, n_t:].reshape(B2, gt, gt, -1)}
+
+    def forward_search(self, cache, x_s, ce_keep_rate: Optional[float] = None,
+                       use_ce_template_mask: bool = True):
+        """Per-frame search-only forward against a template cache; numerics
+        match __call__'s search output exactly (the asymmetry guarantees the
+        cached template values are what the full pass would recompute)."""
+        s = self.patch_embed(x_s) + self.pos_embed_s.astype(self.dtype)
+        B2 = s.shape[0]
+        B = B2 // 2
+        n_s = s.shape[1]
+        s_v, s_i = s[:B], s[B:]
+        keeps, _ = ce_keep_schedule(n_s, self.depth, self.ce_loc or (),
+                                    self.ce_keep_ratio or (), ce_keep_rate)
+        ce_rows = self._ce_rows(use_ce_template_mask and
+                                self.ce_template_range == "CTR_POINT")
+        gidx = jnp.broadcast_to(jnp.arange(n_s, dtype=jnp.int32)[None], (B, n_s))
+        gidx_v = gidx
+        gidx_i = gidx
+        for bi, blk in enumerate(self.blocks):
+            s_v, s_i, gidx_v, gidx_i = blk.search_step(
+                s_v, s_i, cache["kv"][bi], gidx_v, gidx_i,
+                lens_keep=keeps[bi], ce_rows=ce_rows)
+
+        def recover(sm, gi):
+            if sm.shape[1] == n_s:
+                return sm
+            full = jnp.zeros((B, n_s, sm.shape[-1]), sm.dtype)
+            return jax.vmap(lambda buf, idx, val: buf.at[idx].set(val))(
+                full, gi, sm)
+
+        s_v = recover(s_v, gidx_v)
+        s_i = recover(s_i, gidx_i)
+        gs = self.grid_size_s
+        return jnp.concatenate([s_v, s_i], axis=0).reshape(B2, gs, gs, -1)
+
 
 @dataclasses.dataclass(frozen=True)
 class RGBTSpec:
@@ -432,6 +573,36 @@ class MixFormerRGBT(nn.Module):
                                                    search_box.reshape(B, 4))
         if return_features:
             out["search_v"], out["search_i"], out["search_fused"] = s_v, s_i, fused
+        return out
+
+    # ------------------------------------------------- cached-template path
+    def set_online(self, t_vi, ot_vi):
+        """Build the per-block template k/v cache + final template features.
+        The RGBT analogue of the reference's set_online
+        (mixformer_vit/mixformer.py:95-109), exact for this architecture
+        because templates never attend to search. Recomputed only at template
+        updates; use with forward_track."""
+        return self.backbone.build_template_cache(t_vi, ot_vi)
+
+    def forward_track(self, cache, s_vi, ce_keep_rate: Optional[float] = None,
+                      use_ce_template_mask: bool = True,
+                      run_score_head: bool = False):
+        """Per-frame tracking forward over search tokens only (the RGBT
+        forward_test, mixformer_vit/mixformer.py:79-93): ~40% fewer backbone
+        FLOPs than __call__ with numerically identical outputs."""
+        s = self.backbone.forward_search(cache, s_vi, ce_keep_rate,
+                                         use_ce_template_mask)
+        B = s.shape[0] // 2
+        s_v, s_i = s[:B], s[B:]
+        fused = self.fusion_vi(s_v, s_i, True)
+        box_xyxy = self.box_head(fused, train=False)
+        out = {"pred_boxes": box_xyxy_to_cxcywh(box_xyxy).reshape(B, 1, 4)}
+        if run_score_head and self.with_score:
+            t, _ot = cache["t"], cache["ot"]
+            template_feat = jnp.concatenate([t[:B], t[B:]], axis=2)
+            out["pred_scores"] = self.score_branch(
+                fused, template_feat,
+                jax.lax.stop_gradient(box_xyxy).reshape(B, 4))
         return out
 
 

@@ -48,6 +48,18 @@ class TrackState:
 
 
 @struct.dataclass
+class CachedTrackState:
+    """State for the cached-template fast path: the per-block template k/v
+    cache replaces the online-template images; the raw first-frame template
+    crops are kept only to rebuild the cache at update time."""
+    template_v: jax.Array       # (1, Ht, Wt, 3) normalised first-frame crop
+    template_i: jax.Array
+    cache: Any                  # pytree from MixFormerRGBT.set_online
+    state: jax.Array            # (4,) xywh image coords
+    frame_id: jax.Array         # () int32
+
+
+@struct.dataclass
 class OnlineTrackState:
     """State for score-gated online tracking (SPM models).
 
@@ -282,6 +294,64 @@ class RGBTTrackerJit:
         # fetch, so offline eval dispatches every chunk async and fetches all
         # boxes once at sequence end (identical trajectories either way).
         return np.asarray(stacked) if fetch else stacked
+
+
+@dataclasses.dataclass
+class RGBTCachedTrackerJit(RGBTTrackerJit):
+    """RGBTTrackerJit with the cached-template fast path.
+
+    Per frame only the SEARCH tokens run through the backbone
+    (MixFormerRGBT.forward_track); the per-block template q/k/v come from a
+    cache built at init and rebuilt inside the jitted step at every template
+    update (lax.cond). Outputs are bit-identical to RGBTTrackerJit — the
+    asymmetric attention guarantees template activations are search-
+    independent — at ~40% fewer backbone FLOPs per frame. The RGBT analogue
+    of the reference's set_online/forward_test
+    (lib/models/mixformer_vit/mixformer.py:79-109), which the reference never
+    applied to its RGBT models."""
+
+    def _make_init(self, shape):
+        def init_fn(variables, img_v, img_i, box):
+            tv, _ = _prep_rgb(img_v, box, self.template_factor, self.template_size)
+            ti, _ = _prep_tir(img_i, box, self.template_factor, self.template_size)
+            t_vi = jnp.concatenate([tv, ti], axis=0)
+            cache = self.model.apply(variables, t_vi, t_vi,
+                                     method=type(self.model).set_online)
+            return CachedTrackState(template_v=tv, template_i=ti, cache=cache,
+                                    state=box.astype(jnp.float32),
+                                    frame_id=jnp.int32(0))
+        return jax.jit(init_fn)
+
+    def _step(self, shape, variables, st: CachedTrackState, img_v, img_i):
+        H, W = shape
+        frame_id = st.frame_id + 1
+        sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
+        si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
+        s_vi = jnp.concatenate([sv, si], axis=0)
+        out = self.model.apply(variables, st.cache, s_vi,
+                               method=type(self.model).forward_track,
+                               ce_keep_rate=self.ce_keep_rate)
+        pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+        pred = pred * (self.search_size / rf)
+        new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                             H, W, margin=10)
+
+        def updated():
+            otv, _ = _prep_rgb(img_v, new_state, self.template_factor,
+                               self.template_size)
+            oti, _ = _prep_tir(img_i, new_state, self.template_factor,
+                               self.template_size)
+            t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
+            ot_vi = jnp.concatenate([otv, oti], axis=0)
+            return self.model.apply(variables, t_vi, ot_vi,
+                                    method=type(self.model).set_online)
+
+        do_update = (frame_id % self.update_interval) == 0
+        cache = jax.lax.cond(do_update, updated, lambda: st.cache)
+        new_st = CachedTrackState(template_v=st.template_v,
+                                  template_i=st.template_i, cache=cache,
+                                  state=new_state, frame_id=frame_id)
+        return new_st, new_state
 
 
 @dataclasses.dataclass

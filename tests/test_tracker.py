@@ -124,3 +124,24 @@ def test_rgb_tracker_chunk_tir_mode():
     t2.initialize([fv[0], fi[0]], init)
     boxes_c = t2.track_chunk(fv[1:], fi[1:])
     np.testing.assert_allclose(boxes_c, boxes_pf, rtol=1e-5, atol=1e-4)
+
+
+def test_cached_tracker_matches_full(tiny_tracker):
+    """RGBTCachedTrackerJit (template k/v cache) must produce the same
+    trajectory as the full-forward tracker, across a template update."""
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTCachedTrackerJit
+    cached = RGBTCachedTrackerJit(
+        model=tiny_tracker.model, variables=tiny_tracker.variables,
+        template_factor=2.0, template_size=64, search_factor=4.5,
+        search_size=96, update_interval=2, ce_keep_rate=None)
+    rng = np.random.default_rng(3)
+    frames = [(rng.integers(0, 255, (120, 160, 3), np.uint8),
+               rng.integers(0, 255, (120, 160, 3), np.uint8))
+              for _ in range(5)]
+    info = {"init_bbox": [60.0, 40.0, 40.0, 30.0]}
+    tiny_tracker.initialize(frames[0], info)
+    cached.initialize(frames[0], info)
+    for fr in frames[1:]:
+        b_full = tiny_tracker.track(fr)["target_bbox"]
+        b_cached = cached.track(fr)["target_bbox"]
+        np.testing.assert_allclose(b_cached, b_full, rtol=1e-4, atol=1e-3)
