@@ -67,11 +67,16 @@ def crop_resize(img: jax.Array, box_xywh: jax.Array, search_area_factor: float,
                 output_sz: int):
     """Square crop around `box_xywh` resized to (output_sz, output_sz).
 
-    img      : (H, W, C) float or uint8 image (device array)
+    img      : (H, W, C) or (H, W) float or uint8 image (device array)
     box_xywh : (4,) float [x, y, w, h] in image coords
     returns  : (crop, resize_factor) with crop (output_sz, output_sz, C) f32
-               and resize_factor = output_sz / crop_sz (f32 scalar).
+               ((output_sz, output_sz) for 2-D input) and
+               resize_factor = output_sz / crop_sz (f32 scalar).
     """
+    if img.ndim == 2:
+        crop, rf = crop_resize(img[..., None], box_xywh, search_area_factor,
+                               output_sz)
+        return crop[..., 0], rf
     H, W = img.shape[0], img.shape[1]
     x, y, w, h = box_xywh[0], box_xywh[1], box_xywh[2], box_xywh[3]
     crop_sz = jnp.ceil(jnp.sqrt(w * h) * search_area_factor)

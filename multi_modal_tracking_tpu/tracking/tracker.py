@@ -90,7 +90,12 @@ def _prep_rgb(img, box, factor, out_sz):
 
 def _prep_tir(img, box, factor, out_sz):
     """Crop raw TIR frame, then JET colormap on the (rounded uint8) crop —
-    same op order as the reference (crop -> applyColorMap -> normalise)."""
+    same op order as the reference (crop -> applyColorMap -> normalise).
+
+    Accepts (H, W, 3) replicated-grayscale frames (the reference's storage
+    format) or true single-channel (H, W) frames; cv2's BGR2GRAY inside
+    applyColorMap makes the two identical, and 1-channel upload cuts the
+    per-frame H2D bytes by a third."""
     crop, rf = crop_resize(img, box, factor, out_sz)
     crop = jnp.clip(jnp.round(crop), 0, 255)
     return normalize_imagenet(apply_jet(crop))[None], rf

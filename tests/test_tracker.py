@@ -145,3 +145,25 @@ def test_cached_tracker_matches_full(tiny_tracker):
         b_full = tiny_tracker.track(fr)["target_bbox"]
         b_cached = cached.track(fr)["target_bbox"]
         np.testing.assert_allclose(b_cached, b_full, rtol=1e-4, atol=1e-3)
+
+
+def test_single_channel_tir_equals_replicated(tiny_tracker):
+    """(H, W) TIR frames must give the same trajectory as the reference's
+    (H, W, 3) replicated-grayscale storage (BGR2GRAY is identity there)."""
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTCachedTrackerJit
+    def make():
+        return RGBTCachedTrackerJit(
+            model=tiny_tracker.model, variables=tiny_tracker.variables,
+            template_factor=2.0, template_size=64, search_factor=4.5,
+            search_size=96, update_interval=3, ce_keep_rate=None)
+    rng = np.random.default_rng(5)
+    gray = [rng.integers(0, 255, (120, 160), np.uint8) for _ in range(4)]
+    rgb = [rng.integers(0, 255, (120, 160, 3), np.uint8) for _ in range(4)]
+    info = {"init_bbox": [60.0, 40.0, 40.0, 30.0]}
+    tr3, tr1 = make(), make()
+    tr3.initialize([rgb[0], np.repeat(gray[0][..., None], 3, axis=2)], info)
+    tr1.initialize([rgb[0], gray[0]], info)
+    for v, i in zip(rgb[1:], gray[1:]):
+        b3 = tr3.track([v, np.repeat(i[..., None], 3, axis=2)])["target_bbox"]
+        b1 = tr1.track([v, i])["target_bbox"]
+        np.testing.assert_allclose(b1, b3, rtol=1e-5, atol=1e-4)
