@@ -63,7 +63,10 @@ def main():
 
     rng = np.random.default_rng(0)
     fv = rng.integers(0, 255, (N_FRAMES, FRAME_H, FRAME_W, 3), dtype=np.uint8)
-    fi = rng.integers(0, 255, (N_FRAMES, FRAME_H, FRAME_W, 3), dtype=np.uint8)
+    # TIR is physically single-channel; the reference stores it as replicated
+    # grayscale and cv2's applyColorMap BGR2GRAY makes the two identical
+    # (tests/test_tracker.py::test_single_channel_tir_equals_replicated).
+    fi = rng.integers(0, 255, (N_FRAMES, FRAME_H, FRAME_W), dtype=np.uint8)
 
     tracker.initialize([fv[0], fi[0]], {"init_bbox": [280.0, 220.0, 80.0, 60.0]})
 
