@@ -16,7 +16,16 @@ import numpy as np
 
 
 def opencv_loader(path: str) -> np.ndarray:
-    """Read image as RGB uint8 (image_loader.py opencv_loader semantics)."""
+    """Read image as RGB uint8 (image_loader.py opencv_loader semantics);
+    JPEGs go through the native libjpeg runtime when built (the default
+    loader in the reference is jpeg4py/libturbojpeg, image_loader.py:15-36),
+    with cv2 as the failsafe — mirroring opencv_seg_loader's fallback."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from multi_modal_tracking_tpu import native
+        if native.available():
+            img = native.decode_jpeg(path)
+            if img is not None:
+                return img
     im = cv2.imread(path, cv2.IMREAD_COLOR)
     if im is None:
         raise IOError(f"Could not read image {path}")
