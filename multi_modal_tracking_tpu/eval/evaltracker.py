@@ -36,7 +36,7 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
     """
     from multi_modal_tracking_tpu.tracking.tracker import (OnlineTrackerJit,
                                                             RGBTCachedTrackerJit,
-                                                            RGBTOnlineTrackerJit,
+                                                            RGBTOnlineCachedTrackerJit,
                                                             RGBTrackerJit)
 
     cfg = params.cfg
@@ -73,7 +73,7 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
         bb = cfg.MODEL.BACKBONE
         ce_rate = (bb.CE_KEEP_RATIO[-1] if bb.get("CE_KEEP_RATIO", None) else None)
         if online:
-            return RGBTOnlineTrackerJit(
+            return RGBTOnlineCachedTrackerJit(
                 ce_keep_rate=ce_rate,
                 max_score_decay=online_size_decay(cfg)[1], **common)
         # cached-template fast path: bit-identical trajectories at ~40%

@@ -157,27 +157,40 @@ def _tap_tables(spatial_shapes, sampling_locations, attention_weights):
 
 def _msda_kernel(idx_ref, w_ref, v_ref, o_ref, *, spatial_shapes,
                  taps_per_level, acc_dtype):
-    """One (batch, head): build A (Lq, S_l) from tap tables, matmul with V."""
+    """One batch element, ALL heads: per head build A (Lq, S_l) from the tap
+    tables and matmul with V. Heads are a static python loop inside one grid
+    cell — with M=8 tiny per-head problems, a (B, M) grid spent more time in
+    per-cell launch overhead than in compute (6 fusion layers x 8 cells
+    dominated the fusion cost at tracking shapes)."""
+    M = idx_ref.shape[1]
     Lq = idx_ref.shape[2]
     D = v_ref.shape[3]
-    acc = jnp.zeros((Lq, D), jnp.float32)
-    off = 0
-    toff = 0
-    for (H, W) in spatial_shapes:
-        S_l = H * W
-        iota = jax.lax.broadcasted_iota(jnp.int32, (Lq, S_l), 1)
-        A = jnp.zeros((Lq, S_l), jnp.float32)
-        for t in range(taps_per_level):
-            idx_t = idx_ref[0, 0, :, toff + t: toff + t + 1]   # (Lq, 1)
-            w_t = w_ref[0, 0, :, toff + t: toff + t + 1]
-            A = A + jnp.where(iota == idx_t, w_t.astype(jnp.float32), 0.0)
-        V_l = v_ref[0, 0, off: off + S_l, :]                    # (S_l, D)
-        acc = acc + jax.lax.dot_general(
-            A.astype(acc_dtype), V_l,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        off += S_l
-        toff += taps_per_level
-    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+    def head_body(m, carry):
+        # dynamic head index: one head's temporaries live at a time (a python
+        # unroll kept all M heads' (Lq, S_l) tap buffers live and blew the
+        # 16 MB VMEM stack)
+        acc = jnp.zeros((Lq, D), jnp.float32)
+        off = 0
+        toff = 0
+        for (H, W) in spatial_shapes:
+            S_l = H * W
+            iota = jax.lax.broadcasted_iota(jnp.int32, (Lq, S_l), 1)
+            A = jnp.zeros((Lq, S_l), jnp.float32)
+            for t in range(taps_per_level):
+                idx_t = idx_ref[0, m, :, toff + t: toff + t + 1]   # (Lq, 1)
+                w_t = w_ref[0, m, :, toff + t: toff + t + 1]
+                A = A + jnp.where(iota == idx_t, w_t.astype(jnp.float32), 0.0)
+            V_l = v_ref[0, m, off: off + S_l, :]                    # (S_l, D)
+            acc = acc + jax.lax.dot_general(
+                A.astype(acc_dtype), V_l,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            off += S_l
+            toff += taps_per_level
+        o_ref[0, m] = acc.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, M, head_body, 0)
 
 
 def _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
@@ -195,16 +208,16 @@ def _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
                                acc_dtype=acc_dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(B, M),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, Lq, T), lambda b, m: (b, m, 0, 0),
+            pl.BlockSpec((1, M, Lq, T), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lq, T), lambda b, m: (b, m, 0, 0),
+            pl.BlockSpec((1, M, Lq, T), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, D), lambda b, m: (b, m, 0, 0),
+            pl.BlockSpec((1, M, S, D), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, Lq, D), lambda b, m: (b, m, 0, 0),
+        out_specs=pl.BlockSpec((1, M, Lq, D), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, M, Lq, D), value.dtype),
         cost_estimate=pl.CostEstimate(

@@ -470,6 +470,7 @@ class RGBTOnlineTrackerJit:
             return st, outs
         return jax.jit(track_fn)
 
+
     def track_chunk(self, frames_v, frames_i, fetch: bool = True):
         """Scan'd chunk path (see RGBTTrackerJit.track_chunk). Returns
         (boxes (N,4), scores (N,)) — the eval runner saves both
@@ -510,6 +511,95 @@ class RGBTOnlineTrackerJit:
             self.variables, self._state, _put(img_v), _put(img_i))
         return {"target_bbox": [float(b) for b in np.asarray(box)],
                 "pred_score": float(score)}
+
+
+@struct.dataclass
+class OnlineCachedTrackState:
+    """OnlineTrackState + the template k/v cache (cached-template SPM path).
+    online_template crops are retained to rebuild the cache at commits."""
+    template_v: jax.Array
+    template_i: jax.Array
+    online_template_v: jax.Array
+    online_template_i: jax.Array
+    cache: Any
+    max_template_v: jax.Array
+    max_template_i: jax.Array
+    max_pred_score: jax.Array
+    state: jax.Array
+    frame_id: jax.Array
+
+
+@dataclasses.dataclass
+class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
+    """RGBTOnlineTrackerJit with the cached-template fast path: the score
+    head reads cached final template features, the backbone runs search
+    tokens only, and the cache is rebuilt inside the jitted step exactly at
+    the interval-gated commits (bit-identical score/box outputs)."""
+
+    def _make_init(self, shape):
+        def init_fn(variables, img_v, img_i, box):
+            tv, _ = _prep_rgb(img_v, box, self.template_factor, self.template_size)
+            ti, _ = _prep_tir(img_i, box, self.template_factor, self.template_size)
+            t_vi = jnp.concatenate([tv, ti], axis=0)
+            cache = self.model.apply(variables, t_vi, t_vi,
+                                     method=type(self.model).set_online)
+            return OnlineCachedTrackState(
+                template_v=tv, template_i=ti,
+                online_template_v=tv, online_template_i=ti, cache=cache,
+                max_template_v=tv, max_template_i=ti,
+                max_pred_score=jnp.float32(-1.0),
+                state=box.astype(jnp.float32), frame_id=jnp.int32(0))
+        return jax.jit(init_fn)
+
+    def _step(self, shape, variables, st: OnlineCachedTrackState, img_v, img_i):
+        H, W = shape
+        frame_id = st.frame_id + 1
+        sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
+        si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
+        s_vi = jnp.concatenate([sv, si], axis=0)
+        out = self.model.apply(variables, st.cache, s_vi,
+                               method=type(self.model).forward_track,
+                               ce_keep_rate=self.ce_keep_rate,
+                               run_score_head=True)
+        pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+        pred_score = jax.nn.sigmoid(
+            out["pred_scores"].reshape(-1)[0].astype(jnp.float32))
+        pred = pred * (self.search_size / rf)
+        new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                             H, W, margin=10)
+
+        max_score = st.max_pred_score * self.max_score_decay
+        is_better = (pred_score > 0.5) & (pred_score > max_score)
+        cand_v, _ = _prep_rgb(img_v, new_state, self.template_factor,
+                              self.template_size)
+        cand_i, _ = _prep_tir(img_i, new_state, self.template_factor,
+                              self.template_size)
+        max_tv = jnp.where(is_better, cand_v, st.max_template_v)
+        max_ti = jnp.where(is_better, cand_i, st.max_template_i)
+        max_score = jnp.where(is_better, pred_score, max_score)
+
+        do_update = (frame_id % self.update_interval) == 0
+        otv = jnp.where(do_update, max_tv, st.online_template_v)
+        oti = jnp.where(do_update, max_ti, st.online_template_i)
+
+        def rebuilt():
+            t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
+            ot_vi = jnp.concatenate([otv, oti], axis=0)
+            return self.model.apply(variables, t_vi, ot_vi,
+                                    method=type(self.model).set_online)
+
+        cache = jax.lax.cond(do_update, rebuilt, lambda: st.cache)
+        max_tv = jnp.where(do_update, st.template_v, max_tv)
+        max_ti = jnp.where(do_update, st.template_i, max_ti)
+        max_score = jnp.where(do_update, jnp.float32(-1.0), max_score)
+
+        new_st = OnlineCachedTrackState(
+            template_v=st.template_v, template_i=st.template_i,
+            online_template_v=otv, online_template_i=oti, cache=cache,
+            max_template_v=max_tv, max_template_i=max_ti,
+            max_pred_score=max_score, state=new_state, frame_id=frame_id)
+        return new_st, new_state, pred_score
+
 
 
 @dataclasses.dataclass

@@ -167,3 +167,26 @@ def test_unimodal_online_track_chunk_matches_per_frame():
     np.testing.assert_allclose(np.asarray(t2._cache["mem"][0][0], np.float32),
                                np.asarray(fresh["mem"][0][0], np.float32),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_rgbt_online_cached_matches_full(rgbt_online):
+    """Cached-template online tracker == full-forward online tracker,
+    across a score-gated commit."""
+    from multi_modal_tracking_tpu.tracking.tracker import (
+        RGBTOnlineCachedTrackerJit)
+    model, variables = rgbt_online
+    kw = dict(model=model, variables=variables, template_factor=2.0,
+              template_size=32, search_factor=4.0, search_size=64,
+              update_interval=2, max_score_decay=0.98)
+    full = RGBTOnlineTrackerJit(**kw)
+    cached = RGBTOnlineCachedTrackerJit(**kw)
+    fv, fi = _frames(5, seed=11), _frames(5, seed=12)
+    info = {"init_bbox": [50.0, 30.0, 30.0, 24.0]}
+    full.initialize([fv[0], fi[0]], info)
+    cached.initialize([fv[0], fi[0]], info)
+    for v, i in zip(fv[1:], fi[1:]):
+        bf = full.track([v, i])
+        bc = cached.track([v, i])
+        np.testing.assert_allclose(bc["target_bbox"], bf["target_bbox"],
+                                   rtol=1e-4, atol=1e-3)
+        assert abs(bc["pred_score"] - bf["pred_score"]) < 1e-4
