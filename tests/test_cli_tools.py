@@ -79,3 +79,12 @@ def test_plot_results_cn(tmp_path):
     files = plot_results([TrackerResults(str(res), "mine")], dataset, "synth_cn",
                          result_plot_path=str(tmp_path / "plots"), language="cn")
     assert files and all(os.path.getsize(f) > 0 for f in files)
+
+
+def test_profile_model_tiny(capsys):
+    """profile_model CLI: params/FLOPs/latency on a tiny geometry (CPU)."""
+    import importlib
+    mod = importlib.import_module("tracking.profile_model")
+    mod.profile("mixformer_vit", search_size=64, template_size=32, repeats=2)
+    out = capsys.readouterr().out
+    assert "params:" in out and "forward FLOPs:" in out and "ms/frame" in out

@@ -56,12 +56,21 @@ def profile(script: str, search_size=None, template_size=None, repeats: int = 50
     flops = cost.get("flops", float("nan"))
     hbm_bytes = cost.get("bytes accessed", float("nan"))
 
-    out = fwd(variables, t, t, s)
-    out.block_until_ready()
+    # `repeats` forwards chained inside ONE scan dispatch (each iteration's
+    # input depends on the previous output, so the device executes them
+    # back-to-back), ended by a real 4-byte fetch — np.asarray, because on
+    # proxied transports a bare block_until_ready can return before the
+    # computation finishes and report impossible sub-FLOP latencies.
+    @jax.jit
+    def chain(variables, c0):
+        def body(c, _):
+            out = model.apply(variables, t, t, s + c * 1e-9)["pred_boxes"]
+            return out.astype(jnp.float32).mean(), None
+        return jax.lax.scan(body, c0, None, length=repeats)[0]
+
+    np.asarray(chain(variables, jnp.float32(0)))        # compile + warm
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fwd(variables, t, t, s)
-    out.block_until_ready()
+    np.asarray(chain(variables, jnp.float32(0)))
     lat_ms = (time.perf_counter() - t0) / repeats * 1e3
 
     print(f"script:           {script}")
