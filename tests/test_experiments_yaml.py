@@ -52,3 +52,35 @@ def test_unknown_key_rejected(tmp_path):
     cfg = get_default_config("mixformer_vit")
     with pytest.raises((KeyError, ValueError)):
         cfg.update_from_file(str(bad))
+
+
+SCRIPTS = ["mixformer_vit", "mixformer_vit_online", "mixformer_cvt",
+           "mixformer_cvt_online", "mixformer_convmae", "mixformer_convmae_online",
+           "mixformer_vit_rgbt", "mixformer_vit_rgbt_shared",
+           "mixformer_vit_rgbt_unibackbone", "asymmetric_shared",
+           "asymmetric_shared_ce", "asymmetric_shared_online"]
+
+
+@pytest.mark.parametrize("script", SCRIPTS)
+def test_build_model_all_scripts(script):
+    """Every script's default config builds a model whose forward traces
+    (abstract eval — no FLOPs spent) with the right output shape."""
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_tracking_tpu.config import get_default_config
+    from multi_modal_tracking_tpu.eval.evaltracker import is_rgbt_script
+    from multi_modal_tracking_tpu.models.build import build_model
+
+    cfg = get_default_config(script)
+    cfg.DATA.SEARCH.SIZE = 64
+    cfg.DATA.TEMPLATE.SIZE = 32
+    if "FUSION_LAYERS" in cfg.MODEL:
+        cfg.MODEL.FUSION_LAYERS = 1
+    model = build_model(script, cfg)
+    lead = 2 if is_rgbt_script(script) else 1
+    t = jnp.zeros((lead, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((lead, 64, 64, 3), jnp.float32)
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), t, t, s)
+    out = jax.eval_shape(
+        lambda v, a, b, c: model.apply(v, a, b, c), variables, t, t, s)
+    assert out["pred_boxes"].shape[-1] == 4
