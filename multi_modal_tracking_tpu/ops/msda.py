@@ -275,33 +275,14 @@ def _fused_fwd(value, spatial_shapes, loc, attw, interpret):
     return out, (value, loc, attw)
 
 
-def _ms_deform_attn_xla_gather(value, spatial_shapes, sampling_locations,
-                               attention_weights):
-    """XLA composition forced through the gather lowering for every level.
-    Used as the recompute target of the fused kernel's backward: the dense
-    one-hot lowering materialises (B, Lq, M, S) matrices in HBM, which at
-    train batches makes its vjp the single most expensive op in the step
-    (~28 ms/layer at B=16); the gather vjp (scatter-add over taps) is far
-    cheaper there."""
-    B, S, M, D = value.shape
-    Lq = sampling_locations.shape[1]
-    sizes = [h * w for h, w in spatial_shapes]
-    offs = 0
-    gathered = []
-    for lid, (H, W) in enumerate(spatial_shapes):
-        value_l = jax.lax.slice_in_dim(value, offs, offs + sizes[lid], axis=1)
-        offs += sizes[lid]
-        gathered.append(_bilinear_sample_level(
-            value_l, sampling_locations[:, :, :, lid], H, W))
-    samp = jnp.stack(gathered, axis=3)                  # (B, Lq, M, L, P, D)
-    out = (samp * attention_weights[..., None]).sum(axis=(3, 4))
-    return out.reshape(B, Lq, M * D)
-
-
 def _fused_bwd(spatial_shapes, interpret, res, g):
+    # Recompute through the DENSE one-hot lowering: its vjp is matmuls with
+    # the transposed interpolation matrices, all MXU work. A gather-lowering
+    # recompute was measured ~2x slower end-to-end at train batch (its vjp is
+    # scatter-adds, which TPUs serialise).
     value, loc, attw = res
     _, vjp = jax.vjp(
-        lambda v, l, w: _ms_deform_attn_xla_gather(v, spatial_shapes, l, w),
+        lambda v, l, w: _ms_deform_attn_xla(v, spatial_shapes, l, w),
         value, loc, attw)
     return vjp(g)
 
