@@ -275,12 +275,134 @@ def _fused_fwd(value, spatial_shapes, loc, attw, interpret):
     return out, (value, loc, attw)
 
 
+def _msda_bwd_kernel(idx_ref, w_ref, v_ref, g_ref, dv_ref, dwt_ref, *,
+                     spatial_shapes, taps_per_level, acc_dtype):
+    """Backward of the folded-tap formulation, one batch element per cell.
+
+    out[q] = sum_t w[q,t] * V[idx[q,t]]  per level, so
+      dV   = A^T @ g          (A^T built tap-by-tap like the forward's A)
+      dw[q,t] = (g @ V^T)[q, idx[q,t]]   (extracted with the same one-hots)
+    Both are VMEM compare-accumulates + MXU matmuls; the chain from dw to
+    d(attention_weights) / d(sampling_locations) is cheap elementwise work
+    done outside the kernel. The XLA dense-vjp alternative materialises the
+    (B, Lq, M, S) one-hot matrices in HBM and dominated the train step.
+
+    Grid is (B, M) — one head per cell: the backward holds A_T, dWf AND both
+    outputs live, so an all-heads cell overflows the 16 MB VMEM stack at
+    train batch."""
+    Lq = idx_ref.shape[2]
+    D = v_ref.shape[3]
+    g_m = g_ref[0, 0]                                       # (Lq, D)
+    off = 0
+    toff = 0
+    for (H, W) in spatial_shapes:
+        S_l = H * W
+        V_l = v_ref[0, 0, off: off + S_l, :]                # (S_l, D)
+        # --- dV = A^T @ g ----------------------------------------------
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (S_l, Lq), 0)
+        A_T = jnp.zeros((S_l, Lq), jnp.float32)
+        for t in range(taps_per_level):
+            idx_t = idx_ref[0, 0, :, toff + t: toff + t + 1]     # (Lq, 1)
+            w_t = w_ref[0, 0, :, toff + t: toff + t + 1]
+            A_T = A_T + jnp.where(iota_s == idx_t.reshape(1, Lq),
+                                  w_t.reshape(1, Lq).astype(jnp.float32),
+                                  0.0)
+        dv_ref[0, 0, off: off + S_l, :] = jax.lax.dot_general(
+            A_T.astype(acc_dtype), g_m,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        # --- dw[q,t] = dWf[q, idx[q,t]] --------------------------------
+        dWf = jax.lax.dot_general(
+            g_m, V_l, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (Lq, S_l)
+        iota_q = jax.lax.broadcasted_iota(jnp.int32, (Lq, S_l), 1)
+        for t in range(taps_per_level):
+            idx_t = idx_ref[0, 0, :, toff + t: toff + t + 1]     # (Lq, 1)
+            picked = jnp.where(iota_q == idx_t, dWf, 0.0)
+            dwt_ref[0, 0, :, toff + t: toff + t + 1] = jnp.sum(
+                picked, axis=1, keepdims=True).astype(dwt_ref.dtype)
+        off += S_l
+        toff += taps_per_level
+
+
+def _msda_pallas_bwd(value, spatial_shapes, loc, attw, g, interpret=False):
+    """Pallas backward: returns (dValue, dLoc, dAttw) matching primal dtypes."""
+    B, S, M, D = value.shape
+    Lq = loc.shape[1]
+    L = len(spatial_shapes)
+    P = loc.shape[4]
+    idx, w = _tap_tables(spatial_shapes, loc, attw)         # (B, M, Lq, T)
+    T = idx.shape[-1]
+    acc_dtype = value.dtype if value.dtype == jnp.bfloat16 else jnp.float32
+    g4 = g.reshape(B, Lq, M, D).transpose(0, 2, 1, 3)        # (B, M, Lq, D)
+    kernel = functools.partial(
+        _msda_bwd_kernel, spatial_shapes=tuple(spatial_shapes),
+        taps_per_level=T // L, acc_dtype=acc_dtype)
+
+    def spec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec((1, 1) + shape,
+                            (lambda b, m: (b, m) + (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    dv, dwt = pl.pallas_call(
+        kernel,
+        grid=(B, M),
+        in_specs=[spec(Lq, T), spec(Lq, T), spec(S, D),
+                  spec(Lq, D)],
+        out_specs=[spec(S, D), spec(Lq, T)],
+        out_shape=[jax.ShapeDtypeStruct((B, M, S, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, M, Lq, T), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * M * Lq * S * D,
+            bytes_accessed=(2 * B * M * Lq * T * 4
+                            + 2 * B * S * M * D * value.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, w.astype(acc_dtype), value.transpose(0, 2, 1, 3).astype(acc_dtype),
+      g4.astype(acc_dtype))
+
+    dvalue = dv.transpose(0, 2, 1, 3).astype(value.dtype)    # (B, S, M, D)
+
+    # chain dw (folded tap weights) -> dAttw, dLoc, recomputing the bilinear
+    # factors (cheap (B, Lq, M, P) elementwise work)
+    dwt = dwt.transpose(0, 2, 1, 3)                          # (B, Lq, M, T)
+    dwt = dwt.reshape(B, Lq, M, L, P, 4)
+    locf = loc.astype(jnp.float32)
+    attf = attw.astype(jnp.float32)
+    dAw = jnp.zeros((B, Lq, M, L, P), jnp.float32)
+    dLoc = jnp.zeros((B, Lq, M, L, P, 2), jnp.float32)
+    for lid, (H, W) in enumerate(spatial_shapes):
+        x = locf[:, :, :, lid, :, 0] * W - 0.5
+        y = locf[:, :, :, lid, :, 1] * H - 0.5
+        fx = x - jnp.floor(x)
+        fy = y - jnp.floor(y)
+        aw = attf[:, :, :, lid]
+        d = dwt[:, :, :, lid]                                # (B, Lq, M, P, 4)
+        bw = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                        (1 - fx) * fy, fx * fy], axis=-1)
+        dAw = dAw.at[:, :, :, lid].set(jnp.sum(bw * d, axis=-1))
+        dbw = aw[..., None] * d                              # (B, Lq, M, P, 4)
+        dfx = (-(1 - fy) * dbw[..., 0] + (1 - fy) * dbw[..., 1]
+               - fy * dbw[..., 2] + fy * dbw[..., 3])
+        dfy = (-(1 - fx) * dbw[..., 0] - fx * dbw[..., 1]
+               + (1 - fx) * dbw[..., 2] + fx * dbw[..., 3])
+        dLoc = dLoc.at[:, :, :, lid, :, 0].set(dfx * W)
+        dLoc = dLoc.at[:, :, :, lid, :, 1].set(dfy * H)
+    return (dvalue, dLoc.astype(loc.dtype), dAw.astype(attw.dtype))
+
+
 def _fused_bwd(spatial_shapes, interpret, res, g):
-    # Recompute through the DENSE one-hot lowering: its vjp is matmuls with
-    # the transposed interpolation matrices, all MXU work. A gather-lowering
-    # recompute was measured ~2x slower end-to-end at train batch (its vjp is
-    # scatter-adds, which TPUs serialise).
     value, loc, attw = res
+    fits = all(h * w <= _PALLAS_MAX_SOURCE for h, w in spatial_shapes)
+    if fits:
+        return _msda_pallas_bwd(value, spatial_shapes, loc, attw, g,
+                                interpret)
+    # Fallback: recompute through the DENSE one-hot lowering — its vjp is
+    # matmuls with transposed interpolation matrices, all MXU work. (A
+    # gather-lowering recompute was measured ~2x slower end-to-end at train
+    # batch: its vjp is scatter-adds, which TPUs serialise.)
     _, vjp = jax.vjp(
         lambda v, l, w: _ms_deform_attn_xla(v, spatial_shapes, l, w),
         value, loc, attw)
