@@ -107,17 +107,22 @@ class AsymCrossModalAttention(nn.Module):
             out = self.proj(_merge(x_all))
             x_v, x_i = out[:B], out[B:]
         else:
-            # Templates attend within their own modality only.
-            x_mt_V = _attend(q_mt_V, k_mt_V, v_mt_V, self.scale)
-            x_mt_I = _attend(q_mt_I, k_mt_I, v_mt_I, self.scale)
+            # Templates attend within their own modality only; both
+            # modalities ride one batched call (keys stacked on batch).
+            x_mt = _attend(jnp.concatenate([q_mt_V, q_mt_I], axis=0),
+                           jnp.concatenate([k_mt_V, k_mt_I], axis=0),
+                           jnp.concatenate([v_mt_V, v_mt_I], axis=0),
+                           self.scale)
             # Search attends to all templates (both modalities) + own search.
-            x_s_V = _attend(q_s_V, jnp.concatenate([k_mt, k_s_V], axis=2),
-                            jnp.concatenate([v_mt, v_s_V], axis=2), self.scale)
-            x_s_I = _attend(q_s_I, jnp.concatenate([k_mt, k_s_I], axis=2),
-                            jnp.concatenate([v_mt, v_s_I], axis=2), self.scale)
-
-            out_V = jnp.concatenate([_merge(x_mt_V), _merge(x_s_V)], axis=1)
-            out_I = jnp.concatenate([_merge(x_mt_I), _merge(x_s_I)], axis=1)
+            x_s = _attend(
+                jnp.concatenate([q_s_V, q_s_I], axis=0),
+                jnp.concatenate([jnp.concatenate([k_mt, k_s_V], axis=2),
+                                 jnp.concatenate([k_mt, k_s_I], axis=2)], axis=0),
+                jnp.concatenate([jnp.concatenate([v_mt, v_s_V], axis=2),
+                                 jnp.concatenate([v_mt, v_s_I], axis=2)], axis=0),
+                self.scale)
+            out_V = jnp.concatenate([_merge(x_mt[:B]), _merge(x_s[:B])], axis=1)
+            out_I = jnp.concatenate([_merge(x_mt[B:]), _merge(x_s[B:])], axis=1)
             out = self.proj(jnp.concatenate([out_V, out_I], axis=0))
             x_v, x_i = out[:B], out[B:]
 
@@ -147,28 +152,31 @@ class AsymCrossModalAttention(nn.Module):
 
     def template_step(self, nv, ni):
         """Normed template tokens (B, n_mt, C) per modality -> attention
-        output + this block's cache {q,k,v per modality}."""
+        output + this block's cache {q,k,v per modality}. Both modalities
+        ride one batched attention call (within-modality keys only)."""
         B = nv.shape[0]
         q, k, v = self._qkv_heads(jnp.concatenate([nv, ni], axis=0))
-        xV = _attend(q[:B], k[:B], v[:B], self.scale)
-        xI = _attend(q[B:], k[B:], v[B:], self.scale)
-        out = self.proj(_merge(jnp.concatenate([xV, xI], axis=0)))
+        x = _attend(q, k, v, self.scale)
+        out = self.proj(_merge(x))
         cache = {"qV": q[:B], "kV": k[:B], "vV": v[:B],
                  "qI": q[B:], "kI": k[B:], "vI": v[B:]}
         return out[:B], out[B:], cache
 
     def search_step(self, nsv, nsi, cache, return_attention: bool = False):
         """Normed search tokens (B, n_s, C) per modality + cached template
-        q/k/v -> attention output (search rows only) + t->s CE attention."""
+        q/k/v -> attention output (search rows only) + t->s CE attention.
+        Per-modality key sets are stacked on the batch axis so both
+        modalities run ONE batched attention call."""
         B = nsv.shape[0]
         qs, ks, vs = self._qkv_heads(jnp.concatenate([nsv, nsi], axis=0))
         k_mt = jnp.concatenate([cache["kV"], cache["kI"]], axis=2)
         v_mt = jnp.concatenate([cache["vV"], cache["vI"]], axis=2)
-        x_s_V = _attend(qs[:B], jnp.concatenate([k_mt, ks[:B]], axis=2),
-                        jnp.concatenate([v_mt, vs[:B]], axis=2), self.scale)
-        x_s_I = _attend(qs[B:], jnp.concatenate([k_mt, ks[B:]], axis=2),
-                        jnp.concatenate([v_mt, vs[B:]], axis=2), self.scale)
-        out = self.proj(_merge(jnp.concatenate([x_s_V, x_s_I], axis=0)))
+        k_all = jnp.concatenate([jnp.concatenate([k_mt, ks[:B]], axis=2),
+                                 jnp.concatenate([k_mt, ks[B:]], axis=2)], axis=0)
+        v_all = jnp.concatenate([jnp.concatenate([v_mt, vs[:B]], axis=2),
+                                 jnp.concatenate([v_mt, vs[B:]], axis=2)], axis=0)
+        x_s = _attend(qs, k_all, v_all, self.scale)
+        out = self.proj(_merge(x_s))
         attn_t2s = None
         if return_attention:
             q_mt = jnp.concatenate([cache["qV"], cache["qI"]], axis=2)
