@@ -186,6 +186,24 @@ class AsymCrossModalAttention(nn.Module):
         return out[:B], out[B:], attn_t2s
 
 
+def _select_rows(tok: jax.Array, idx: jax.Array) -> jax.Array:
+    """tok (B, L, C), idx (B, K) -> (B, K, C) row selection as an exact
+    one-hot matmul: 0/1 weights pick rows bit-exactly, and the contraction
+    rides the MXU where XLA's take_along_axis gather serialises on TPU."""
+    L = tok.shape[1]
+    oh = (idx[..., None] == jnp.arange(L, dtype=idx.dtype)[None, None]
+          ).astype(tok.dtype)
+    return jnp.einsum("bkl,blc->bkc", oh, tok)
+
+
+def _scatter_rows(tok: jax.Array, idx: jax.Array, n: int) -> jax.Array:
+    """tok (B, K, C), idx (B, K) -> (B, n, C) with tok rows placed at idx and
+    zeros elsewhere — the transpose of _select_rows, same one-hot matmul."""
+    oh = (idx[..., None] == jnp.arange(n, dtype=idx.dtype)[None, None]
+          ).astype(tok.dtype)                                   # (B, K, n)
+    return jnp.einsum("bkn,bkc->bnc", oh, tok)
+
+
 def _ce_select(attn_m: jax.Array, tokens: jax.Array, gidx: jax.Array,
                n_mt: int, lens_keep: int):
     """Top-k search-token selection for one modality.
@@ -195,8 +213,7 @@ def _ce_select(attn_m: jax.Array, tokens: jax.Array, gidx: jax.Array,
     """
     _, top_idx = jax.lax.top_k(attn_m, lens_keep)               # (B, keep)
     gidx_new = jnp.take_along_axis(gidx, top_idx, axis=1)
-    tok_s = tokens[:, n_mt:]
-    kept = jnp.take_along_axis(tok_s, top_idx[..., None], axis=1)
+    kept = _select_rows(tokens[:, n_mt:], top_idx)
     return jnp.concatenate([tokens[:, :n_mt], kept], axis=1), gidx_new
 
 
@@ -421,9 +438,7 @@ class AsymSharedViT(nn.Module):
             z, sm = xm[:, :n_mt], xm[:, n_mt:]
             if sm.shape[1] == n_s:
                 return xm
-            full = jnp.zeros((B, n_s, xm.shape[-1]), xm.dtype)
-            full = jax.vmap(lambda buf, idx, val: buf.at[idx].set(val))(full, gi, sm)
-            return jnp.concatenate([z, full], axis=1)
+            return jnp.concatenate([z, _scatter_rows(sm, gi, n_s)], axis=1)
 
         x_v = recover(x_v, gidx_v)
         x_i = recover(x_i, gidx_i)
@@ -484,9 +499,7 @@ class AsymSharedViT(nn.Module):
         def recover(sm, gi):
             if sm.shape[1] == n_s:
                 return sm
-            full = jnp.zeros((B, n_s, sm.shape[-1]), sm.dtype)
-            return jax.vmap(lambda buf, idx, val: buf.at[idx].set(val))(
-                full, gi, sm)
+            return _scatter_rows(sm, gi, n_s)
 
         s_v = recover(s_v, gidx_v)
         s_i = recover(s_i, gidx_i)
