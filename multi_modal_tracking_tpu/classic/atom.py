@@ -238,11 +238,13 @@ class ATOMTracker:
         # memory insert at ring pointer
         lbl_center = jnp.asarray([h / 2.0, w / 2.0]) + \
             (center - state.center) * fs
-        # slot 0 (the identity init sample) is never overwritten, matching the
-        # reference's protected init samples; the ring wraps into slots 1..M-1
+        # the A augmented init samples are never overwritten (pytracking's
+        # update_memory keeps all num_init_samples protected for the whole
+        # sequence); the ring wraps into slots A..M-1
         M = self.memory_size
+        A = min(self.augmenter.num_samples, M - 1)
         ptr = jnp.where(state.mem_ptr < M, state.mem_ptr,
-                        1 + (state.mem_ptr - M) % (M - 1))
+                        A + (state.mem_ptr - M) % (M - A))
         samples = jax.lax.dynamic_update_index_in_dim(state.samples, feat[0], ptr, 0)
         labels = jax.lax.dynamic_update_index_in_dim(
             state.labels, self._label(lbl_center), ptr, 0)

@@ -70,15 +70,23 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
                   update_interval=update_interval)
     online = script.endswith("_online")
     if is_rgbt_script(script):
+        from multi_modal_tracking_tpu.tracking.tracker import (
+            RGBTOnlineTrackerJit, RGBTTrackerJit)
         bb = cfg.MODEL.BACKBONE
         ce_rate = (bb.CE_KEEP_RATIO[-1] if bb.get("CE_KEEP_RATIO", None) else None)
+        # cached-template fast path (bit-identical trajectories at ~40%
+        # fewer backbone FLOPs/frame, tests/test_tracker.py equality) — only
+        # for models that implement set_online/forward_track (the
+        # asymmetric_shared family); the plain vit_rgbt variants run the
+        # full-forward loops.
+        cached = hasattr(type(model), "set_online") and \
+            hasattr(type(model), "forward_track")
         if online:
-            return RGBTOnlineCachedTrackerJit(
-                ce_keep_rate=ce_rate,
-                max_score_decay=online_size_decay(cfg)[1], **common)
-        # cached-template fast path: bit-identical trajectories at ~40%
-        # fewer backbone FLOPs per frame (tests/test_tracker.py equality)
-        return RGBTCachedTrackerJit(ce_keep_rate=ce_rate, **common)
+            cls = RGBTOnlineCachedTrackerJit if cached else RGBTOnlineTrackerJit
+            return cls(ce_keep_rate=ce_rate,
+                       max_score_decay=online_size_decay(cfg)[1], **common)
+        cls = RGBTCachedTrackerJit if cached else RGBTTrackerJit
+        return cls(ce_keep_rate=ce_rate, **common)
     if online:
         size, decay = online_size_decay(cfg, dataset_name)
         return OnlineTrackerJit(mode=mode, online_size=size,

@@ -108,7 +108,11 @@ def dump_attention_maps(tracker, image, out_dir: str, frame_id: int = 0,
     os.makedirs(out_dir, exist_ok=True)
     st = tracker._state
     t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
-    ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
+    # cached-template trackers (CachedTrackState) carry no online-template
+    # crops — the diagnostic falls back to the base templates there
+    otv = getattr(st, "online_template_v", st.template_v)
+    oti = getattr(st, "online_template_i", st.template_i)
+    ot_vi = jnp.concatenate([otv, oti], axis=0)
     s_vi = _search_crop(tracker, image)
     _, _, _, attn_maps = tracker.model.apply(
         tracker.variables, t_vi, ot_vi, s_vi, tracker.ce_keep_rate,

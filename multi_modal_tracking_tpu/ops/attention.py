@@ -151,10 +151,10 @@ def use_pallas_default() -> bool:
 
 def mixed_attention(q, k, v, n_mt: int, scale: float,
                     use_pallas: Optional[bool] = None):
-    """Dispatcher: Pallas kernel on TPU (compiled), XLA two-call otherwise.
-
-    use_pallas=None auto-selects (see use_pallas_default); tests pass
-    use_pallas=True with interpret mode via ops.attention.FORCE_INTERPRET.
+    """Dispatcher: XLA two-call lowering by default (measured faster at
+    flagship token counts, see use_pallas_default); the fused Pallas kernel
+    runs when USE_PALLAS/use_pallas is True. Tests pass use_pallas=True with
+    interpret mode via ops.attention.FORCE_INTERPRET.
     """
     if use_pallas is None:
         use_pallas = use_pallas_default()

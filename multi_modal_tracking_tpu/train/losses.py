@@ -113,7 +113,10 @@ def reg_loss(output: jax.Array, ind: jax.Array, target: jax.Array,
             t = jnp.stack([target[:, 0] + rw * norm, target[:, 1] - rw * norm,
                            target[:, 2] + rh * norm, target[:, 3] - rh * norm], axis=1)
             ok_t = jnp.all(t >= 0.0)
-            ok_c = jnp.all((ch + rh >= 0) & (ch + rh < W) & (cw + rw >= 0) & (cw + rw < W))
+            # rows bounded by H (the reference checks both axes against
+            # `width` — box_ops.py:196-197 — which is only correct on the
+            # square maps it ever uses; we bound each axis properly)
+            ok_c = jnp.all((ch + rh >= 0) & (ch + rh < H) & (cw + rw >= 0) & (cw + rw < W))
             ind_c = ((ch + rh) * W + (cw + rw)).astype(ind.dtype)
             ind_c = jnp.clip(ind_c, 0, H * W - 1)
             pred = _gather_feat_hw(feat, ind_c)

@@ -155,3 +155,47 @@ def test_save_vis_video(tmp_path, dataset):
     cap = cv2.VideoCapture(str(video))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == len(seq.frames) - 1
     cap.release()
+
+
+def _tiny_params(script):
+    from multi_modal_tracking_tpu.eval.params import get_parameters
+    p = get_parameters(script, tracking_yaml=None)
+    c = p.cfg
+    c.DATA.SEARCH.SIZE = 64
+    c.DATA.TEMPLATE.SIZE = 32
+    c.TEST.SEARCH_SIZE = 64
+    c.TEST.TEMPLATE_SIZE = 32
+    if "FUSION_LAYERS" in c.MODEL:
+        c.MODEL.FUSION_LAYERS = 1
+    if "VIT_TYPE" in c.MODEL:
+        c.MODEL.VIT_TYPE = "base_patch16"
+    p.template_size, p.search_size = 32, 64
+    return p
+
+
+@pytest.mark.parametrize("script", ["mixformer_vit_rgbt",
+                                    "mixformer_vit_rgbt_shared",
+                                    "mixformer_vit_rgbt_unibackbone"])
+def test_create_tracker_plain_vit_rgbt_scripts(script):
+    """Regression: the cached-template fast path must only engage for models
+    that implement set_online/forward_track — the plain vit_rgbt variants
+    get the full-forward loop and must initialize+track without error."""
+    import numpy as np
+    from multi_modal_tracking_tpu.eval.evaltracker import create_tracker
+    import jax.numpy as jnp
+    tracker = create_tracker(_tiny_params(script), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    fv = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    fi = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    tracker.initialize([fv, fi], {"init_bbox": [40.0, 30.0, 30.0, 24.0]})
+    out = tracker.track([fv, fi])
+    assert len(out["target_bbox"]) == 4
+
+
+def test_create_tracker_flagship_uses_cached_path():
+    from multi_modal_tracking_tpu.eval.evaltracker import create_tracker
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTCachedTrackerJit
+    import jax.numpy as jnp
+    tracker = create_tracker(_tiny_params("asymmetric_shared_ce"),
+                             dtype=jnp.float32)
+    assert isinstance(tracker, RGBTCachedTrackerJit)

@@ -170,3 +170,30 @@ def test_vot20_mask_utils():
     r = mask_from_rect([2, 1, 3, 3], [6, 5])
     np.testing.assert_array_equal(r, m)
     assert bbox_clip(-5, -5, 900, 900, (480, 640)) == (0, 0, 640, 480)
+
+
+def test_dump_attention_maps_cached_tracker(tmp_path):
+    """Regression: the attention-map diagnostic must also work on the
+    cached-template tracker (whose state has no online-template crops)."""
+    from multi_modal_tracking_tpu.config import get_default_config
+    from multi_modal_tracking_tpu.eval.visualize import dump_attention_maps
+    from multi_modal_tracking_tpu.models.asymmetric_shared import build_mixformer_rgbt
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTCachedTrackerJit
+    cfg = get_default_config("asymmetric_shared_ce")
+    cfg.DATA.SEARCH.SIZE = 96
+    cfg.DATA.TEMPLATE.SIZE = 64
+    cfg.MODEL.FUSION_LAYERS = 1
+    cfg.MODEL.BACKBONE.CE_LOC = [1]
+    model = build_mixformer_rgbt(cfg)
+    t = jnp.zeros((2, 64, 64, 3))
+    s = jnp.zeros((2, 96, 96, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    tr = RGBTCachedTrackerJit(model=model, variables=variables,
+                              template_size=64, search_size=96,
+                              ce_keep_rate=None)
+    rng = np.random.default_rng(4)
+    fv = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    fi = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    tr.initialize([fv, fi], {"init_bbox": [40.0, 30.0, 30.0, 24.0]})
+    paths = dump_attention_maps(tr, [fv, fi], str(tmp_path / "attn_cached"))
+    assert len(paths) == 1 and os.path.getsize(paths[0]) > 0
