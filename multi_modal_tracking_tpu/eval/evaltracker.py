@@ -91,6 +91,11 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
         size, decay = online_size_decay(cfg, dataset_name)
         return OnlineTrackerJit(mode=mode, online_size=size,
                                 max_score_decay=decay, **common)
+    from multi_modal_tracking_tpu.tracking.tracker import RGBCachedTrackerJit
+    if hasattr(type(model), "set_online") and hasattr(type(model), "forward_test"):
+        # cached-k/v fast path, exact by the same asymmetry as forward_test
+        # (cache-losslessness tests in tests/test_models.py / test_cvt.py)
+        return RGBCachedTrackerJit(mode=mode, **common)
     return RGBTrackerJit(mode=mode, **common)
 
 

@@ -898,3 +898,48 @@ class RGBTrackerJit:
         frame = self._frame(_put(img), _put(img_i))
         self._state, box = self._track_jit[self._shape](self.variables, self._state, frame)
         return {"target_bbox": [float(b) for b in np.asarray(box)]}
+
+
+@dataclasses.dataclass
+class RGBCachedTrackerJit(RGBTrackerJit):
+    """RGBTrackerJit over the model's own set_online/forward_test k/v cache:
+    the base (non-online) unimodal trackers in the reference run the full
+    network per frame (lib/test/tracker/mixformer_vit.py), but the same
+    asymmetry that powers forward_test makes a cached per-frame step exact
+    here too. Works for every unimodal family (ViT/CvT/ConvMAE share the
+    {"mem", "template"}-style cache contract); cache rebuilt at template
+    updates inside the jitted step."""
+
+    def _make_init(self, shape):
+        def init_fn(variables, img, box):
+            t, _ = _prep_rgb(img, box, self.template_factor, self.template_size)
+            cache = self.model.apply(variables, t, t,
+                                     method=type(self.model).set_online)
+            return CachedTrackState(template_v=t, template_i=t, cache=cache,
+                                    state=box.astype(jnp.float32),
+                                    frame_id=jnp.int32(0))
+        return jax.jit(init_fn)
+
+    def _step(self, shape, variables, st: CachedTrackState, img):
+        H, W = shape
+        frame_id = st.frame_id + 1
+        s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
+        out = self.model.apply(variables, s, st.cache,
+                               method=type(self.model).forward_test)
+        pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+        pred = pred * (self.search_size / rf)
+        new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
+                             H, W, margin=10)
+
+        def rebuilt():
+            ot, _ = _prep_rgb(img, new_state, self.template_factor,
+                              self.template_size)
+            return self.model.apply(variables, st.template_v, ot,
+                                    method=type(self.model).set_online)
+
+        do_update = (frame_id % self.update_interval) == 0
+        cache = jax.lax.cond(do_update, rebuilt, lambda: st.cache)
+        new_st = CachedTrackState(template_v=st.template_v,
+                                  template_i=st.template_i, cache=cache,
+                                  state=new_state, frame_id=frame_id)
+        return new_st, new_state

@@ -167,3 +167,33 @@ def test_single_channel_tir_equals_replicated(tiny_tracker):
         b3 = tr3.track([v, np.repeat(i[..., None], 3, axis=2)])["target_bbox"]
         b1 = tr1.track([v, i])["target_bbox"]
         np.testing.assert_allclose(b1, b3, rtol=1e-5, atol=1e-4)
+
+
+def test_rgb_cached_tracker_matches_full():
+    """Unimodal cached-k/v base tracker == full-forward base tracker."""
+    from multi_modal_tracking_tpu.config import get_default_config
+    from multi_modal_tracking_tpu.models.mixformer import build_mixformer_vit
+    from multi_modal_tracking_tpu.tracking.tracker import (RGBCachedTrackerJit,
+                                                           RGBTrackerJit)
+    cfg = get_default_config("mixformer_vit")
+    cfg.DATA.SEARCH.SIZE = 64
+    cfg.DATA.TEMPLATE.SIZE = 32
+    model = build_mixformer_vit(cfg)
+    t = jnp.zeros((1, 32, 32, 3))
+    s = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    kw = dict(model=model, variables=variables, template_factor=2.0,
+              template_size=32, search_factor=4.5, search_size=64,
+              update_interval=2, mode="TIR")
+    full, cached = RGBTrackerJit(**kw), RGBCachedTrackerJit(**kw)
+    rng = np.random.default_rng(9)
+    frames = [(rng.integers(0, 255, (120, 160, 3), np.uint8),
+               rng.integers(0, 255, (120, 160, 3), np.uint8))
+              for _ in range(5)]
+    info = {"init_bbox": [60.0, 40.0, 40.0, 30.0]}
+    full.initialize(frames[0], info)
+    cached.initialize(frames[0], info)
+    for fr in frames[1:]:
+        bf = full.track(fr)["target_bbox"]
+        bc = cached.track(fr)["target_bbox"]
+        np.testing.assert_allclose(bc, bf, rtol=1e-4, atol=1e-3)
