@@ -88,3 +88,34 @@ def test_profile_model_tiny(capsys):
     mod.profile("mixformer_vit", search_size=64, template_size=32, repeats=2)
     out = capsys.readouterr().out
     assert "params:" in out and "forward FLOPs:" in out and "ms/frame" in out
+
+
+def test_test_cli_main_synthetic(monkeypatch, tmp_path):
+    """Drive the full tracking/test.py main() (runner + result files) on the
+    synthetic RGBT dataset with a tiny model geometry."""
+    import sys
+    import importlib
+    import multi_modal_tracking_tpu.eval.params as P
+    real_get = P.get_parameters
+
+    def tiny_get(script, *a, **k):
+        p = real_get(script, None, None, checkpoint=k.get("checkpoint"))
+        c = p.cfg
+        c.DATA.SEARCH.SIZE = 64
+        c.DATA.TEMPLATE.SIZE = 32
+        c.TEST.SEARCH_SIZE = 64
+        c.TEST.TEMPLATE_SIZE = 32
+        c.MODEL.FUSION_LAYERS = 1
+        p.template_size, p.search_size = 32, 64
+        return p
+
+    monkeypatch.setattr(P, "get_parameters", tiny_get)
+    mod = importlib.import_module("tracking.test")
+    argv = ["test.py", "asymmetric_shared_ce",
+            "--dataset_name", "synthetic_rgbt",
+            "--results_dir", str(tmp_path / "res"), "--chunk", "16"]
+    monkeypatch.setattr(sys, "argv", argv)
+    mod.main()
+    import glob as g
+    txts = g.glob(str(tmp_path / "res" / "synthetic_rgbt" / "*.txt"))
+    assert len(txts) >= 3          # bbox (+time/score) files per sequence
