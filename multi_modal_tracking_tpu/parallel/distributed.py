@@ -40,9 +40,19 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     on_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     if not (coordinator_address or on_pod):
         return False
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError) as e:
+        # Pod auto-detection is only a hint: some environments export
+        # TPU_WORKER_HOSTNAMES with unusable contents (e.g. proxied
+        # single-chip setups). Without an explicit coordinator, fall back to
+        # single-process rather than failing the launch.
+        if coordinator_address:
+            raise
+        print(f"jax.distributed auto-init failed ({e}); single-process run")
+        return False
     return True
 
 
