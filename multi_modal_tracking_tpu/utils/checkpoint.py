@@ -82,6 +82,12 @@ def load_variables(path: str, target_variables: Any) -> Any:
     with open(path, "rb") as f:
         raw = f.read()
     state_dict = serialization.msgpack_restore(raw)
+    # unwrap trainer epoch envelopes ({"epoch", "state"}) and the reference's
+    # {"net": state_dict} convention (base_trainer.py:115-148)
+    for key in ("state", "net"):
+        if isinstance(state_dict, dict) and key in state_dict and \
+                "params" not in state_dict:
+            state_dict = state_dict[key]
     if "params" in state_dict and "opt_state" in state_dict:   # TrainState
         out = dict(target_variables)
         out["params"] = serialization.from_state_dict(

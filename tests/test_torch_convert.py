@@ -206,3 +206,30 @@ def test_cast_floating_params_only():
     assert out["params"]["step"].dtype == jnp.int32          # ints untouched
     assert out["batch_stats"]["mean"].dtype == jnp.float32   # stats untouched
     np.testing.assert_allclose(np.asarray(out["params"]["w"], np.float32), 1.0)
+
+
+def test_load_variables_unwraps_trainer_envelope(tmp_path):
+    """Trainer checkpoints are {"epoch", "state": TrainState}; eval-side
+    load_variables must unwrap them (and the reference's {"net": ...})."""
+    import jax.numpy as jnp
+    from flax import serialization
+    from multi_modal_tracking_tpu.utils.checkpoint import load_variables
+    variables = {"params": {"w": jnp.zeros((2, 2))},
+                 "batch_stats": {"m": jnp.zeros((2,))}}
+    state = {"params": {"w": jnp.ones((2, 2))},
+             "opt_state": {"count": jnp.asarray(3)},
+             "batch_stats": {"m": jnp.full((2,), 2.0)},
+             "step": jnp.asarray(5)}
+    p = tmp_path / "ck.msgpack"
+    p.write_bytes(serialization.to_bytes({"epoch": 2, "state": state}))
+    out = load_variables(str(p), variables)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(out["params"]["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(out["batch_stats"]["m"]), 2.0)
+    # reference-style {"net": variables}
+    p2 = tmp_path / "net.msgpack"
+    p2.write_bytes(serialization.to_bytes(
+        {"net": {"params": {"w": jnp.full((2, 2), 7.0)},
+                 "batch_stats": {"m": jnp.zeros((2,))}}}))
+    out2 = load_variables(str(p2), variables)
+    np.testing.assert_allclose(np.asarray(out2["params"]["w"]), 7.0)
