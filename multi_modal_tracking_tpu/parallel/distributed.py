@@ -44,11 +44,13 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (ValueError, RuntimeError) as e:
-        # Pod auto-detection is only a hint: some environments export
-        # TPU_WORKER_HOSTNAMES with unusable contents (e.g. proxied
-        # single-chip setups). Without an explicit coordinator, fall back to
-        # single-process rather than failing the launch.
+    except ValueError as e:
+        # Swallow ONLY the "could not determine a coordinator" class of
+        # failure: some environments export TPU_WORKER_HOSTNAMES with
+        # unusable contents (e.g. proxied single-chip setups), where
+        # auto-detection cannot even produce an address. Genuine pod
+        # connect/barrier failures (RuntimeError) must propagate — silently
+        # falling back there would split-brain a real multi-host job.
         if coordinator_address:
             raise
         print(f"jax.distributed auto-init failed ({e}); single-process run")

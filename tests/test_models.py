@@ -155,3 +155,30 @@ def test_ce_prunes_and_recovers_positions():
     _, _, a = jax.jit(lambda v, t, s: m.apply(v, t, t, s, 1.0))(variables, t, s)
     _, _, b = jax.jit(lambda v, t, s: m_nce.apply(v, t, t, s))(variables, t, s)
     np.testing.assert_allclose(_np(a), _np(b), atol=1e-6)
+
+
+def test_convmae_cache_losslessness():
+    """ConvMAE set_online + forward_test must reproduce the joint forward's
+    boxes (the same contract as ViT/CvT; guards the eval-side cached-k/v
+    dispatch for mixformer_convmae)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from multi_modal_tracking_tpu.config import get_default_config
+    from multi_modal_tracking_tpu.models.convmae import build_mixformer_convmae
+    cfg = get_default_config("mixformer_convmae")
+    cfg.DATA.SEARCH.SIZE = 64
+    cfg.DATA.TEMPLATE.SIZE = 32
+    model = build_mixformer_convmae(cfg)
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    ot = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, ot, s)
+    full = jax.jit(lambda v: model.apply(v, t, ot, s))(variables)
+    cache = jax.jit(lambda v: model.apply(v, t, ot, method=model.set_online))(variables)
+    fast = jax.jit(lambda v, c: model.apply(v, s, c, method=model.forward_test))(
+        variables, cache)
+    np.testing.assert_allclose(np.asarray(fast["pred_boxes"]),
+                               np.asarray(full["pred_boxes"]),
+                               rtol=1e-4, atol=1e-5)
