@@ -163,7 +163,7 @@ def _msda_kernel(idx_ref, w_ref, v_ref, o_ref, *, spatial_shapes,
     per-cell launch overhead than in compute (6 fusion layers x 8 cells
     dominated the fusion cost at tracking shapes)."""
     M = idx_ref.shape[1]
-    Lq = idx_ref.shape[2]
+    Lq = idx_ref.shape[3]          # tap tables arrive tap-major: (M, T, Lq)
     D = v_ref.shape[3]
 
     def head_body(m, carry):
@@ -175,16 +175,23 @@ def _msda_kernel(idx_ref, w_ref, v_ref, o_ref, *, spatial_shapes,
         toff = 0
         for (H, W) in spatial_shapes:
             S_l = H * W
-            iota = jax.lax.broadcasted_iota(jnp.int32, (Lq, S_l), 1)
-            A = jnp.zeros((Lq, S_l), jnp.float32)
+            # Build A TRANSPOSED, (S_l, Lq): each tap is then a row-vector
+            # (1, Lq) splat across sublanes — the cheap broadcast direction.
+            # Building (Lq, S_l) directly needs a (Lq, 1) lane-extract +
+            # lane-broadcast per tap, which measured ~8x slower (the A-build
+            # was 90% of the kernel). The MXU takes the transposed operand
+            # natively in the dot_general below.
+            iota_s = jax.lax.broadcasted_iota(jnp.int32, (S_l, Lq), 0)
+            A_T = jnp.zeros((S_l, Lq), jnp.float32)
             for t in range(taps_per_level):
-                idx_t = idx_ref[0, m, :, toff + t: toff + t + 1]   # (Lq, 1)
-                w_t = w_ref[0, m, :, toff + t: toff + t + 1]
-                A = A + jnp.where(iota == idx_t, w_t.astype(jnp.float32), 0.0)
+                idx_t = idx_ref[0, m, toff + t: toff + t + 1, :]   # (1, Lq)
+                w_t = w_ref[0, m, toff + t: toff + t + 1, :]
+                A_T = A_T + jnp.where(iota_s == idx_t,
+                                      w_t.astype(jnp.float32), 0.0)
             V_l = v_ref[0, m, off: off + S_l, :]                    # (S_l, D)
             acc = acc + jax.lax.dot_general(
-                A.astype(acc_dtype), V_l,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                A_T.astype(acc_dtype), V_l,
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             off += S_l
             toff += taps_per_level
         o_ref[0, m] = acc.astype(o_ref.dtype)
@@ -210,9 +217,9 @@ def _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, M, Lq, T), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, M, T, Lq), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, Lq, T), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, M, T, Lq), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M, S, D), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -227,7 +234,10 @@ def _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(idx, w.astype(acc_dtype), value.transpose(0, 2, 1, 3))
+        # tap-major (T, Lq) layout: each tap row is a native (1, Lq) lane
+        # vector splat across sublanes in the kernel's A_T build
+    )(idx.transpose(0, 1, 3, 2), w.astype(acc_dtype).transpose(0, 1, 3, 2),
+      value.transpose(0, 2, 1, 3))
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
 
 
@@ -275,8 +285,8 @@ def _fused_fwd(value, spatial_shapes, loc, attw, interpret):
     return out, (value, loc, attw)
 
 
-def _msda_bwd_kernel(idx_ref, w_ref, v_ref, g_ref, dv_ref, dwt_ref, *,
-                     spatial_shapes, taps_per_level, acc_dtype):
+def _msda_bwd_kernel(idx_ref, idxT_ref, wT_ref, v_ref, g_ref, dv_ref,
+                     dwt_ref, *, spatial_shapes, taps_per_level, acc_dtype):
     """Backward of the folded-tap formulation, one batch element per cell.
 
     out[q] = sum_t w[q,t] * V[idx[q,t]]  per level, so
@@ -302,11 +312,11 @@ def _msda_bwd_kernel(idx_ref, w_ref, v_ref, g_ref, dv_ref, dwt_ref, *,
         iota_s = jax.lax.broadcasted_iota(jnp.int32, (S_l, Lq), 0)
         A_T = jnp.zeros((S_l, Lq), jnp.float32)
         for t in range(taps_per_level):
-            idx_t = idx_ref[0, 0, :, toff + t: toff + t + 1]     # (Lq, 1)
-            w_t = w_ref[0, 0, :, toff + t: toff + t + 1]
-            A_T = A_T + jnp.where(iota_s == idx_t.reshape(1, Lq),
-                                  w_t.reshape(1, Lq).astype(jnp.float32),
-                                  0.0)
+            # tap-major layout: native (1, Lq) rows, no per-tap relayout
+            idx_t = idxT_ref[0, 0, toff + t: toff + t + 1, :]    # (1, Lq)
+            w_t = wT_ref[0, 0, toff + t: toff + t + 1, :]
+            A_T = A_T + jnp.where(iota_s == idx_t,
+                                  w_t.astype(jnp.float32), 0.0)
         dv_ref[0, 0, off: off + S_l, :] = jax.lax.dot_general(
             A_T.astype(acc_dtype), g_m,
             (((1,), (0,)), ((), ())),
@@ -348,7 +358,7 @@ def _msda_pallas_bwd(value, spatial_shapes, loc, attw, g, interpret=False):
     dv, dwt = pl.pallas_call(
         kernel,
         grid=(B, M),
-        in_specs=[spec(Lq, T), spec(Lq, T), spec(S, D),
+        in_specs=[spec(Lq, T), spec(T, Lq), spec(T, Lq), spec(S, D),
                   spec(Lq, D)],
         out_specs=[spec(S, D), spec(Lq, T)],
         out_shape=[jax.ShapeDtypeStruct((B, M, S, D), jnp.float32),
@@ -360,7 +370,9 @@ def _msda_pallas_bwd(value, spatial_shapes, loc, attw, g, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(idx, w.astype(acc_dtype), value.transpose(0, 2, 1, 3).astype(acc_dtype),
+    )(idx, idx.transpose(0, 1, 3, 2),
+      w.astype(acc_dtype).transpose(0, 1, 3, 2),
+      value.transpose(0, 2, 1, 3).astype(acc_dtype),
       g4.astype(acc_dtype))
 
     dvalue = dv.transpose(0, 2, 1, 3).astype(value.dtype)    # (B, S, M, D)
