@@ -285,8 +285,8 @@ def _fused_fwd(value, spatial_shapes, loc, attw, interpret):
     return out, (value, loc, attw)
 
 
-def _msda_bwd_kernel(idx_ref, idxT_ref, wT_ref, v_ref, g_ref, dv_ref,
-                     dwt_ref, *, spatial_shapes, taps_per_level, acc_dtype):
+def _msda_bwd_kernel(idxT_ref, wT_ref, v_ref, g_ref, dv_ref,
+                     dwtT_ref, *, spatial_shapes, taps_per_level, acc_dtype):
     """Backward of the folded-tap formulation, one batch element per cell.
 
     out[q] = sum_t w[q,t] * V[idx[q,t]]  per level, so
@@ -299,8 +299,9 @@ def _msda_bwd_kernel(idx_ref, idxT_ref, wT_ref, v_ref, g_ref, dv_ref,
 
     Grid is (B, M) — one head per cell: the backward holds A_T, dWf AND both
     outputs live, so an all-heads cell overflows the 16 MB VMEM stack at
-    train batch."""
-    Lq = idx_ref.shape[2]
+    train batch. Everything runs in the transposed (source-major) orientation
+    so every tap touch is a native (1, Lq) row broadcast / row store."""
+    Lq = idxT_ref.shape[3]
     D = v_ref.shape[3]
     g_m = g_ref[0, 0]                                       # (Lq, D)
     off = 0
@@ -321,16 +322,15 @@ def _msda_bwd_kernel(idx_ref, idxT_ref, wT_ref, v_ref, g_ref, dv_ref,
             A_T.astype(acc_dtype), g_m,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-        # --- dw[q,t] = dWf[q, idx[q,t]] --------------------------------
-        dWf = jax.lax.dot_general(
-            g_m, V_l, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (Lq, S_l)
-        iota_q = jax.lax.broadcasted_iota(jnp.int32, (Lq, S_l), 1)
+        # --- dw[q,t] = dWf[q, idx[q,t]], transposed: dWfT[s, q] --------
+        dWfT = jax.lax.dot_general(
+            V_l, g_m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (S_l, Lq)
         for t in range(taps_per_level):
-            idx_t = idx_ref[0, 0, :, toff + t: toff + t + 1]     # (Lq, 1)
-            picked = jnp.where(iota_q == idx_t, dWf, 0.0)
-            dwt_ref[0, 0, :, toff + t: toff + t + 1] = jnp.sum(
-                picked, axis=1, keepdims=True).astype(dwt_ref.dtype)
+            idx_t = idxT_ref[0, 0, toff + t: toff + t + 1, :]    # (1, Lq)
+            picked = jnp.where(iota_s == idx_t, dWfT, 0.0)
+            dwtT_ref[0, 0, toff + t: toff + t + 1, :] = jnp.sum(
+                picked, axis=0, keepdims=True).astype(dwtT_ref.dtype)
         off += S_l
         toff += taps_per_level
 
@@ -358,11 +358,11 @@ def _msda_pallas_bwd(value, spatial_shapes, loc, attw, g, interpret=False):
     dv, dwt = pl.pallas_call(
         kernel,
         grid=(B, M),
-        in_specs=[spec(Lq, T), spec(T, Lq), spec(T, Lq), spec(S, D),
+        in_specs=[spec(T, Lq), spec(T, Lq), spec(S, D),
                   spec(Lq, D)],
-        out_specs=[spec(S, D), spec(Lq, T)],
+        out_specs=[spec(S, D), spec(T, Lq)],
         out_shape=[jax.ShapeDtypeStruct((B, M, S, D), jnp.float32),
-                   jax.ShapeDtypeStruct((B, M, Lq, T), jnp.float32)],
+                   jax.ShapeDtypeStruct((B, M, T, Lq), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * M * Lq * S * D,
             bytes_accessed=(2 * B * M * Lq * T * 4
@@ -370,7 +370,7 @@ def _msda_pallas_bwd(value, spatial_shapes, loc, attw, g, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(idx, idx.transpose(0, 1, 3, 2),
+    )(idx.transpose(0, 1, 3, 2),
       w.astype(acc_dtype).transpose(0, 1, 3, 2),
       value.transpose(0, 2, 1, 3).astype(acc_dtype),
       g4.astype(acc_dtype))
@@ -379,7 +379,7 @@ def _msda_pallas_bwd(value, spatial_shapes, loc, attw, g, interpret=False):
 
     # chain dw (folded tap weights) -> dAttw, dLoc, recomputing the bilinear
     # factors (cheap (B, Lq, M, P) elementwise work)
-    dwt = dwt.transpose(0, 2, 1, 3)                          # (B, Lq, M, T)
+    dwt = dwt.transpose(0, 3, 1, 2)                          # (B, Lq, M, T)
     dwt = dwt.reshape(B, Lq, M, L, P, 4)
     locf = loc.astype(jnp.float32)
     attf = attw.astype(jnp.float32)
