@@ -119,3 +119,18 @@ def test_test_cli_main_synthetic(monkeypatch, tmp_path):
     import glob as g
     txts = g.glob(str(tmp_path / "res" / "synthetic_rgbt" / "*.txt"))
     assert len(txts) >= 3          # bbox (+time/score) files per sequence
+
+
+def test_all_cli_modules_import():
+    """Every tracking/*.py CLI must import cleanly and expose main()
+    (catches import rot in rarely-driven tools)."""
+    import glob as g
+    import importlib
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mods = sorted(os.path.basename(p)[:-3]
+                  for p in g.glob(os.path.join(repo, "tracking", "*.py")))
+    assert len(mods) >= 20
+    for name in mods:
+        mod = importlib.import_module(f"tracking.{name}")
+        assert hasattr(mod, "main"), f"tracking/{name}.py has no main()"

@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from multi_modal_tracking_tpu.train.admin import create_default_local_file
 
-if __name__ == "__main__":
+def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workspace_dir", type=str, default=".")
     p.add_argument("--data_dir", type=str, default="./data")
@@ -22,3 +22,7 @@ if __name__ == "__main__":
     args = p.parse_args()
     path = create_default_local_file(args.workspace_dir, args.data_dir, args.save_dir)
     print(f"wrote {path} — edit dataset paths there")
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if __name__ == "__main__":
+def main():
     p = argparse.ArgumentParser()
     p.add_argument("results_dir", type=str)
     args = p.parse_args()
@@ -28,3 +28,7 @@ if __name__ == "__main__":
         raise SystemExit(f"no *_time.txt under {args.results_dir}")
     print(f"{total_frames} frames, {total_time:.2f}s, "
           f"{total_frames / total_time:.2f} FPS")
+
+
+if __name__ == "__main__":
+    main()
