@@ -101,6 +101,25 @@ def _prep_tir(img, box, factor, out_sz):
     return normalize_imagenet(apply_jet(crop))[None], rf
 
 
+def _prep_rgbt(img_v, img_i, box, factor, out_sz):
+    """Joint bimodal crop: both modalities share the SAME box, so the two
+    resampling-matrix pairs are identical — stack the channels, build the
+    matrices once, crop in one (wider) matmul pair, then run each modality's
+    own post-crop path. Bit-identical to _prep_rgb + _prep_tir (the crop
+    einsum is channel-independent)."""
+    ir = img_i[..., None] if img_i.ndim == 2 else img_i
+    stacked = jnp.concatenate([img_v.astype(jnp.float32),
+                               ir.astype(jnp.float32)], axis=-1)
+    crop, rf = crop_resize(stacked, box, factor, out_sz)
+    cv = crop[..., :3]
+    ci = crop[..., 3:]
+    if ci.shape[-1] == 1:
+        ci = ci[..., 0]
+    ci = jnp.clip(jnp.round(ci), 0, 255)
+    return (normalize_imagenet(cv)[None],
+            normalize_imagenet(apply_jet(ci))[None], rf)
+
+
 _put_device = threading.local()
 
 
@@ -187,8 +206,8 @@ class RGBTTrackerJit:
     # ------------------------------------------------------------- device fns
     def _make_init(self, shape):
         def init_fn(variables, img_v, img_i, box):
-            tv, _ = _prep_rgb(img_v, box, self.template_factor, self.template_size)
-            ti, _ = _prep_tir(img_i, box, self.template_factor, self.template_size)
+            tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+                                    self.template_size)
             return TrackState(template_v=tv, template_i=ti,
                               online_template_v=tv, online_template_i=ti,
                               state=box.astype(jnp.float32),
@@ -199,8 +218,8 @@ class RGBTTrackerJit:
         """One track step (the reference's per-frame track(), :74-114)."""
         H, W = shape
         frame_id = st.frame_id + 1
-        sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
-        si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
+        sv, si, rf = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
+                                 self.search_size)
 
         t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
         ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
@@ -212,8 +231,8 @@ class RGBTTrackerJit:
                              H, W, margin=10)
 
         def updated():
-            otv, _ = _prep_rgb(img_v, new_state, self.template_factor, self.template_size)
-            oti, _ = _prep_tir(img_i, new_state, self.template_factor, self.template_size)
+            otv, oti, _ = _prep_rgbt(img_v, img_i, new_state,
+                                      self.template_factor, self.template_size)
             return otv, oti
 
         do_update = (frame_id % self.update_interval) == 0
@@ -317,8 +336,8 @@ class RGBTCachedTrackerJit(RGBTTrackerJit):
 
     def _make_init(self, shape):
         def init_fn(variables, img_v, img_i, box):
-            tv, _ = _prep_rgb(img_v, box, self.template_factor, self.template_size)
-            ti, _ = _prep_tir(img_i, box, self.template_factor, self.template_size)
+            tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+                                    self.template_size)
             t_vi = jnp.concatenate([tv, ti], axis=0)
             cache = self.model.apply(variables, t_vi, t_vi,
                                      method=type(self.model).set_online)
@@ -330,8 +349,8 @@ class RGBTCachedTrackerJit(RGBTTrackerJit):
     def _step(self, shape, variables, st: CachedTrackState, img_v, img_i):
         H, W = shape
         frame_id = st.frame_id + 1
-        sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
-        si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
+        sv, si, rf = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
+                                 self.search_size)
         s_vi = jnp.concatenate([sv, si], axis=0)
         out = self.model.apply(variables, st.cache, s_vi,
                                method=type(self.model).forward_track,
@@ -342,10 +361,8 @@ class RGBTCachedTrackerJit(RGBTTrackerJit):
                              H, W, margin=10)
 
         def updated():
-            otv, _ = _prep_rgb(img_v, new_state, self.template_factor,
-                               self.template_size)
-            oti, _ = _prep_tir(img_i, new_state, self.template_factor,
-                               self.template_size)
+            otv, oti, _ = _prep_rgbt(img_v, img_i, new_state,
+                                      self.template_factor, self.template_size)
             t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
             ot_vi = jnp.concatenate([otv, oti], axis=0)
             return self.model.apply(variables, t_vi, ot_vi,
@@ -394,8 +411,8 @@ class RGBTOnlineTrackerJit:
 
     def _make_init(self, shape):
         def init_fn(variables, img_v, img_i, box):
-            tv, _ = _prep_rgb(img_v, box, self.template_factor, self.template_size)
-            ti, _ = _prep_tir(img_i, box, self.template_factor, self.template_size)
+            tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+                                    self.template_size)
             return OnlineTrackState(
                 template_v=tv, template_i=ti,
                 online_template_v=tv, online_template_i=ti,
@@ -408,8 +425,8 @@ class RGBTOnlineTrackerJit:
     def _step(self, shape, variables, st: OnlineTrackState, img_v, img_i):
         H, W = shape
         frame_id = st.frame_id + 1
-        sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
-        si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
+        sv, si, rf = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
+                                 self.search_size)
 
         t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
         ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
@@ -426,10 +443,8 @@ class RGBTOnlineTrackerJit:
         # --- max-score candidate (decayed) -----------------------------------
         max_score = st.max_pred_score * self.max_score_decay
         is_better = (pred_score > 0.5) & (pred_score > max_score)
-        cand_v, _ = _prep_rgb(img_v, new_state, self.template_factor,
-                              self.template_size)
-        cand_i, _ = _prep_tir(img_i, new_state, self.template_factor,
-                              self.template_size)
+        cand_v, cand_i, _ = _prep_rgbt(img_v, img_i, new_state,
+                                       self.template_factor, self.template_size)
         max_tv = jnp.where(is_better, cand_v, st.max_template_v)
         max_ti = jnp.where(is_better, cand_i, st.max_template_i)
         max_score = jnp.where(is_better, pred_score, max_score)
@@ -538,8 +553,8 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
 
     def _make_init(self, shape):
         def init_fn(variables, img_v, img_i, box):
-            tv, _ = _prep_rgb(img_v, box, self.template_factor, self.template_size)
-            ti, _ = _prep_tir(img_i, box, self.template_factor, self.template_size)
+            tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+                                    self.template_size)
             t_vi = jnp.concatenate([tv, ti], axis=0)
             cache = self.model.apply(variables, t_vi, t_vi,
                                      method=type(self.model).set_online)
@@ -554,8 +569,8 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
     def _step(self, shape, variables, st: OnlineCachedTrackState, img_v, img_i):
         H, W = shape
         frame_id = st.frame_id + 1
-        sv, rf = _prep_rgb(img_v, st.state, self.search_factor, self.search_size)
-        si, _ = _prep_tir(img_i, st.state, self.search_factor, self.search_size)
+        sv, si, rf = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
+                                 self.search_size)
         s_vi = jnp.concatenate([sv, si], axis=0)
         out = self.model.apply(variables, st.cache, s_vi,
                                method=type(self.model).forward_track,
@@ -570,10 +585,8 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
 
         max_score = st.max_pred_score * self.max_score_decay
         is_better = (pred_score > 0.5) & (pred_score > max_score)
-        cand_v, _ = _prep_rgb(img_v, new_state, self.template_factor,
-                              self.template_size)
-        cand_i, _ = _prep_tir(img_i, new_state, self.template_factor,
-                              self.template_size)
+        cand_v, cand_i, _ = _prep_rgbt(img_v, img_i, new_state,
+                                       self.template_factor, self.template_size)
         max_tv = jnp.where(is_better, cand_v, st.max_template_v)
         max_ti = jnp.where(is_better, cand_i, st.max_template_i)
         max_score = jnp.where(is_better, pred_score, max_score)
