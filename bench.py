@@ -88,11 +88,11 @@ def main():
     # fps = frames / (upload + compute), both legs real device work.
     from multi_modal_tracking_tpu.tracking.tracker import _put
 
-    # Both legs are measured twice and the min taken: the tunnel's transfer
-    # bandwidth fluctuates 2-3x between runs (environment contention, not
-    # per-frame work), and a single draw would report that noise. Both
-    # uploads happen BEFORE the first fetch (uploads degrade ~20x after it),
-    # so the second upload is a genuine pristine re-measurement.
+    # Both legs are measured three times and the min taken: the tunnel's
+    # transfer bandwidth fluctuates 2-50x between draws (environment
+    # contention, not per-frame work), and a single draw would report that
+    # noise. All uploads happen BEFORE the first fetch (uploads degrade ~20x
+    # after it), so each repeat is a genuine pristine re-measurement.
     t0 = time.perf_counter()
     dv = _put(fv)          # committed puts: uncommitted jnp.asarray arrays
     di = _put(fi)          # stay host-held and re-upload per execution
@@ -103,13 +103,18 @@ def main():
     di2 = _put(fi.copy())
     jax.block_until_ready((dv2, di2))
     t_upload_b = time.perf_counter() - t0
-    t_upload = min(t_upload_a, t_upload_b)
+    t0 = time.perf_counter()
+    dv3 = _put(fv.copy())          # third sample: host contention can stall
+    di3 = _put(fi.copy())          # a single draw by 10-50x
+    jax.block_until_ready((dv3, di3))
+    uploads = (t_upload_a, t_upload_b, time.perf_counter() - t0)
+    t_upload = min(uploads)
 
     warm = tracker.track_chunk(dv, di, fetch=False)     # compile + flip
     np.asarray(warm[-1])
 
     scans = []
-    for frames in ((dv, di), (dv2, di2)):
+    for frames in ((dv, di), (dv2, di2), (dv3, di3)):
         tracker.initialize([fv[0], fi[0]],
                            {"init_bbox": [280.0, 220.0, 80.0, 60.0]})
         t0 = time.perf_counter()
@@ -118,7 +123,7 @@ def main():
         scans.append(time.perf_counter() - t0)
     t_scan = min(scans)
     fps = N_FRAMES / (t_upload + t_scan)
-    print(f"upload {t_upload*1e3:.0f} ms (worst {max(t_upload_a, t_upload_b)*1e3:.0f}), "
+    print(f"upload {t_upload*1e3:.0f} ms (worst {max(uploads)*1e3:.0f}), "
           f"scan+fetch {t_scan*1e3:.0f} ms (worst {max(scans)*1e3:.0f}) "
           f"for {N_FRAMES} frames", file=sys.stderr)
 
