@@ -130,11 +130,13 @@ class _ModalLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # epsilon 1e-5: the reference's encoder LNs use the torch default
+        # (deformable_encoder_lnspecific.py:127-137), unlike the backbone's 1e-6.
         if not self.ln_specific:
-            return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         half = x.shape[1] // 2
-        xv = nn.LayerNorm(dtype=self.dtype, name="norm_v")(x[:, :half])
-        xi = nn.LayerNorm(dtype=self.dtype, name="norm_i")(x[:, half:])
+        xv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_v")(x[:, :half])
+        xi = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_i")(x[:, half:])
         return jnp.concatenate([xv, xi], axis=1)
 
 
@@ -215,7 +217,8 @@ class _AdjustConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.features, kernel_size=(1, 1), dtype=self.dtype, name="conv")(x)
-        return nn.GroupNorm(num_groups=32, dtype=self.dtype, name="gn")(x)
+        # torch GroupNorm default eps (fusion_utils.py:330-342)
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="gn")(x)
 
 
 class AttentionFusionBimodal(nn.Module):

@@ -176,8 +176,73 @@ def _map_score_key(rest: str):
     return None
 
 
+_GN_ADJUST = re.compile(r"^(adjust_(?:in|out|v|i|cat|sum))\.([01])\.(weight|bias)$")
+_CONV_FUSION = re.compile(r"^(fusion[123]?)(_bn)?\.(weight|bias|running_mean|running_var)$")
+
+
+def _map_fusion_key(rest: str):
+    """fusion_vi.* keys of the fusion zoo (fusion_utils.py:8-353,
+    deformable_encoder(_lnspecific).py). Returns one candidate or a list of
+    candidates (first whose path exists in the target tree wins — needed
+    because e.g. `fusion.weight` is a plain conv in RGBT_Fusion_1 but the
+    deformable-conv kernel in RGBT_Fusion_3)."""
+    m = _GN_ADJUST.match(rest)
+    if m:
+        adj, idx, leaf = m.group(1), m.group(2), m.group(3)
+        if idx == "0":
+            tf = _conv if leaf == "weight" else None
+            return ("params", (adj, "conv", "kernel" if leaf == "weight" else "bias"), tf)
+        return ("params", (adj, "gn", "scale" if leaf == "weight" else "bias"), None)
+    if rest == "fusion_attention.level_embed":
+        return ("params", ("fusion_attention", "level_embed"), None)
+    m = re.match(r"^fusion_attention\.encoder\.layers\.(\d+)\.(.+)$", rest)
+    if m:
+        layer, tail = f"layers_{int(m.group(1))}", m.group(2)
+        a = re.match(r"^self_attn\.(sampling_offsets|attention_weights|value_proj"
+                     r"|output_proj)\.(weight|bias)$", tail)
+        if a:
+            tf = _linear if a.group(2) == "weight" else None
+            return ("params", ("fusion_attention", layer, "self_attn", a.group(1),
+                               "kernel" if a.group(2) == "weight" else "bias"), tf)
+        ln = re.match(r"^(norm[12])(_v|_i)?\.(weight|bias)$", tail)
+        if ln:
+            sub = {"_v": "norm_v", "_i": "norm_i", None: "norm"}[ln.group(2)]
+            return ("params", ("fusion_attention", layer, ln.group(1), sub,
+                               "scale" if ln.group(3) == "weight" else "bias"), None)
+        lin = re.match(r"^(linear[12])\.(weight|bias)$", tail)
+        if lin:
+            tf = _linear if lin.group(2) == "weight" else None
+            return ("params", ("fusion_attention", layer, lin.group(1),
+                               "kernel" if lin.group(2) == "weight" else "bias"), tf)
+        return None
+    # Conv-fusion families (RGBT_Fusion_1/2/3, RGBT_Fusion_Cat): conv + BN
+    # pairs; the RGBT_Fusion_3 Pack predicts offsets via fusion.conv_offset.
+    if rest.startswith("fusion.conv_offset."):
+        leaf = rest.rsplit(".", 1)[1]
+        tf = _conv if leaf == "weight" else None
+        return ("params", ("fusion_offset", "kernel" if leaf == "weight" else "bias"), tf)
+    m = re.match(r"^fusion_offset\.(weight|bias)$", rest)
+    if m:
+        tf = _conv if m.group(1) == "weight" else None
+        return ("params", ("fusion_offset", "kernel" if m.group(1) == "weight" else "bias"), tf)
+    m = _CONV_FUSION.match(rest)
+    if m:
+        base, is_bn, leaf = m.group(1), m.group(2), m.group(3)
+        if is_bn:
+            if leaf in ("weight", "bias"):
+                return ("params", (f"{base}_bn", "scale" if leaf == "weight" else "bias"), None)
+            return ("batch_stats", (f"{base}_bn",
+                                    "mean" if leaf == "running_mean" else "var"), None)
+        tf = _conv if leaf == "weight" else None
+        name = "kernel" if leaf == "weight" else "bias"
+        # RGBT_Fusion_1/Cat plain conv vs RGBT_Fusion_2/3 deform-conv kernel
+        return [("params", (base, name), tf), ("params", (f"{base}_kernel",), tf)]
+    return None
+
+
 def map_torch_key(key: str, frozen_head_bn: bool = False):
-    """One torch key -> (collection, flax path, transform) or None."""
+    """One torch key -> (collection, flax path, transform), a list of such
+    candidates, or None."""
     if "pos_embed" in key or "mask_token" in key or key.endswith("num_batches_tracked"):
         return None
     for bb in ("backbone_v", "backbone_i", "backbone"):
@@ -196,6 +261,13 @@ def map_torch_key(key: str, frozen_head_bn: bool = False):
         r = _map_head_key(key[len("box_head."):], frozen_head_bn)
         if r:
             return (r[0], ("box_head",) + r[1], r[2])
+        return None
+    if key.startswith("fusion_vi."):
+        r = _map_fusion_key(key[len("fusion_vi."):])
+        if isinstance(r, list):
+            return [(c[0], ("fusion_vi",) + c[1], c[2]) for c in r]
+        if r:
+            return (r[0], ("fusion_vi",) + r[1], r[2])
         return None
     if key.startswith("score_branch."):
         r = _map_score_key(key[len("score_branch."):])
@@ -229,11 +301,13 @@ def convert_state_dict(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
         if r is None:
             report["skipped"].append(k)
             continue
-        coll, path, tf = r
-        full = (coll,) + path
-        if full not in flat:
+        candidates = r if isinstance(r, list) else [r]
+        hit = next(((c, p, t) for c, p, t in candidates if (c,) + p in flat), None)
+        if hit is None:
             report["skipped"].append(k)
             continue
+        coll, path, tf = hit
+        full = (coll,) + path
         arr = tf(v) if tf else np.asarray(v)
         if tuple(arr.shape) != tuple(flat[full].shape):
             report["shape_mismatch"].append((k, arr.shape, tuple(flat[full].shape)))
