@@ -139,6 +139,9 @@ def make_train_step(model, tx, mesh=None, rgbt: bool = True,
     def train_step(state, batch, rng, ce_keep_rate: Optional[float] = None):
         return _jitted(ce_keep_rate)(state, batch, rng)
 
+    # Expose the underlying jit per keep-rate bucket so profiling can lower
+    # it for cost_analysis (FLOPs -> MFU, cf. tracking/profile_model.py).
+    train_step.jitted = _jitted
     return train_step
 
 
