@@ -31,7 +31,7 @@ from multi_modal_tracking_tpu.classic.dcf import (gauss_label_2d, hann2d,
                                                   max2d, subpixel_peak)
 from multi_modal_tracking_tpu.classic.augmentation import InitAugmenter
 from multi_modal_tracking_tpu.classic.optimization import solve_normal_equations
-from multi_modal_tracking_tpu.models.alpha_refine import RefineBackbone
+from multi_modal_tracking_tpu.models.resnet import resnet18
 from multi_modal_tracking_tpu.ops.crop import crop_resize
 from multi_modal_tracking_tpu.ops.prroi import prroi_pool
 
@@ -101,7 +101,10 @@ class ATOMTracker:
     random_shift_factor: float = 1.0 / 3.0
 
     def __post_init__(self):
-        self.backbone = RefineBackbone()
+        # torchvision-layout ResNet-18 (reference ATOM's backbone,
+        # external/AR/ltr/models/backbone/resnet.py): 'layer3' = 256ch /16.
+        # Published torch weights convert via load_backbone().
+        self.backbone = resnet18()
         self.iou_net = IoUNet()
         # init-sample augmentation (atom.py:473-523 generate_init_samples)
         self.augmenter = InitAugmenter(
@@ -128,6 +131,14 @@ class ATOMTracker:
         self._init_jit = jax.jit(self._init_fn)
         self._track_jit = jax.jit(self._track_fn)
         self._optim_jit = jax.jit(self._optimize_filter)
+
+    def load_backbone(self, state_dict) -> None:
+        """Warm-start the feature extractor from a torchvision/pytracking
+        ResNet state dict (external/AR/ltr/models/backbone/resnet.py layout;
+        {torch_key: np.ndarray} as from torch_convert.load_torch_state_dict)."""
+        from multi_modal_tracking_tpu.utils.torch_convert import convert_resnet
+        self._bb_vars, _ = convert_resnet(state_dict, self._bb_vars,
+                                          strict=False, verbose=False)
 
     # ----------------------------------------------------------- device fns
     def _features(self, image, center, size) -> Tuple[jax.Array, jax.Array]:

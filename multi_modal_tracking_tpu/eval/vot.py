@@ -161,7 +161,9 @@ def run_vot20_mask_exp(script: str, training_yaml: Optional[str] = None,
     if refiner is None:
         from multi_modal_tracking_tpu.models.alpha_refine import (ARcmSeg,
                                                                   build_alpha_refine)
-        net, variables, spec = build_alpha_refine()
+        # input_sz 384 mirrors the reference VOT2020 entry
+        # (VOT2020_super_only_mask_384_HP/mixformer_alpha_seg_class.py:30)
+        net, variables, spec = build_alpha_refine(input_sz=384)
         if refine_checkpoint:
             from multi_modal_tracking_tpu.utils.checkpoint import load_variables
             variables = load_variables(refine_checkpoint, variables)

@@ -67,7 +67,14 @@ def make_refine_train_step(net: AlphaRefineNet, tx: optax.GradientTransformation
     def loss_fn(variables, batch):
         logits = net.apply(variables, batch["ref_images"], batch["ref_boxes"],
                            batch["test_images"], method=net.forward_train)
-        return mask_losses(logits, batch["test_masks"])
+        target = batch["test_masks"]
+        if target.shape[1:3] != logits.shape[1:3]:
+            # net emits masks at spec.mask_sz (AR_seg_mask.py output_size),
+            # which can differ from the crop size the sampler rasterised at
+            target = (jax.image.resize(
+                target, (target.shape[0],) + logits.shape[1:3] + (1,),
+                "bilinear") > 0.5).astype(jnp.float32)
+        return mask_losses(logits, target)
 
     @jax.jit
     def step(state: RefineTrainState, batch):
@@ -100,14 +107,20 @@ def batch_from_box_dataset(samples, input_sz: int, rng: np.random.Generator):
     """Host-side batch builder: each sample is (ref_img, ref_box, test_img,
     test_box_or_mask) in full-image coords; crops both frames 2x around the
     box (ARcm_seg search_factor) and rasterises the target mask."""
+    from multi_modal_tracking_tpu.models.alpha_refine import (_IMAGENET_MEAN,
+                                                              _IMAGENET_STD)
     from multi_modal_tracking_tpu.train.data.processing_utils import sample_target
+
+    def _norm(img):   # ARcm_seg.img_preprocess normalisation
+        return ((img.astype(np.float32) / 255.0) - _IMAGENET_MEAN) / _IMAGENET_STD
+
     ref_images, ref_boxes, test_images, test_masks = [], [], [], []
     for ref_img, ref_box, test_img, test_tgt in samples:
         crop_r, rf_r, _ = sample_target(ref_img, ref_box, 2.0, input_sz)
         w, h = ref_box[2] * rf_r, ref_box[3] * rf_r
         c = input_sz / 2.0
         ref_boxes.append(np.asarray([c - w / 2, c - h / 2, w, h], np.float32))
-        ref_images.append(crop_r.astype(np.float32) / 255.0)
+        ref_images.append(_norm(crop_r))
         if isinstance(test_tgt, np.ndarray) and test_tgt.ndim == 2:
             # real mask: crop it with the same window as the image
             box = _mask_box(test_tgt)
@@ -121,7 +134,7 @@ def batch_from_box_dataset(samples, input_sz: int, rng: np.random.Generator):
             w, h = box[2] * rf_t, box[3] * rf_t
             mask = box_to_mask([c - w / 2, c - h / 2, w, h], input_sz,
                                input_sz)[..., None]
-        test_images.append(crop_t.astype(np.float32) / 255.0)
+        test_images.append(_norm(crop_t))
         test_masks.append(mask)
     return {"ref_images": np.stack(ref_images),
             "ref_boxes": np.stack(ref_boxes),

@@ -277,10 +277,150 @@ def map_torch_key(key: str, frozen_head_bn: bool = False):
     return None
 
 
+# --------------------------------------------------------------------------
+# torchvision ResNet / Alpha-Refine (external/AR) families
+# --------------------------------------------------------------------------
+
+def _squeeze_1x1(v):  # (O, I, 1, 1) conv used as a Dense -> kernel (I, O)
+    return np.ascontiguousarray(v[:, :, 0, 0].T)
+
+
+def _bn_leaf(prefix: tuple, leaf: str):
+    """FrozenBatchNorm leaves: weight/bias -> params scale/bias,
+    running_mean/var -> batch_stats mean/var."""
+    if leaf in ("weight", "bias"):
+        return ("params", prefix + ("scale" if leaf == "weight" else "bias",), None)
+    return ("batch_stats",
+            prefix + ("mean" if leaf == "running_mean" else "var",), None)
+
+
+def map_resnet_key(rest: str):
+    """torchvision/resnet_seg state-dict key -> flax ResNet path
+    (models/resnet.py; external/AR/ltr/models/backbone/resnet_seg.py)."""
+    m = re.match(r"^conv1\.(weight)$", rest)
+    if m:
+        return ("params", ("conv1", "kernel"), _conv)
+    m = re.match(r"^bn1\.(weight|bias|running_mean|running_var)$", rest)
+    if m:
+        return _bn_leaf(("bn1",), m.group(1))
+    m = re.match(r"^layer(\d)\.(\d+)\.(.+)$", rest)
+    if not m:
+        return None   # fc.* (classification head) intentionally unmapped
+    blk, tail = f"layer{m.group(1)}_{int(m.group(2))}", m.group(3)
+    c = re.match(r"^conv(\d)\.weight$", tail)
+    if c:
+        return ("params", (blk, f"conv{c.group(1)}", "kernel"), _conv)
+    b = re.match(r"^bn(\d)\.(weight|bias|running_mean|running_var)$", tail)
+    if b:
+        return _bn_leaf((blk, f"bn{b.group(1)}"), b.group(2))
+    d = re.match(r"^downsample\.0\.weight$", tail)
+    if d:
+        return ("params", (blk, "down_conv", "kernel"), _conv)
+    d = re.match(r"^downsample\.1\.(weight|bias|running_mean|running_var)$", tail)
+    if d:
+        return _bn_leaf((blk, "down_bn"), d.group(1))
+    return None
+
+
+def _map_corrnl_key(rest: str):
+    """neck.* keys (external/AR/ltr/models/neck/CorrNL.py, neck_utils.py)."""
+    m = re.match(r"^channel_attention\.(fc[12])\.(weight|bias)$", rest)
+    if m:
+        tf = _squeeze_1x1 if m.group(2) == "weight" else None
+        return ("params", ("channel_attention", m.group(1),
+                           "kernel" if m.group(2) == "weight" else "bias"), tf)
+    # sub_sampled phi/g are Sequential(conv, maxpool) -> '.0'; theta is bare.
+    m = re.match(r"^spatial_attention\.(theta|phi\.0|g\.0)\.(weight|bias)$", rest)
+    if m:
+        name = m.group(1).split(".")[0]
+        tf = _conv if m.group(2) == "weight" else None
+        return ("params", ("spatial_attention", name,
+                           "kernel" if m.group(2) == "weight" else "bias"), tf)
+    m = re.match(r"^spatial_attention\.W\.0\.(weight|bias)$", rest)
+    if m:
+        tf = _conv if m.group(1) == "weight" else None
+        return ("params", ("spatial_attention", "w_conv",
+                           "kernel" if m.group(1) == "weight" else "bias"), tf)
+    m = re.match(r"^spatial_attention\.W\.1\.(weight|bias|running_mean|running_var)$", rest)
+    if m:
+        return _bn_leaf(("spatial_attention", "w_bn"), m.group(1))
+    return None
+
+
+def _map_seg_head_key(rest: str):
+    """refiner.* keys (external/AR/ltr/models/head/seg_network.py)."""
+    m = re.match(r"^TSE\.(layer\d)\.(reduce|transform)\.(\d)\.(weight|bias)$", rest)
+    if m:
+        tf = _conv if m.group(4) == "weight" else None
+        return ("params", (f"TSE_{m.group(1)}", f"{m.group(2)}{m.group(3)}",
+                           "kernel" if m.group(4) == "weight" else "bias"), tf)
+    m = re.match(r"^(RRB[12])\.(layer\d)\.conv1x1\.(weight|bias)$", rest)
+    if m:
+        tf = _conv if m.group(3) == "weight" else None
+        return ("params", (f"{m.group(1)}_{m.group(2)}", "conv1x1",
+                           "kernel" if m.group(3) == "weight" else "bias"), tf)
+    m = re.match(r"^(RRB[12])\.(layer\d)\.bblock\.1\.(weight|bias|running_mean|running_var)$", rest)
+    if m:
+        return _bn_leaf((f"{m.group(1)}_{m.group(2)}", "bblock1"), m.group(3))
+    m = re.match(r"^(RRB[12])\.(layer\d)\.bblock\.([03])\.(weight|bias)$", rest)
+    if m:
+        tf = _conv if m.group(4) == "weight" else None
+        return ("params", (f"{m.group(1)}_{m.group(2)}", f"bblock{m.group(3)}",
+                           "kernel" if m.group(4) == "weight" else "bias"), tf)
+    m = re.match(r"^CAB\.(layer\d)\.convreluconv\.(\d)\.(weight|bias)$", rest)
+    if m:
+        tf = _conv if m.group(3) == "weight" else None
+        return ("params", (f"CAB_{m.group(1)}", f"convreluconv{m.group(2)}",
+                           "kernel" if m.group(3) == "weight" else "bias"), tf)
+    m = re.match(r"^project\.(conv[12])\.(weight|bias)$", rest)
+    if m:
+        tf = _conv if m.group(2) == "weight" else None
+        return ("params", ("project", m.group(1),
+                           "kernel" if m.group(2) == "weight" else "bias"), tf)
+    return None
+
+
+def map_alpha_refine_key(key: str):
+    """ARnet_seg_mask state-dict key -> flax AlphaRefineNet path
+    (AR_seg_mask.py families: feature_extractor / neck / refiner)."""
+    if key.endswith("num_batches_tracked"):
+        return None
+    if key.startswith("feature_extractor."):
+        r = map_resnet_key(key[len("feature_extractor."):])
+        return (r[0], ("feature_extractor",) + r[1], r[2]) if r else None
+    if key.startswith("neck."):
+        r = _map_corrnl_key(key[len("neck."):])
+        return (r[0], ("neck",) + r[1], r[2]) if r else None
+    if key.startswith("refiner."):
+        r = _map_seg_head_key(key[len("refiner."):])
+        return (r[0], ("refiner",) + r[1], r[2]) if r else None
+    return None
+
+
+def convert_alpha_refine(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
+                         strict: bool = True, verbose: bool = True):
+    """Alpha-Refine checkpoint (ARcm_coco_seg*, pytracking loading.py) ->
+    flax AlphaRefineNet variables."""
+    return convert_state_dict(sd, variables, strict=strict, verbose=verbose,
+                              key_mapper=map_alpha_refine_key)
+
+
+def convert_resnet(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
+                   prefix: Tuple[str, ...] = (), strict: bool = False,
+                   verbose: bool = True):
+    """torchvision ResNet state dict -> flax models/resnet.ResNet variables
+    (optionally nested under `prefix` inside a larger tree)."""
+    mapper = lambda k: (lambda r: (r[0], prefix + r[1], r[2]) if r else None)(
+        map_resnet_key(k))
+    return convert_state_dict(sd, variables, strict=strict, verbose=verbose,
+                              key_mapper=mapper)
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
                        frozen_head_bn: bool = False,
                        strict: bool = False,
-                       verbose: bool = True) -> Tuple[Dict[str, Any], Dict[str, list]]:
+                       verbose: bool = True,
+                       key_mapper=None) -> Tuple[Dict[str, Any], Dict[str, list]]:
     """Merge a torch state dict into a flax variables pytree.
 
     variables: the target {"params": ..., "batch_stats": ...} from model.init.
@@ -297,7 +437,12 @@ def convert_state_dict(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
     new_flat = dict(flat)
     report = {"converted": [], "skipped": [], "shape_mismatch": []}
     for k, v in sd.items():
-        r = map_torch_key(k, frozen_head_bn=frozen_head_bn)
+        if k.endswith("num_batches_tracked"):   # BN bookkeeping, no flax twin
+            continue
+        if key_mapper is not None:
+            r = key_mapper(k)
+        else:
+            r = map_torch_key(k, frozen_head_bn=frozen_head_bn)
         if r is None:
             report["skipped"].append(k)
             continue

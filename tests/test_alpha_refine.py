@@ -12,7 +12,7 @@ from multi_modal_tracking_tpu.models.alpha_refine import (ARcmSeg,
 
 @pytest.fixture(scope="module")
 def ar():
-    net, variables, spec = build_alpha_refine(input_sz=64)
+    net, variables, spec = build_alpha_refine(input_sz=64, output_sz=64)
     return net, variables, spec
 
 

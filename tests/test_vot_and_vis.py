@@ -92,7 +92,7 @@ def test_run_vot20_mask_exp_with_fake_server(tmp_path):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
     tracker = RGBTrackerJit(model=model, variables=variables, template_size=32,
                             search_size=64, update_interval=100, mode="RGB")
-    _, ar_vars, ar_spec = build_alpha_refine(input_sz=64)
+    _, ar_vars, ar_spec = build_alpha_refine(input_sz=64, output_sz=64)
     refiner = ARcmSeg(ar_vars, ar_spec)
 
     server = _FakeServer(str(tmp_path), n_frames=4)
