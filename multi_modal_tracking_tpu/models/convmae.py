@@ -54,7 +54,9 @@ class ConvMAEPatchEmbed(nn.Module):
         p = self.patch_size
         x = nn.Conv(self.embed_dim, kernel_size=(p, p), strides=(p, p),
                     padding="VALID", dtype=self.dtype, name="proj")(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        # eps 1e-5: PatchEmbed hardcodes nn.LayerNorm(embed_dim)
+        # (mixformer_convmae :44), unlike the eps-1e-6 stage-3 norm_layer
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return gelu_exact(x)
 
 
@@ -69,13 +71,15 @@ class CBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        # eps 1e-5: CBlock hardcodes nn.LayerNorm(dim) (mixformer_convmae
+        # :171,:178), ignoring the eps-1e-6 norm_layer the stage-3 blocks use
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="conv1")(h)
         h = nn.Conv(self.dim, (5, 5), padding=2, feature_group_count=self.dim,
                     dtype=self.dtype, name="attn")(h)
         h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="conv2")(h)
         x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = nn.Conv(int(self.dim * self.mlp_ratio), (1, 1), dtype=self.dtype,
                     name="mlp_fc1")(h)
         h = gelu_exact(h)

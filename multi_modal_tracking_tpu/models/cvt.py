@@ -155,7 +155,9 @@ class MAMAttention(nn.Module):
         self.proj_k = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype)
         self.proj_v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype)
         self.proj = nn.Dense(self.dim, dtype=self.dtype)
-        self.scale = (self.dim // self.num_heads) ** -0.5
+        # CvT quirk: attention scales by the FULL dim, not head_dim
+        # (mixformer_cvt/mixformer.py:80 `self.scale = dim_out ** -0.5`)
+        self.scale = self.dim ** -0.5
 
     def _q(self, fmap, train):
         return _heads(self.proj_q(self.conv_proj_q(fmap, train)), self.num_heads)

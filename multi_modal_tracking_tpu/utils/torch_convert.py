@@ -100,19 +100,13 @@ def _conv(v):    # OIHW -> HWIO
 
 
 _HEAD_CONV = re.compile(r"^conv([1-5])_(tl|br)(?:\.(\d))?\.(weight|bias|running_mean|running_var)$")
+_HEAD_ADJ12 = re.compile(r"^adjust([12])_(tl|br)\.(\d)\.(weight|bias|running_mean|running_var)$")
+_HEAD_ADJ34 = re.compile(r"^adjust([34])_(tl|br)\.(\d)\.(\d)\.(weight|bias|running_mean|running_var)$")
 
 
-def _map_head_key(rest: str, frozen_bn: bool):
-    """box_head.* keys of the CORNER tower (head.py:23-94)."""
-    m = _HEAD_CONV.match(rest)
-    if not m:
-        return None
-    idx, corner, sub, leaf = m.group(1), m.group(2), m.group(3), m.group(4)
-    tower = f"tower_{corner}"
-    if idx == "5":
-        tf = _conv if leaf == "weight" else None
-        return ("params", (tower, "conv5", "kernel" if leaf == "weight" else "bias"), tf)
-    stage = f"conv{idx}"
+def _convbn_leaf(tower: str, stage: str, sub: str, leaf: str, frozen_bn: bool):
+    """One conv(.0)/BN(.1) leaf of a ConvBNRelu tower stage
+    (head.py conv(): Sequential(Conv2d, (Frozen)BatchNorm2d, ReLU))."""
     if sub == "0":                      # conv
         tf = _conv if leaf == "weight" else None
         return ("params", (tower, stage, "conv", "kernel" if leaf == "weight" else "bias"), tf)
@@ -126,6 +120,29 @@ def _map_head_key(rest: str, frozen_bn: bool):
         return ("params", (tower, stage, "bn", "scale" if leaf == "weight" else "bias"), None)
     return ("batch_stats", (tower, stage, "bn",
                             "mean" if leaf == "running_mean" else "var"), None)
+
+
+def _map_head_key(rest: str, frozen_bn: bool):
+    """box_head.* keys of the CORNER tower (head.py:23-94) and the
+    CORNER_UP pyramid adjust branches (head.py:98-160)."""
+    m = _HEAD_CONV.match(rest)
+    if m:
+        idx, corner, sub, leaf = m.group(1), m.group(2), m.group(3), m.group(4)
+        tower = f"tower_{corner}"
+        if idx == "5":
+            tf = _conv if leaf == "weight" else None
+            return ("params", (tower, "conv5", "kernel" if leaf == "weight" else "bias"), tf)
+        return _convbn_leaf(tower, f"conv{idx}", sub, leaf, frozen_bn)
+    m = _HEAD_ADJ12.match(rest)
+    if m:
+        return _convbn_leaf(f"tower_{m.group(2)}", f"adjust{m.group(1)}",
+                            m.group(3), m.group(4), frozen_bn)
+    m = _HEAD_ADJ34.match(rest)
+    if m:   # Sequential-of-conv(): adjust3_tl.{i}.{0|1} -> adjust3_{i}
+        return _convbn_leaf(f"tower_{m.group(2)}",
+                            f"adjust{m.group(1)}_{m.group(3)}",
+                            m.group(4), m.group(5), frozen_bn)
+    return None
 
 
 def _map_block_key(rest: str):
@@ -149,6 +166,97 @@ def _map_block_key(rest: str):
         tf = _linear if mlp.group(2) == "weight" else None
         return ("params", (blk, "mlp", mlp.group(1),
                            "kernel" if mlp.group(2) == "weight" else "bias"), tf)
+    return None
+
+
+def _map_cvt_key(rest: str):
+    """stage{i}.* keys of the CvT backbone (mixformer_cvt/mixformer.py:
+    ConvEmbed :394-425, Attention conv/linear projections :56-132, Block
+    :329-390). ConvProj BNs (frozen or not) live at .../bn {scale,bias} +
+    batch_stats {mean,var} on the flax side."""
+    m = re.match(r"^stage(\d)\.(.+)$", rest)
+    if not m:
+        return None
+    st, tail = f"stage{m.group(1)}", m.group(2)
+    pe = re.match(r"^patch_embed\.(proj|norm)\.(weight|bias)$", tail)
+    if pe:
+        if pe.group(1) == "proj":
+            tf = _conv if pe.group(2) == "weight" else None
+            return ("params", (st, "patch_embed", "proj",
+                               "kernel" if pe.group(2) == "weight" else "bias"), tf)
+        return ("params", (st, "patch_embed", "norm",
+                           "scale" if pe.group(2) == "weight" else "bias"), None)
+    b = re.match(r"^blocks\.(\d+)\.(.+)$", tail)
+    if not b:
+        return None
+    blk, t2 = f"blocks_{int(b.group(1))}", b.group(2)
+    ln = re.match(r"^(norm[12])\.(weight|bias)$", t2)
+    if ln:
+        return ("params", (st, blk, ln.group(1),
+                           "scale" if ln.group(2) == "weight" else "bias"), None)
+    cp = re.match(r"^attn\.conv_proj_([qkv])\.conv\.weight$", t2)
+    if cp:
+        return ("params", (st, blk, "attn", f"conv_proj_{cp.group(1)}",
+                           "conv", "kernel"), _conv)
+    cb = re.match(r"^attn\.conv_proj_([qkv])\.bn\.(weight|bias|running_mean|running_var)$", t2)
+    if cb:
+        return _bn_leaf((st, blk, "attn", f"conv_proj_{cb.group(1)}", "bn"),
+                        cb.group(2))
+    pq = re.match(r"^attn\.(proj_q|proj_k|proj_v|proj)\.(weight|bias)$", t2)
+    if pq:
+        tf = _linear if pq.group(2) == "weight" else None
+        return ("params", (st, blk, "attn", pq.group(1),
+                           "kernel" if pq.group(2) == "weight" else "bias"), tf)
+    ml = re.match(r"^mlp\.(fc[12])\.(weight|bias)$", t2)
+    if ml:   # flax MAMBlock holds fc1/fc2 directly
+        tf = _linear if ml.group(2) == "weight" else None
+        return ("params", (st, blk, ml.group(1),
+                           "kernel" if ml.group(2) == "weight" else "bias"), tf)
+    return None
+
+
+def _map_convmae_key(rest: str):
+    """ConvMAE backbone keys (mixformer_convmae/mixformer.py: PatchEmbed
+    :36-50, CBlock :166-189, stage-3 Block :135-163, patch_embed4 Linear
+    :208). The final unused `norm` (:228) is intentionally unmapped."""
+    m = re.match(r"^patch_embed([123])\.(proj|norm)\.(weight|bias)$", rest)
+    if m:
+        pe = f"patch_embed{m.group(1)}"
+        if m.group(2) == "proj":
+            tf = _conv if m.group(3) == "weight" else None
+            return ("params", (pe, "proj",
+                               "kernel" if m.group(3) == "weight" else "bias"), tf)
+        return ("params", (pe, "norm",
+                           "scale" if m.group(3) == "weight" else "bias"), None)
+    m = re.match(r"^patch_embed4\.(weight|bias)$", rest)
+    if m:
+        tf = _linear if m.group(1) == "weight" else None
+        return ("params", ("patch_embed4",
+                           "kernel" if m.group(1) == "weight" else "bias"), tf)
+    m = re.match(r"^blocks([12])\.(\d+)\.(.+)$", rest)
+    if m:
+        blk, t2 = f"blocks{m.group(1)}_{int(m.group(2))}", m.group(3)
+        ln = re.match(r"^(norm[12])\.(weight|bias)$", t2)
+        if ln:
+            return ("params", (blk, ln.group(1),
+                               "scale" if ln.group(2) == "weight" else "bias"), None)
+        cv = re.match(r"^(conv1|conv2|attn)\.(weight|bias)$", t2)
+        if cv:
+            tf = _conv if cv.group(2) == "weight" else None
+            return ("params", (blk, cv.group(1),
+                               "kernel" if cv.group(2) == "weight" else "bias"), tf)
+        ml = re.match(r"^mlp\.(fc[12])\.(weight|bias)$", t2)
+        if ml:   # CMlp 1x1 convs -> flax mlp_fc1/mlp_fc2 convs
+            tf = _conv if ml.group(2) == "weight" else None
+            return ("params", (blk, f"mlp_{ml.group(1)}",
+                               "kernel" if ml.group(2) == "weight" else "bias"), tf)
+        return None
+    m = re.match(r"^blocks3\.(\d+)\.(.+)$", rest)
+    if m:
+        r = _map_block_key(f"blocks.{m.group(1)}.{m.group(2)}")
+        if r:
+            return (r[0], (f"blocks3_{int(m.group(1))}",) + r[1][1:], r[2])
+        return None
     return None
 
 
@@ -253,9 +361,12 @@ def map_torch_key(key: str, frozen_head_bn: bool = False):
                 tf = _conv if leaf == "weight" else None
                 return ("params", (bb, "patch_embed", "proj",
                                    "kernel" if leaf == "weight" else "bias"), tf)
-            r = _map_block_key(rest)
+            r = _map_block_key(rest) or _map_cvt_key(rest) or _map_convmae_key(rest)
             if r:
-                return (r[0], (bb,) + r[1], r[2])
+                # flax MixFormerCvT holds stage{i} at the top level (no
+                # backbone submodule); the ViT/ConvMAE families nest under
+                # `backbone`. Offer both paths; the first that exists wins.
+                return [(r[0], (bb,) + r[1], r[2]), (r[0], r[1], r[2])]
             return None
     if key.startswith("box_head."):
         r = _map_head_key(key[len("box_head."):], frozen_head_bn)
