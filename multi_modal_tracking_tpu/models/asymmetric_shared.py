@@ -89,7 +89,7 @@ class AsymCrossModalAttention(nn.Module):
 
         from multi_modal_tracking_tpu.ops import attention as _attn_ops
         from multi_modal_tracking_tpu.ops.attention import mixed_attention
-        if _attn_ops.use_pallas_default() or _attn_ops.FORCE_INTERPRET:
+        if _attn_ops.use_pallas_default(q, k, v) or _attn_ops.FORCE_INTERPRET:
             # Fused Pallas path: per modality, keys are laid out
             # [own templates ; other-modality templates ; own search], so the
             # standard asymmetric mask (template rows see j < n_mt, search

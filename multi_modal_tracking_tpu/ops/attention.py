@@ -11,9 +11,11 @@ sizes (12 blocks x batch x (904x904) f32 ≈ GBs of traffic per step).
 
 The asymmetry is one static mask: allowed(i, j) = (i >= n_mt) | (j < n_mt).
 
-Backward: custom VJP recomputes the probabilities with plain XLA ops (exact,
-standard rematerialisation trade — residuals are only q/k/v instead of the
-N² matrix).
+Backward: custom VJP with the same rematerialisation trade (residuals are
+only q/k/v instead of the N² matrix). For token counts within the VMEM
+budget (_BWD_MAX_N) the recompute + all three grads run as a second fused
+Pallas kernel (_attn_bwd_kernel, measured 1.9x the XLA lowering at the
+flagship train shape); above that the backward falls back to plain XLA ops.
 
 Tests run the kernel in interpreter mode on CPU against the two-call XLA
 reference (tests/test_pallas_attention.py).
@@ -84,6 +86,69 @@ def _mixed_attention_fwd_pallas(q, k, v, n_mt: int, scale: float,
     )(q, k, v)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                     n_mt: int, scale: float):
+    """Fused backward per (batch, head) cell: recompute p in VMEM, then all
+    three grads without the (Nq, Nk) matrices ever touching HBM."""
+    q = q_ref[0, 0]                                # (Nq, D)
+    k = k_ref[0, 0]                                # (Nk, D)
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]                                # (Nq, D) cotangent
+    mask = _mask(n_mt, q.shape[0], k.shape[0])
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)     # (Nq, Nk) f32
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    ds = jnp.where(mask, ds, 0.0) * scale          # (Nq, Nk) f32
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+#: Largest key/query count for the whole-(Nq, Nk)-per-cell backward kernel:
+#: four f32 (Nq, Nk) temporaries must fit the ~16 MB VMEM scoped stack
+#: (N=640 -> 4 x 1.6 MB; flagship train is N=452).
+_BWD_MAX_N = 640
+
+
+def _mixed_attention_bwd_pallas(q, k, v, g, n_mt: int, scale: float,
+                                interpret: bool = False):
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+    kernel = functools.partial(_attn_bwd_kernel, n_mt=n_mt, scale=scale)
+
+    def spec(n):
+        return pl.BlockSpec((1, 1, n, D), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[spec(Nq), spec(Nk), spec(Nk), spec(Nq)],
+        out_specs=[spec(Nq), spec(Nk), spec(Nk)],
+        out_shape=[jax.ShapeDtypeStruct((B, H, Nq, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, Nk, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, H, Nk, D), v.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 5 * B * H * Nq * Nk * D,
+            bytes_accessed=4 * B * H * (Nq + 2 * Nk) * D * q.dtype.itemsize,
+            transcendentals=B * H * Nq * Nk,
+        ),
+        interpret=interpret,
+    )(q, k, v, g)
+
+
 def mixed_attention_xla(q, k, v, n_mt: int, scale: float):
     """Two-call XLA reference (identical math to the reference's
     Attention.forward). q/k/v: (B, H, N, D)."""
@@ -114,6 +179,11 @@ def _fused_fwd(q, k, v, n_mt, scale, interpret):
 
 def _fused_bwd(n_mt, scale, interpret, res, g):
     q, k, v = res
+    if max(q.shape[2], k.shape[2]) <= _BWD_MAX_N:
+        # Fused Pallas backward: probabilities recomputed and consumed
+        # entirely in VMEM (see _attn_bwd_kernel).
+        return tuple(_mixed_attention_bwd_pallas(q, k, v, g, n_mt, scale,
+                                                 interpret))
     # Exact gradients via recomputed probabilities (rematerialisation).
     mask = _mask(n_mt, q.shape[2], k.shape[2])
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
@@ -133,31 +203,72 @@ def _fused_bwd(n_mt, scale, interpret, res, g):
 mixed_attention_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def use_pallas_default() -> bool:
-    """True when the fused kernel should be used: explicit USE_PALLAS
-    override if set, else False.
+def use_pallas_default(*arrays) -> bool:
+    """True when the fused kernel should run for THIS call: explicit
+    USE_PALLAS override if set; otherwise Pallas only for non-differentiated
+    forwards on a TPU backend.
 
-    Measured on a v5e chip at flagship shapes (B=2 x 12 heads x ~450 tokens,
-    and the B=32 train batch), XLA's own fused lowering of the two-call
-    formulation is consistently ~4-15% FASTER than this kernel (XLA already
-    keeps these modest (N, N) score matrices out of HBM, and the custom-VJP
-    recompute adds backward work), so the kernel is opt-in: set
-    ops.attention.USE_PALLAS = True for larger token counts where the
-    flash-style VMEM residency wins."""
+    Measured on a v5e chip (2026-08-17, scan-chained ops, scalar-fetch
+    timing), pallas vs XLA:
+      forward-only:  B2xH12xN452 1.01x | B32xN452 1.44x | B16xH16xN864 1.64x
+      fwd+bwd with the fused VMEM backward (_attn_bwd_kernel, N <= 640):
+                     B32xN452 1.93x | B32xNq452xNk580 (CE cross-modal) 1.76x
+      fwd+bwd when the backward falls back to XLA recompute (N > 640):
+                     B16xH16xN864 0.83x — a net LOSS vs plain XLA
+      under vmap (batched tracker lockstep): bench regressed 470->434 f/s
+    Policy: TPU backend, no vmap BatchTracers, B*H >= 96 (tiny-batch
+    single-stream eval is a measured tie either way); differentiated calls
+    additionally require the fused backward to be eligible (keys/queries
+    within _BWD_MAX_N), since pallas-fwd + XLA-recompute-bwd loses to plain
+    XLA."""
     if USE_PALLAS is not None:
         return USE_PALLAS
-    return False
+    if not arrays:
+        return False
+    if any(isinstance(x, _BATCH_TRACERS) for x in arrays):
+        return False
+    try:
+        # single-chip only: under a GSPMD mesh the custom call would be
+        # replicated (gather traffic) rather than partitioned — unmeasured;
+        # multi-chip runs opt in explicitly via USE_PALLAS.
+        if jax.default_backend() != "tpu" or jax.device_count() != 1:
+            return False
+    except Exception:  # pragma: no cover - backend probing best-effort
+        return False
+    B, H = arrays[0].shape[:2]
+    if B * H < 96:
+        return False
+    if any(isinstance(x, _AD_TRACERS) for x in arrays):
+        return max(x.shape[2] for x in arrays) <= _BWD_MAX_N
+    return True
+
+
+def _ad_tracer_types():
+    """Autodiff tracer classes across JAX versions: classic JVP tracing and
+    the newer linearize-based grad path both mark a differentiated call."""
+    from jax._src.interpreters import ad as _ad
+    types = [_ad.JVPTracer]
+    if hasattr(_ad, "LinearizeTracer"):
+        types.append(_ad.LinearizeTracer)
+    return tuple(types)
+
+
+_AD_TRACERS = _ad_tracer_types()
+
+from jax._src.interpreters import batching as _batching  # noqa: E402
+
+_BATCH_TRACERS = (_batching.BatchTracer,)
 
 
 def mixed_attention(q, k, v, n_mt: int, scale: float,
                     use_pallas: Optional[bool] = None):
-    """Dispatcher: XLA two-call lowering by default (measured faster at
-    flagship token counts, see use_pallas_default); the fused Pallas kernel
-    runs when USE_PALLAS/use_pallas is True. Tests pass use_pallas=True with
-    interpret mode via ops.attention.FORCE_INTERPRET.
-    """
+    """Dispatcher: fused Pallas kernels (fwd, and the VMEM backward for
+    differentiated calls within _BWD_MAX_N) whenever the measured policy in
+    use_pallas_default says they win; XLA two-call lowering otherwise.
+    USE_PALLAS forces either path; tests run the kernels in interpreter mode
+    via ops.attention.FORCE_INTERPRET."""
     if use_pallas is None:
-        use_pallas = use_pallas_default()
+        use_pallas = use_pallas_default(q, k, v)
     if use_pallas or FORCE_INTERPRET:
         return mixed_attention_fused(q, k, v, n_mt, scale, FORCE_INTERPRET)
     return mixed_attention_xla(q, k, v, n_mt, scale)

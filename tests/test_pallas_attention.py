@@ -44,6 +44,40 @@ def test_gradients_match_xla(qkv):
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_gradients_match_xla_asymmetric_keys(qkv):
+    """Nk > Nq (the flagship CE fused key layout): fused bwd kernel must
+    produce exact grads for rectangular probability matrices too."""
+    q, k, v = qkv
+    rng = np.random.default_rng(5)
+    extra = jnp.asarray(rng.standard_normal((2, 3, 24, 16)).astype(np.float32))
+    k2 = jnp.concatenate([k, extra], axis=2)
+    v2 = jnp.concatenate([v, jnp.flip(extra, axis=2)], axis=2)
+    n_mt = 16
+
+    gr = jax.grad(lambda a, b, c: (A.mixed_attention_xla(a, b, c, n_mt, 0.25)
+                                   ** 2).sum(), argnums=(0, 1, 2))(q, k2, v2)
+    gg = jax.grad(lambda a, b, c: (A.mixed_attention_fused(a, b, c, n_mt, 0.25,
+                                                           True) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k2, v2)
+    for a, b in zip(gr, gg):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_gradients_xla_fallback_above_bwd_max_n(qkv, monkeypatch):
+    """N above _BWD_MAX_N routes the backward to the XLA recompute path."""
+    q, k, v = qkv
+    monkeypatch.setattr(A, "_BWD_MAX_N", 8)      # force the fallback
+    gr = jax.grad(lambda a, b, c: (A.mixed_attention_xla(a, b, c, 16, 0.25)
+                                   ** 2).sum(), argnums=(0, 1, 2))(q, k, v)
+    gg = jax.grad(lambda a, b, c: (A.mixed_attention_fused(a, b, c, 16, 0.25,
+                                                           True) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gg):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_template_rows_ignore_search_keys(qkv):
     """Asymmetry semantics: template outputs must be invariant to search
     tokens (the property that makes the online k/v cache lossless)."""
