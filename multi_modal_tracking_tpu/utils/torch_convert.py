@@ -527,6 +527,117 @@ def convert_resnet(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
                               key_mapper=mapper)
 
 
+# ------------------------------------------------------------- DiMP / ATOM
+_IOU_CONVBN = re.compile(
+    r"^(conv3_1r|conv3_1t|conv3_2t|fc3_1r|conv4_1r|conv4_1t|conv4_2t"
+    r"|fc34_3r|fc34_4r)\.([01])\.(weight|bias|running_mean|running_var)$")
+
+
+def map_atom_iou_key(rest: str):
+    """bb_regressor.* keys (external/AR/ltr/models/bbreg/atom_iou_net.py)
+    -> flax classic/dimpnet.AtomIoUNet paths."""
+    m = _IOU_CONVBN.match(rest)
+    if m:
+        name, idx, leaf = m.groups()
+        if idx == "0":
+            tf = _conv if leaf == "weight" else None
+            return ("params", (name, "conv",
+                               "kernel" if leaf == "weight" else "bias"), tf)
+        return _bn_leaf((name, "bn"), leaf)
+    m = re.match(r"^(fc3_rt|fc4_rt)\.linear\.(weight|bias)$", rest)
+    if m:
+        # LinearBlock flattens in torch NCHW order; the flax twin transposes
+        # to NCHW before flattening, so a plain transpose converts.
+        tf = _linear if m.group(2) == "weight" else None
+        return ("params", (m.group(1), "linear",
+                           "kernel" if m.group(2) == "weight" else "bias"), tf)
+    m = re.match(r"^(fc3_rt|fc4_rt)\.bn\.(weight|bias|running_mean|running_var)$",
+                 rest)
+    if m:
+        return _bn_leaf((m.group(1), "bn"), m.group(2))
+    m = re.match(r"^iou_predictor\.(weight|bias)$", rest)
+    if m:
+        tf = _linear if m.group(1) == "weight" else None
+        return ("params", ("iou_predictor",
+                           "kernel" if m.group(1) == "weight" else "bias"), tf)
+    return None
+
+
+def map_dimp_classifier_key(rest: str):
+    """classifier.* keys (ltr/models/target_classifier/: LinearFilter with
+    features + initializer + optimizer) -> flax classic/dimpnet paths. The
+    flax ClfFeatures names children seq{i} after the torch Sequential index
+    (InstanceL2Norm is parameterless so indices line up)."""
+    m = re.match(r"^feature_extractor\.(\d+)\.weight$", rest)
+    if m:   # the bare final 3x3 conv
+        return ("params", ("feature_extractor", f"seq{m.group(1)}", "kernel"),
+                _conv)
+    m = re.match(r"^feature_extractor\.(\d+)\.conv(\d)\.weight$", rest)
+    if m:   # BasicBlock convs (dimp18 layout)
+        return ("params", ("feature_extractor", f"seq{m.group(1)}",
+                           f"conv{m.group(2)}", "kernel"), _conv)
+    m = re.match(r"^feature_extractor\.(\d+)\.bn(\d)"
+                 r"\.(weight|bias|running_mean|running_var)$", rest)
+    if m:
+        return _bn_leaf(("feature_extractor", f"seq{m.group(1)}",
+                         f"bn{m.group(2)}"), m.group(3))
+    m = re.match(r"^feature_extractor\.(\d+)\.downsample\.0\.weight$", rest)
+    if m:
+        return ("params", ("feature_extractor", f"seq{m.group(1)}",
+                           "down_conv", "kernel"), _conv)
+    m = re.match(r"^feature_extractor\.(\d+)\.downsample\.1"
+                 r"\.(weight|bias|running_mean|running_var)$", rest)
+    if m:
+        return _bn_leaf(("feature_extractor", f"seq{m.group(1)}", "down_bn"),
+                        m.group(2))
+    m = re.match(r"^filter_initializer\.filter_conv\.(weight|bias)$", rest)
+    if m:
+        tf = _conv if m.group(1) == "weight" else None
+        return ("params", ("filter_initializer", "filter_conv",
+                           "kernel" if m.group(1) == "weight" else "bias"), tf)
+    m = re.match(r"^filter_optimizer\.(log_step_length|filter_reg)$", rest)
+    if m:
+        return ("params", ("filter_optimizer", m.group(1)), None)
+    m = re.match(r"^filter_optimizer\.(label_map_predictor"
+                 r"|spatial_weight_predictor)\.weight$", rest)
+    if m:   # 1x1 conv (1, bins, 1, 1) -> (bins, 1) matmul column
+        return ("params", ("filter_optimizer", m.group(1)), _squeeze_1x1)
+    m = re.match(r"^filter_optimizer\.target_mask_predictor\.0\.weight$", rest)
+    if m:
+        return ("params", ("filter_optimizer", "target_mask_predictor"),
+                _squeeze_1x1)
+    return None
+
+
+def map_dimpnet_key(key: str):
+    """DiMPnet state-dict key (ltr/models/tracking/dimpnet.py assembly:
+    feature_extractor / classifier / bb_regressor) -> flax path inside the
+    tracker's combined {backbone, classifier, bb_regressor} tree. ATOMnet
+    checkpoints (ltr/models/bbreg/atom.py: no classifier) map with the same
+    function."""
+    if key.endswith("num_batches_tracked"):
+        return None
+    if key.startswith("feature_extractor."):
+        r = map_resnet_key(key[len("feature_extractor."):])
+        return (r[0], ("backbone",) + r[1], r[2]) if r else None
+    if key.startswith("classifier."):
+        r = map_dimp_classifier_key(key[len("classifier."):])
+        return (r[0], ("classifier",) + r[1], r[2]) if r else None
+    if key.startswith("bb_regressor."):
+        r = map_atom_iou_key(key[len("bb_regressor."):])
+        return (r[0], ("bb_regressor",) + r[1], r[2]) if r else None
+    return None
+
+
+def convert_dimpnet(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
+                    strict: bool = True, verbose: bool = True):
+    """DiMPnet / ATOMnet checkpoint -> the classic trackers' combined
+    variables tree ({"params"|"batch_stats": {"backbone"|"classifier"|
+    "bb_regressor": ...}})."""
+    return convert_state_dict(sd, variables, strict=strict, verbose=verbose,
+                              key_mapper=map_dimpnet_key)
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
                        frozen_head_bn: bool = False,
                        strict: bool = False,
