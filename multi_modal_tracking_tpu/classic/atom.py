@@ -5,17 +5,22 @@ Parity target: external/AR/pytracking/tracker/atom/atom.py (:1-836) and
 ltr/models/bbreg/atom_iou_net.py — the vendored pytracking ATOM:
   - a two-layer online classifier whose filter is (re-)optimized with
     Gauss-Newton CG over a sample memory of augmented target crops,
-  - an IoU-prediction network (reference-branch modulation vectors from
-    PrRoI-pooled features; test branch scores candidate boxes) maximised at
-    track time by gradient ascent on the box coordinates — the very op the
-    reference needs exact PrRoI gradients for,
+  - the reference-exact AtomIoUNet (classic/dimpnet.py): reference-branch
+    modulation vectors from PrRoI-pooled layer2/layer3 features, test branch
+    scores jittered candidate boxes, maximised at track time by gradient
+    ascent on the box coordinates — the very op the reference needs exact
+    PrRoI gradients for (atom.py:700-760 optimize_boxes/refine_target_box),
   - a simple motion model (classifier peak -> displaced box).
+
+Published ATOM checkpoints (ltr/models/bbreg/atom.py ATOMnet:
+feature_extractor + bb_regressor) convert via load_network().
 
 TPU-first redesign: the sample memory is a static-shape ring buffer pytree;
 filter optimization is classic.optimization.gauss_newton_cg (one XLA
 program, while the reference re-enters Python per CG step); IoU ascent uses
 jax.grad through ops/prroi.prroi_pool (closed-form integral gradients —
-no custom CUDA); every step is jitted with static shapes.
+no custom CUDA); the proposal jitter + ascent + top-k average is one
+static-shape vmapped program; every step is jitted.
 """
 from __future__ import annotations
 
@@ -25,49 +30,49 @@ from typing import NamedTuple, Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
-import flax.linen as nn
 
 from multi_modal_tracking_tpu.classic.dcf import (gauss_label_2d, hann2d,
                                                   max2d, subpixel_peak)
 from multi_modal_tracking_tpu.classic.augmentation import InitAugmenter
+from multi_modal_tracking_tpu.classic.dimpnet import AtomIoUNet
 from multi_modal_tracking_tpu.classic.optimization import solve_normal_equations
 from multi_modal_tracking_tpu.models.resnet import resnet18
 from multi_modal_tracking_tpu.ops.crop import crop_resize
-from multi_modal_tracking_tpu.ops.prroi import prroi_pool
 
 
-class IoUNet(nn.Module):
-    """atom_iou_net.py AtomIoUNet: reference branch pools the target box into
-    modulation vectors; test branch pools candidate boxes and predicts IoU
-    as <modulation * test_feat> -> MLP."""
-    feat_dim: int = 256
-    pool_size: int = 5
-    dtype: jnp.dtype = jnp.float32
+def refine_box_iounet(iou_net: AtomIoUNet, iou_vars, iou_feat, modulation,
+                      box_xywh: jax.Array, rng: jax.Array, *,
+                      num_random: int = 9, jitter_pos: float = 0.1,
+                      jitter_sz: float = 0.5, steps: int = 5,
+                      step_length: float = 1.0, topk: int = 3):
+    """pytracking refine_target_box (atom.py:700-772): jitter num_random
+    proposals around the predicted box, gradient-ascend the predicted IoU on
+    all of them (steps x step_length, coordinate steps scaled by box size),
+    then average the top-k boxes by final IoU. box_xywh in crop px; returns
+    (refined box xywh, mean top-k IoU)."""
+    sq = jnp.sqrt(jnp.maximum(box_xywh[2] * box_xywh[3], 1.0))
+    factor = jnp.stack([jitter_pos * sq, jitter_pos * sq,
+                        jitter_sz * sq, jitter_sz * sq])
+    noise = jax.random.normal(rng, (num_random, 4)) * factor
+    props = jnp.concatenate([box_xywh[None],
+                             box_xywh[None] + noise], axis=0)  # (P, 4)
 
-    @nn.compact
-    def __call__(self, ref_feat, ref_box_xyxy, test_feat, cand_boxes_xyxy,
-                 spatial_scale: float):
-        """ref_feat/test_feat: (1, H, W, C); ref_box (4,); cand (N, 4).
-        Returns predicted IoU logits (N,)."""
-        ref = nn.Conv(self.feat_dim, (3, 3), padding=1, dtype=self.dtype,
-                      name="conv_ref")(ref_feat)
-        test = nn.Conv(self.feat_dim, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv_test")(test_feat)
-        roi_r = jnp.concatenate([jnp.zeros((1, 1)), ref_box_xyxy[None]], axis=1)
-        mod = prroi_pool(ref, roi_r, self.pool_size, self.pool_size,
-                         spatial_scale)                       # (1, p, p, C)
-        mod = mod.reshape(1, -1)
-        mod = nn.Dense(self.feat_dim, dtype=self.dtype, name="fc_mod")(mod)
+    def iou_of(batch_props):
+        return iou_net.apply(iou_vars, modulation, iou_feat,
+                             batch_props[None], method="predict_iou")[0]
 
-        n = cand_boxes_xyxy.shape[0]
-        rois = jnp.concatenate([jnp.zeros((n, 1)), cand_boxes_xyxy], axis=1)
-        pooled = prroi_pool(test, rois, self.pool_size, self.pool_size,
-                            spatial_scale)                    # (N, p, p, C)
-        pooled = nn.Dense(self.feat_dim, dtype=self.dtype, name="fc_test")(
-            pooled.reshape(n, -1))
-        x = pooled * mod                                      # modulation
-        x = nn.relu(nn.Dense(self.feat_dim, dtype=self.dtype, name="fc1")(x))
-        return nn.Dense(1, dtype=self.dtype, name="fc_iou")(x)[:, 0]
+    def ascend(props, _):
+        ious, g = jax.vjp(iou_of, props)
+        grad = g(jnp.ones_like(ious))[0]
+        scale = jnp.concatenate([props[:, 2:], props[:, 2:]], axis=1)
+        return props + step_length * grad * scale, None
+
+    props, _ = jax.lax.scan(ascend, props, None, length=steps)
+    ious = iou_of(props)
+    k = min(topk, props.shape[0])
+    top_iou, top_idx = jax.lax.top_k(ious, k)
+    best = jnp.mean(props[top_idx], axis=0)
+    return best, jnp.mean(top_iou)
 
 
 class ATOMState(NamedTuple):
@@ -96,6 +101,8 @@ class ATOMTracker:
     refine: bool = True                 # IoUNet gradient-ascent refinement
     refine_steps: int = 5
     refine_lr: float = 1.0
+    num_random_boxes: int = 9           # num_init_random_boxes
+    iounet_topk: int = 3                # iounet_k
     rng_seed: int = 0
     augmentation: Optional[dict] = None  # None -> DEFAULT_AUGMENTATION; {} off
     random_shift_factor: float = 1.0 / 3.0
@@ -103,9 +110,10 @@ class ATOMTracker:
     def __post_init__(self):
         # torchvision-layout ResNet-18 (reference ATOM's backbone,
         # external/AR/ltr/models/backbone/resnet.py): 'layer3' = 256ch /16.
-        # Published torch weights convert via load_backbone().
+        # Published torch weights convert via load_network()/load_backbone().
         self.backbone = resnet18()
-        self.iou_net = IoUNet()
+        # reference-exact AtomIoUNet over (layer2 /8, layer3 /16)
+        self.iou_net = AtomIoUNet(input_dim=(128, 256))
         # init-sample augmentation (atom.py:473-523 generate_init_samples)
         self.augmenter = InitAugmenter(
             self.crop_size, spec=self.augmentation,
@@ -117,17 +125,19 @@ class ATOMTracker:
         z = jnp.zeros((1, self.crop_size, self.crop_size, 3))
         self._bb_vars = jax.jit(self.backbone.init)(
             jax.random.PRNGKey(self.rng_seed), z)
-        feat = jax.eval_shape(lambda v, x: self.backbone.apply(v, x)["layer3"],
-                              self._bb_vars, z)
-        self._feat_hw = feat.shape[1:3]
-        self._feat_c = feat.shape[3]
+        shapes = jax.eval_shape(self.backbone.apply, self._bb_vars, z)
+        self._feat_hw = shapes["layer3"].shape[1:3]
+        self._feat_c = shapes["layer3"].shape[3]
+        self._l2_hw = shapes["layer2"].shape[1:3]
         self._scale = self._feat_hw[0] / self.crop_size
-        box = jnp.asarray([0.0, 0.0, 10.0, 10.0])
+        box = jnp.asarray([10.0, 10.0, 40.0, 40.0])
         self._iou_vars = jax.jit(self.iou_net.init)(
             jax.random.PRNGKey(self.rng_seed + 1),
-            jnp.zeros((1, *self._feat_hw, self._feat_c)), box,
-            jnp.zeros((1, *self._feat_hw, self._feat_c)), box[None],
-            self._scale)
+            jnp.zeros((1, *self._l2_hw, 128)),
+            jnp.zeros((1, *self._feat_hw, self._feat_c)),
+            jnp.zeros((1, *self._l2_hw, 128)),
+            jnp.zeros((1, *self._feat_hw, self._feat_c)),
+            box[None], box[None, None])
         self._init_jit = jax.jit(self._init_fn)
         self._track_jit = jax.jit(self._track_fn)
         self._optim_jit = jax.jit(self._optimize_filter)
@@ -140,13 +150,27 @@ class ATOMTracker:
         self._bb_vars, _ = convert_resnet(state_dict, self._bb_vars,
                                           strict=False, verbose=False)
 
+    def load_network(self, state_dict, strict: bool = True) -> None:
+        """Load a full ATOMnet checkpoint (ltr/models/bbreg/atom.py:
+        feature_extractor.* + bb_regressor.*) into the backbone and the
+        IoUNet via torch_convert.convert_dimpnet."""
+        from multi_modal_tracking_tpu.utils.torch_convert import convert_dimpnet
+        combined = _combine({"backbone": self._bb_vars,
+                             "bb_regressor": self._iou_vars})
+        converted, _ = convert_dimpnet(state_dict, combined, strict=strict,
+                                       verbose=False)
+        split = _split(converted, ("backbone", "bb_regressor"))
+        self._bb_vars = split["backbone"]
+        self._iou_vars = split["bb_regressor"]
+
     # ----------------------------------------------------------- device fns
-    def _features(self, image, center, size) -> Tuple[jax.Array, jax.Array]:
+    def _features(self, image, center, size):
+        """Crop + backbone. Returns ({'layer2','layer3'}, px-per-crop-px)."""
         box = jnp.stack([center[1] - size[1] / 2.0, center[0] - size[0] / 2.0,
                          size[1], size[0]])
         crop, rf = crop_resize(image, box, self.search_factor, self.crop_size)
-        feat = self.backbone.apply(self._bb_vars, crop[None] / 255.0)["layer3"]
-        return feat, 1.0 / rf           # image px per crop px
+        feats = self.backbone.apply(self._bb_vars, crop[None] / 255.0)
+        return feats, 1.0 / rf           # image px per crop px
 
     def _apply_filter(self, filt, samples) -> jax.Array:
         """conv2d of the filter over (M, h, w, C) samples -> (M, h, w)."""
@@ -202,24 +226,21 @@ class ATOMTracker:
                        center=center, target_sz=size)
         return self._optimize_filter(st)
 
-    def _refine_box(self, ref_feat, ref_box, test_feat, box_xyxy) -> jax.Array:
-        """IoUNet gradient ascent on box coords (atom.py optimize_boxes):
-        fixed-step ascent of the predicted IoU, box in feature-crop px."""
-        def iou_of(b):
-            return self.iou_net.apply(self._iou_vars, ref_feat, ref_box,
-                                      test_feat, b[None], self._scale)[0]
+    def _modulation(self, image, center, size):
+        """Reference-branch modulation vectors from the init frame
+        (atom.py init_iou_net): target box in crop px."""
+        feats, px = self._features(image, center, size)
+        sz_crop = size / px                              # (h, w) crop px
+        c = self.crop_size / 2.0
+        box = jnp.stack([c - sz_crop[1] / 2.0, c - sz_crop[0] / 2.0,
+                         sz_crop[1], sz_crop[0]])
+        return self.iou_net.apply(self._iou_vars, feats["layer2"],
+                                  feats["layer3"], box[None],
+                                  method="get_modulation")
 
-        def step(b, _):
-            g = jax.grad(iou_of)(b)
-            # step relative to box size, like the reference's box_lr scaling
-            wh = jnp.concatenate([b[2:] - b[:2]] * 2)
-            return b + self.refine_lr * g * wh, None
-
-        b, _ = jax.lax.scan(step, box_xyxy, None, length=self.refine_steps)
-        return b
-
-    def _track_fn(self, state: ATOMState, image, ref_feat, ref_box):
-        feat, px = self._features(image, state.center, state.target_sz)
+    def _track_fn(self, state: ATOMState, image, modulation):
+        feats, px = self._features(image, state.center, state.target_sz)
+        feat = feats["layer3"]
         score = self._apply_filter(state.filt, feat)[0]
         score = score * hann2d(*self._feat_hw)
         conf, peak = max2d(score)
@@ -228,27 +249,36 @@ class ATOMTracker:
         disp = (peak - jnp.asarray([h / 2.0, w / 2.0])) * (1.0 / self._scale) * px
         center = state.center + disp
 
-        # candidate box in feature coords for IoU refinement
-        fs = self._scale / px           # feature px per image px
-        c_feat = jnp.asarray([h / 2.0, w / 2.0]) + disp * fs
-        sz_feat = state.target_sz * fs
-        box_xyxy = jnp.asarray([c_feat[1] - sz_feat[1] / 2, c_feat[0] - sz_feat[0] / 2,
-                                c_feat[1] + sz_feat[1] / 2, c_feat[0] + sz_feat[0] / 2])
+        # candidate box in crop px for IoU refinement
+        fs = 1.0 / px                   # crop px per image px
+        c_crop = jnp.asarray([self.crop_size / 2.0, self.crop_size / 2.0]) + \
+            disp * fs
+        sz_crop = state.target_sz * fs
         if self.refine:
-            box_xyxy = self._refine_box(ref_feat, ref_box, feat,
-                                        box_xyxy / self._scale) * self._scale
-            c_feat = jnp.asarray([(box_xyxy[1] + box_xyxy[3]) / 2,
-                                  (box_xyxy[0] + box_xyxy[2]) / 2])
-            sz_new = jnp.asarray([box_xyxy[3] - box_xyxy[1],
-                                  box_xyxy[2] - box_xyxy[0]])
-            center = state.center + (c_feat - jnp.asarray([h / 2.0, w / 2.0])) / fs
-            target_sz = jnp.clip(sz_new / fs, 4.0, None)
+            box = jnp.stack([c_crop[1] - sz_crop[1] / 2.0,
+                             c_crop[0] - sz_crop[0] / 2.0,
+                             sz_crop[1], sz_crop[0]])
+            iou_feat = self.iou_net.apply(self._iou_vars, feats["layer2"],
+                                          feats["layer3"],
+                                          method="get_iou_feat")
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.rng_seed + 3),
+                                     state.mem_ptr)
+            best, _ = refine_box_iounet(
+                self.iou_net, self._iou_vars, iou_feat, modulation, box, rng,
+                num_random=self.num_random_boxes, steps=self.refine_steps,
+                step_length=self.refine_lr, topk=self.iounet_topk)
+            c_new = jnp.asarray([best[1] + best[3] / 2.0,
+                                 best[0] + best[2] / 2.0])
+            center = state.center + \
+                (c_new - jnp.asarray([self.crop_size / 2.0] * 2)) * px
+            target_sz = jnp.clip(jnp.asarray([best[3], best[2]]) * px,
+                                 4.0, None)
         else:
             target_sz = state.target_sz
 
         # memory insert at ring pointer
         lbl_center = jnp.asarray([h / 2.0, w / 2.0]) + \
-            (center - state.center) * fs
+            (center - state.center) * fs * self._scale
         # the A augmented init samples are never overwritten (pytracking's
         # update_memory keeps all num_init_samples protected for the whole
         # sequence); the ring wraps into slots A..M-1
@@ -275,21 +305,14 @@ class ATOMTracker:
         self._state = self._init_jit(img, jnp.asarray(info["init_bbox"],
                                                       jnp.float32))
         # reference branch for IoUNet modulation, cached for the sequence
-        feat, _ = jax.jit(self._features)(img, self._state.center,
-                                          self._state.target_sz)
-        h, w = self._feat_hw
-        # the target sits centred in the crop at 1/search_factor of its extent
-        ext = jnp.asarray([w, h]) / self.search_factor
-        self._ref_feat = feat
-        self._ref_box = jnp.asarray([w / 2 - ext[0] / 2, h / 2 - ext[1] / 2,
-                                     w / 2 + ext[0] / 2, h / 2 + ext[1] / 2]) / self._scale
+        self._mod = jax.jit(self._modulation)(img, self._state.center,
+                                              self._state.target_sz)
         self._frame = 0
 
     def track(self, image: np.ndarray, info: Optional[dict] = None) -> dict:
         self._frame += 1
         img = jnp.asarray(np.asarray(image), jnp.float32)
-        self._state, conf = self._track_jit(self._state, img,
-                                            self._ref_feat, self._ref_box)
+        self._state, conf = self._track_jit(self._state, img, self._mod)
         if self._frame % self.update_interval == 0:
             self._state = self._optim_jit(self._state)
         c = np.asarray(self._state.center)
@@ -297,3 +320,20 @@ class ATOMTracker:
         return {"target_bbox": [float(c[1] - s[1] / 2), float(c[0] - s[0] / 2),
                                 float(s[1]), float(s[0])],
                 "pred_score": float(conf)}
+
+
+def _combine(parts):
+    """{'backbone': vars, ...} -> one {'params'|'batch_stats': {name: ...}}
+    tree for convert_dimpnet."""
+    out = {}
+    for name, v in parts.items():
+        for coll, tree in v.items():
+            out.setdefault(coll, {})[name] = tree
+    return out
+
+
+def _split(combined, names):
+    """Inverse of _combine."""
+    return {name: {coll: combined[coll][name]
+                   for coll in combined if name in combined[coll]}
+            for name in names}

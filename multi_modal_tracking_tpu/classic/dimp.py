@@ -1,75 +1,276 @@
-"""DiMP-style tracker: model-predicted discriminative filter + steepest
-descent refinement.
+"""DiMP tracker: learned discriminative filter prediction + IoUNet box
+refinement, driving the reference-fidelity modules in classic/dimpnet.py.
 
-Parity target: external/AR/pytracking/tracker/dimp/dimp.py (:1-865) and
-upstream ltr/models/target_classifier/ (initializer + optimizer modules):
-  - filter INITIALIZED by pooling the target region of the init-frame
-    features (the reference's FilterInitializer: PrRoI pool + norm),
-  - filter REFINED by steepest descent with exact step length on the
-    regularised least-squares classification objective (the reference's
-    learned SteepestDescentGN unrolls the same alpha = r^T r / r^T A r
-    update with learned per-step weights),
-  - localisation + memory + IoUNet box refinement shared with ATOM.
+Parity target: external/AR/pytracking/tracker/dimp/dimp.py (:1-865) with
+ltr/models/tracking/dimpnet.py (dimpnet18/dimpnet50):
+  - classification features from the backbone's layer3 through the learned
+    feature extractor (residual block(s) + conv + InstanceL2Norm),
+  - filter INITIALIZED by FilterInitializerLinear (learned 3x3 conv + PrRoI
+    pool of the target region, dimp.py init_classifier),
+  - filter REFINED by the learned DiMPSteepestDescentGN (label/mask/weight
+    maps predicted from distance bins, learned step length + filter reg)
+    — net_opt_iter steps at init, net_opt_update_iter per memory update
+    (dimp.py update_classifier),
+  - sample memory with exponential forgetting and protected init samples,
+  - AtomIoUNet box refinement shared with ATOM (jittered proposals +
+    gradient ascent + top-k average, dimp.py refine_target_box).
 
-TPU-first: the initializer pool is ops/prroi.prroi_pool; steepest descent is
-classic.optimization.steepest_descent_quadratic over the normal-equation
-operator, all inside one jitted program.
-"""
+Published DiMPnet checkpoints (feature_extractor + classifier +
+bb_regressor) convert via load_network().
+
+TPU-first: the whole per-frame step (crop -> backbone -> classify ->
+localise -> IoU ascent -> memory insert) is ONE jitted device function; the
+SD-GN refinement is a lax.scan unroll inside another; memory is a
+static-shape ring buffer; PrRoI gradients are closed-form (ops/prroi.py)."""
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-from multi_modal_tracking_tpu.classic.atom import ATOMState, ATOMTracker
-from multi_modal_tracking_tpu.classic.optimization import steepest_descent_quadratic
-from multi_modal_tracking_tpu.ops.prroi import prroi_pool
+from multi_modal_tracking_tpu.classic.atom import (refine_box_iounet,
+                                                   _combine, _split)
+from multi_modal_tracking_tpu.classic.augmentation import InitAugmenter
+from multi_modal_tracking_tpu.classic.dcf import hann2d, max2d, subpixel_peak
+from multi_modal_tracking_tpu.classic.dimpnet import AtomIoUNet, DiMPClassifier
+from multi_modal_tracking_tpu.models.resnet import resnet18, resnet50
+from multi_modal_tracking_tpu.ops.crop import crop_resize
+
+# (backbone ctor, layer3 ch, layer2 ch, clf feature_dim, clf out_dim,
+#  clf residual blocks) per dimpnet assembly (dimpnet.py:100-198)
+_ARCH = {
+    "resnet18": (resnet18, 256, 128, 256, 256, 1),
+    "resnet50": (resnet50, 1024, 512, 256, 512, 0),
+}
+
+
+class DiMPState(NamedTuple):
+    filt: jax.Array           # (fs, fs, Cclf) classification filter
+    samples: jax.Array        # (M, h', w', Cclf) classification features
+    boxes: jax.Array          # (M, 4) per-sample target xywh in crop px
+    weights: jax.Array        # (M,) sample weights (0 = empty slot)
+    mem_ptr: jax.Array        # scalar int ring pointer
+    center: jax.Array         # (2,) target centre (y, x) image px
+    target_sz: jax.Array      # (2,) target (h, w) image px
 
 
 @dataclasses.dataclass
-class DiMPTracker(ATOMTracker):
-    """ATOM skeleton with the DiMP filter predictor; same tracker API."""
-    num_sd_iter: int = 6
+class DiMPTracker:
+    """Host wrapper with the framework tracker API (initialize/track)."""
+    arch: str = "resnet18"              # "resnet50" for dimp50 checkpoints
+    search_factor: float = 5.0          # search_area_scale
+    crop_size: int = 288                # image_sample_size (18*16)
+    filter_size: int = 4
+    memory_size: int = 16               # sample_memory_size (ref: 50)
+    learning_rate: float = 0.01
+    init_opt_iter: int = 10             # net_opt_iter
+    update_opt_iter: int = 2            # net_opt_update_iter
+    update_interval: int = 20           # train_skipping
+    window_output: bool = False         # dimp50 default
+    refine: bool = True
+    refine_steps: int = 5               # box_refinement_iter
+    refine_lr: float = 1.0              # box_refinement_step_length
+    num_random_boxes: int = 9           # num_init_random_boxes
+    iounet_topk: int = 3                # iounet_k
+    rng_seed: int = 0
+    augmentation: Optional[dict] = None
+    random_shift_factor: float = 1.0 / 3.0
 
-    def _init_filter_from_target(self, feat: jax.Array) -> jax.Array:
-        """FilterInitializer: PrRoI-pool the (centred) target region to the
-        filter size; the target occupies 1/search_factor of the crop."""
-        h, w = self._feat_hw
-        ext_w, ext_h = w / self.search_factor, h / self.search_factor
-        roi = jnp.asarray([[0.0, w / 2 - ext_w / 2, h / 2 - ext_h / 2,
-                            w / 2 + ext_w / 2, h / 2 + ext_h / 2]])
-        filt = prroi_pool(feat, roi, self.filter_size, self.filter_size,
-                          1.0)[0]                       # (fs, fs, C)
-        return filt / jnp.maximum(jnp.linalg.norm(filt), 1e-6)
+    def __post_init__(self):
+        ctor, l3c, l2c, fdim, odim, nblocks = _ARCH[self.arch]
+        self.backbone = ctor()
+        self.classifier = DiMPClassifier(
+            feature_dim=fdim, out_dim=odim, num_blocks=nblocks,
+            filter_size=self.filter_size, feat_stride=16,
+            optim_iter=self.init_opt_iter)
+        self.iou_net = AtomIoUNet(input_dim=(l2c, l3c))
+        self.augmenter = InitAugmenter(
+            self.crop_size, spec=self.augmentation,
+            random_shift_factor=self.random_shift_factor, seed=self.rng_seed)
+        if self.augmenter.num_samples > self.memory_size:
+            raise ValueError(
+                f"memory_size={self.memory_size} < augmented init batch "
+                f"{self.augmenter.num_samples}")
+        z = jnp.zeros((1, self.crop_size, self.crop_size, 3))
+        self._bb_vars = jax.jit(self.backbone.init)(
+            jax.random.PRNGKey(self.rng_seed), z)
+        shapes = jax.eval_shape(self.backbone.apply, self._bb_vars, z)
+        self._feat_hw = shapes["layer3"].shape[1:3]
+        self._l2_hw = shapes["layer2"].shape[1:3]
+        self._scale = self._feat_hw[0] / self.crop_size   # feat px / crop px
+        self._clf_c = odim
+        l3 = jnp.zeros((1, *self._feat_hw, l3c))
+        bb0 = jnp.asarray([[100.0, 100.0, 60.0, 60.0]])
+        self._clf_vars = jax.jit(self.classifier.init)(
+            jax.random.PRNGKey(self.rng_seed + 1), l3, bb0)
+        self._iou_vars = jax.jit(self.iou_net.init)(
+            jax.random.PRNGKey(self.rng_seed + 2),
+            jnp.zeros((1, *self._l2_hw, l2c)), l3,
+            jnp.zeros((1, *self._l2_hw, l2c)), l3,
+            bb0, bb0[:, None])
+        self._init_jit = jax.jit(self._init_fn)
+        self._track_jit = jax.jit(self._track_fn)
+        self._update_jit = jax.jit(self._update_fn)
+        self._mod_jit = jax.jit(self._modulation)
 
-    def _optimize_filter(self, state: ATOMState) -> ATOMState:
-        """Steepest descent on 0.5||W(Xf - y)||^2 + 0.5 reg||f||^2, i.e. the
-        quadratic A f = b with A = X^T W X + reg I, b = X^T W y (dimp's
-        optimizer module). Exact line search per step; num_sd_iter static."""
-        w = jnp.maximum(state.weights, 0.0)[:, None, None]
+    def load_network(self, state_dict, strict: bool = True) -> None:
+        """Load a full DiMPnet checkpoint (dimpnet.py assembly:
+        feature_extractor.* + classifier.* + bb_regressor.*)."""
+        from multi_modal_tracking_tpu.utils.torch_convert import convert_dimpnet
+        combined = _combine({"backbone": self._bb_vars,
+                             "classifier": self._clf_vars,
+                             "bb_regressor": self._iou_vars})
+        converted, _ = convert_dimpnet(state_dict, combined, strict=strict,
+                                       verbose=False)
+        split = _split(converted, ("backbone", "classifier", "bb_regressor"))
+        self._bb_vars = split["backbone"]
+        self._clf_vars = split["classifier"]
+        self._iou_vars = split["bb_regressor"]
 
-        def X(filt):
-            return self._apply_filter(filt, state.samples)
+    # ----------------------------------------------------------- device fns
+    def _features(self, image, center, size):
+        box = jnp.stack([center[1] - size[1] / 2.0, center[0] - size[0] / 2.0,
+                         size[1], size[0]])
+        crop, rf = crop_resize(image, box, self.search_factor, self.crop_size)
+        feats = self.backbone.apply(self._bb_vars, crop[None] / 255.0)
+        clf = self.classifier.apply(self._clf_vars, feats["layer3"],
+                                    method="extract_classification_feat")
+        return feats, clf, 1.0 / rf      # image px per crop px
 
-        def Xt(resid):
-            # transpose of the correlation operator via vjp
-            _, vjp = jax.vjp(X, jnp.zeros((self.filter_size, self.filter_size,
-                                           self._feat_c)))
-            return vjp(resid)[0]
+    def _target_box_crop(self, size_img, px, shift_yx=None):
+        """Target xywh in crop px, centred (+ optional (row, col) shift)."""
+        sz = size_img / px               # (h, w) crop px
+        c = self.crop_size / 2.0
+        dy = 0.0 if shift_yx is None else shift_yx[0]
+        dx = 0.0 if shift_yx is None else shift_yx[1]
+        return jnp.stack([c + dx - sz[1] / 2.0, c + dy - sz[0] / 2.0,
+                          sz[1], sz[0]])
 
-        def A(filt):
-            return Xt(X(filt) * w) + self.reg * filt
+    def _init_fn(self, image, box_xywh) -> DiMPState:
+        center = jnp.asarray([box_xywh[1] + box_xywh[3] / 2.0,
+                              box_xywh[0] + box_xywh[2] / 2.0])
+        size = jnp.asarray([box_xywh[3], box_xywh[2]])
+        box = jnp.stack([center[1] - size[1] / 2.0, center[0] - size[0] / 2.0,
+                         size[1], size[0]])
+        crop, rf = crop_resize(image, box, self.search_factor, self.crop_size)
+        aug = self.augmenter(crop)                       # (A_img, H, W, 3)
+        l3 = self.backbone.apply(self._bb_vars, aug / 255.0)["layer3"]
+        clf = self.classifier.apply(self._clf_vars, l3,
+                                    method="extract_classification_feat")
+        clf = self.augmenter.augment_features(
+            clf, jax.random.PRNGKey(self.rng_seed + 3))  # (A, h', w', C)
+        A = self.augmenter.num_samples
+        px = 1.0 / rf
+        boxes = jnp.stack([self._target_box_crop(size, px, s)
+                           for s in self.augmenter.shifts])      # (A, 4)
+        # learned init: FilterInitializerLinear + net_opt_iter SD-GN steps
+        # (dimp.py init_classifier; sample_weight None -> sqrt(1/A)*spatial)
+        filt = self.classifier.apply(self._clf_vars, clf, boxes,
+                                     None, self.init_opt_iter,
+                                     method="get_filter")
+        h, w = clf.shape[1:3]
+        samples = jnp.zeros((self.memory_size, h, w, self._clf_c),
+                            clf.dtype).at[:A].set(clf)
+        box_mem = jnp.zeros((self.memory_size, 4)).at[:A].set(boxes)
+        weights = jnp.zeros((self.memory_size,)).at[:A].set(1.0 / A)
+        return DiMPState(filt=filt, samples=samples, boxes=box_mem,
+                         weights=weights, mem_ptr=jnp.asarray(A, jnp.int32),
+                         center=center, target_sz=size)
 
-        b = Xt(state.labels * w)
-        filt = steepest_descent_quadratic(A, b, state.filt,
-                                          num_iter=self.num_sd_iter)
+    def _update_fn(self, state: DiMPState) -> DiMPState:
+        """update_classifier: net_opt_update_iter learned SD-GN steps over
+        the weighted memory."""
+        filt = self.classifier.apply(
+            self._clf_vars, state.filt, state.samples, state.boxes,
+            state.weights, self.update_opt_iter, method="optimize_filter")
         return state._replace(filt=filt)
 
-    def _init_fn(self, image, box_xywh) -> ATOMState:
-        st = super()._init_fn(image, box_xywh)
-        # super() already ran _optimize_filter from a zero init; re-seed with
-        # the pooled target filter and refine (initializer + optimizer).
-        filt0 = self._init_filter_from_target(st.samples[:1])
-        st = st._replace(filt=filt0)
-        return self._optimize_filter(st)
+    def _modulation(self, image, center, size):
+        feats, _, px = self._features(image, center, size)
+        box = self._target_box_crop(size, px)
+        return self.iou_net.apply(self._iou_vars, feats["layer2"],
+                                  feats["layer3"], box[None],
+                                  method="get_modulation")
+
+    def _track_fn(self, state: DiMPState, image, modulation):
+        feats, clf_feat, px = self._features(image, state.center,
+                                             state.target_sz)
+        score = self.classifier.apply(self._clf_vars, state.filt, clf_feat,
+                                      method="classify")[0]  # (sh, sw)
+        sh, sw = score.shape
+        if self.window_output:
+            score = score * hann2d(sh, sw)
+        conf, peak = max2d(score)
+        peak = subpixel_peak(score, peak)
+        sc = jnp.asarray([(sh - 1) / 2.0, (sw - 1) / 2.0])
+        disp = (peak - sc) * (1.0 / self._scale) * px
+        center = state.center + disp
+
+        fs = 1.0 / px                    # crop px per image px
+        if self.refine:
+            c_crop = jnp.asarray([self.crop_size / 2.0] * 2) + disp * fs
+            sz_crop = state.target_sz * fs
+            box = jnp.stack([c_crop[1] - sz_crop[1] / 2.0,
+                             c_crop[0] - sz_crop[0] / 2.0,
+                             sz_crop[1], sz_crop[0]])
+            iou_feat = self.iou_net.apply(self._iou_vars, feats["layer2"],
+                                          feats["layer3"],
+                                          method="get_iou_feat")
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.rng_seed + 4),
+                                     state.mem_ptr)
+            best, _ = refine_box_iounet(
+                self.iou_net, self._iou_vars, iou_feat, modulation, box, rng,
+                num_random=self.num_random_boxes, steps=self.refine_steps,
+                step_length=self.refine_lr, topk=self.iounet_topk)
+            c_new = jnp.asarray([best[1] + best[3] / 2.0,
+                                 best[0] + best[2] / 2.0])
+            center = state.center + \
+                (c_new - jnp.asarray([self.crop_size / 2.0] * 2)) * px
+            target_sz = jnp.clip(jnp.asarray([best[3], best[2]]) * px,
+                                 4.0, None)
+        else:
+            target_sz = state.target_sz
+
+        # memory insert (dimp.py update_memory): protected init samples,
+        # ring over the rest, exponential forgetting, anchored slot 0
+        new_box = self._target_box_crop(
+            target_sz, px, (center - state.center) * fs)
+        M = self.memory_size
+        A = min(self.augmenter.num_samples, M - 1)
+        ptr = jnp.where(state.mem_ptr < M, state.mem_ptr,
+                        A + (state.mem_ptr - M) % (M - A))
+        samples = jax.lax.dynamic_update_index_in_dim(
+            state.samples, clf_feat[0], ptr, 0)
+        boxes = jax.lax.dynamic_update_index_in_dim(
+            state.boxes, new_box, ptr, 0)
+        weights = (state.weights * (1.0 - self.learning_rate)).at[ptr].set(
+            self.learning_rate)
+        weights = weights.at[0].max(0.25)
+        new_st = DiMPState(filt=state.filt, samples=samples, boxes=boxes,
+                           weights=weights, mem_ptr=state.mem_ptr + 1,
+                           center=center, target_sz=target_sz)
+        return new_st, conf
+
+    # --------------------------------------------------------------- host API
+    def initialize(self, image: np.ndarray, info: dict):
+        img = jnp.asarray(np.asarray(image), jnp.float32)
+        self._state = self._init_jit(img, jnp.asarray(info["init_bbox"],
+                                                      jnp.float32))
+        self._mod = self._mod_jit(img, self._state.center,
+                                  self._state.target_sz)
+        self._frame = 0
+
+    def track(self, image: np.ndarray, info: Optional[dict] = None) -> dict:
+        self._frame += 1
+        img = jnp.asarray(np.asarray(image), jnp.float32)
+        self._state, conf = self._track_jit(self._state, img, self._mod)
+        if self._frame % self.update_interval == 0:
+            self._state = self._update_jit(self._state)
+        c = np.asarray(self._state.center)
+        s = np.asarray(self._state.target_sz)
+        return {"target_bbox": [float(c[1] - s[1] / 2), float(c[0] - s[0] / 2),
+                                float(s[1]), float(s[0])],
+                "pred_score": float(conf)}

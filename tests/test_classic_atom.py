@@ -51,18 +51,23 @@ def test_atom_refinement_runs_and_is_finite():
 
 
 def test_iou_net_gradients_flow():
-    """IoU ascent needs nonzero grads through PrRoI pooling wrt box coords."""
+    """IoU ascent needs nonzero grads through PrRoI pooling wrt box coords
+    (the AtomIoUNet modulation -> iou-feat -> predict path)."""
     import jax
     import jax.numpy as jnp
     t = ATOMTracker(crop_size=96, refine=True)
-    feat = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (1, *t._feat_hw, t._feat_c)), jnp.float32)
-    box = jnp.asarray([1.0, 1.0, 4.0, 4.0])
+    rng = np.random.default_rng(0)
+    f2 = jnp.asarray(rng.standard_normal((1, *t._l2_hw, 128)), jnp.float32)
+    f3 = jnp.asarray(rng.standard_normal((1, *t._feat_hw, t._feat_c)),
+                     jnp.float32)
+    box = jnp.asarray([[30.0, 30.0, 40.0, 40.0]])
+    mod = t.iou_net.apply(t._iou_vars, f2, f3, box, method="get_modulation")
+    iou_feat = t.iou_net.apply(t._iou_vars, f2, f3, method="get_iou_feat")
 
     def iou_of(b):
-        return t.iou_net.apply(t._iou_vars, feat, box, feat, b[None],
-                               t._scale)[0]
+        return t.iou_net.apply(t._iou_vars, mod, iou_feat, b[None, None],
+                               method="predict_iou")[0, 0]
 
-    g = jax.grad(iou_of)(jnp.asarray([1.2, 1.1, 4.2, 4.3]))
+    g = jax.grad(iou_of)(jnp.asarray([32.0, 31.0, 42.0, 43.0]))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0

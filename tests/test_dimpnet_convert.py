@@ -517,3 +517,80 @@ def test_full_classifier_pipeline_parity(rng):
     w_j = model.apply(cvars, f_train_j, bb_j, method="get_filter")
     got = model.apply(cvars, w_j, f_test_j, method="classify")
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-3)
+
+
+# ------------------------------------------------- full-checkpoint loading
+def _resnet18_sd(prefix):
+    """Synthesize a torchvision/pytracking-layout ResNet-18 state dict
+    (external/AR/ltr/models/backbone/resnet.py:242) with random values."""
+    g = np.random.default_rng(17)
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[f"{prefix}.{name}.weight"] = g.standard_normal(
+            (o, i, k, k)).astype(np.float32) * 0.05
+
+    def bn(name, c):
+        sd[f"{prefix}.{name}.weight"] = g.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[f"{prefix}.{name}.bias"] = g.uniform(-0.2, 0.2, c).astype(np.float32)
+        sd[f"{prefix}.{name}.running_mean"] = g.uniform(-0.2, 0.2, c).astype(np.float32)
+        sd[f"{prefix}.{name}.running_var"] = g.uniform(0.6, 1.4, c).astype(np.float32)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    cin = 64
+    for li, planes in enumerate((64, 128, 256, 512), start=1):
+        for b in range(2):
+            pre = f"layer{li}.{b}"
+            conv(f"{pre}.conv1", planes, cin if b == 0 else planes, 3)
+            bn(f"{pre}.bn1", planes)
+            conv(f"{pre}.conv2", planes, planes, 3)
+            bn(f"{pre}.bn2", planes)
+            if b == 0 and cin != planes:
+                conv(f"{pre}.downsample.0", planes, cin, 1)
+                bn(f"{pre}.downsample.1", planes)
+        cin = planes
+    return sd
+
+
+def _dimp18_classifier_sd():
+    feats = clf_features_oracle(256, 256, 1, 4).eval()
+    init = FilterInitializerLinearOracle(4, 256, 16).eval()
+    opt = SDGNOracle(num_iter=5, feat_stride=16).eval()
+    _randomize_bn(feats)
+    return {**_sd(feats, "classifier.feature_extractor"),
+            **_sd(init, "classifier.filter_initializer"),
+            **_sd(opt, "classifier.filter_optimizer")}
+
+
+def test_load_network_dimp18_strict_and_tracks():
+    """A full dimpnet18-layout checkpoint (feature_extractor + classifier +
+    bb_regressor) must convert strict=True into the tracker and track."""
+    from multi_modal_tracking_tpu.classic.dimp import DiMPTracker
+    trk = DiMPTracker(crop_size=96, refine=True, refine_steps=2,
+                      memory_size=16, update_interval=2)
+    sd = {**_resnet18_sd("feature_extractor"), **_dimp18_classifier_sd(),
+          **_sd(AtomIoUNetOracle().eval(), "bb_regressor")}
+    trk.load_network(sd, strict=True)    # raises on any unconverted key
+    img = np.zeros((120, 160, 3), np.float32)
+    img[40:70, 60:100] = 200.0
+    trk.initialize(img, {"init_bbox": [60, 40, 40, 30]})
+    for _ in range(3):
+        out = trk.track(img)
+    b = np.asarray(out["target_bbox"])
+    assert np.isfinite(b).all() and b[2] > 0 and b[3] > 0
+
+
+def test_load_network_atom_strict():
+    """ATOMnet checkpoints carry feature_extractor + bb_regressor only."""
+    from multi_modal_tracking_tpu.classic.atom import ATOMTracker
+    trk = ATOMTracker(crop_size=96, refine=True, refine_steps=2,
+                      num_cg_iter=2, memory_size=16)
+    sd = {**_resnet18_sd("feature_extractor"),
+          **_sd(AtomIoUNetOracle().eval(), "bb_regressor")}
+    trk.load_network(sd, strict=True)
+    img = np.zeros((120, 160, 3), np.float32)
+    img[40:70, 60:100] = 200.0
+    trk.initialize(img, {"init_bbox": [60, 40, 40, 30]})
+    out = trk.track(img)
+    assert np.isfinite(np.asarray(out["target_bbox"])).all()
