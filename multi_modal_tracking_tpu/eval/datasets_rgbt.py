@@ -179,3 +179,23 @@ class SyntheticRGBTEvalDataset(BaseDataset):
             gt = np.stack([boxes, boxes], axis=1).astype(np.float64)
             seqs.append(RGBTSequence(f"synthetic_{k:02d}", frames, "SyntheticRGBT", gt))
         return SequenceList(seqs)
+
+
+class SyntheticRGBEvalDataset(BaseDataset):
+    """Visible stream of the procedural set as a unimodal RGB eval dataset
+    (CI harness for the RGB/classic trackers; no reference equivalent)."""
+
+    def __init__(self, n_sequences: int = 3, n_frames: int = 40,
+                 H: int = 240, W: int = 320):
+        self.n_sequences, self.n_frames, self.H, self.W = n_sequences, n_frames, H, W
+
+    def get_sequence_list(self):
+        from multi_modal_tracking_tpu.eval.data import Sequence
+        from multi_modal_tracking_tpu.train.data.datasets.synthetic import SyntheticRGBT
+        src = SyntheticRGBT(self.n_sequences, self.n_frames, self.H, self.W)
+        seqs = []
+        for k in range(self.n_sequences):
+            frames_v, _, boxes = src._seq(k)
+            seqs.append(Sequence(f"synthetic_{k:02d}", list(frames_v),
+                                 "SyntheticRGB", boxes.astype(np.float64)))
+        return SequenceList(seqs)

@@ -134,3 +134,20 @@ def test_all_cli_modules_import():
     for name in mods:
         mod = importlib.import_module(f"tracking.{name}")
         assert hasattr(mod, "main"), f"tracking/{name}.py has no main()"
+
+
+def test_run_classic_cli_dimp_synthetic(tmp_path):
+    """Drive tracking/run_classic.py main() (DiMP, learned modules, tiny
+    geometry) over the synthetic RGB eval set."""
+    import glob as g
+    import importlib
+    mod = importlib.import_module("tracking.run_classic")
+    mod.main(["dimp", "--dataset_name", "synthetic_rgb",
+              "--results_dir", str(tmp_path / "res"),
+              "--params", "crop_size=96", "refine=false", "memory_size=16",
+              "update_interval=8", "init_opt_iter=3"])
+    txts = [t for t in g.glob(str(tmp_path / "res" / "synthetic_*.txt"))
+            if not t.endswith(("_time.txt", "_score.txt"))]
+    assert len(txts) == 3
+    boxes = np.loadtxt(txts[0], delimiter="\t")
+    assert boxes.shape[1] == 4 and np.isfinite(boxes).all()
