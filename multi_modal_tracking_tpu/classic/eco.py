@@ -53,7 +53,14 @@ class ECOState(NamedTuple):
 
 @dataclasses.dataclass
 class ECOTracker:
-    """Host wrapper with the framework tracker API (initialize/track)."""
+    """Host wrapper with the framework tracker API (initialize/track).
+
+    features: 'handcrafted' (default_features, dependency-free) or a ResNet-18
+    layer ('conv1' @ /4 64ch, 'layer3' @ /16 256ch) — the deep option of the
+    reference's feature stack (pytracking features/deep.py ResNet18m1 pulls
+    a shallow conv layer + layer3; here both come from the standard
+    torchvision ResNet-18 so `load_backbone()` converts published weights).
+    A custom feature_fn overrides both."""
     search_factor: float = 4.0
     crop_size: int = 224               # square crop, features at /4 -> 56
     output_sigma_factor: float = 1. / 12
@@ -62,16 +69,50 @@ class ECOTracker:
     num_cg_iter: int = 5
     scale_factors: Tuple[float, ...] = (0.97, 1.0, 1.03)
     update_interval: int = 5
+    features: str = "handcrafted"
+    rng_seed: int = 0
     feature_fn: Callable[[jax.Array], jax.Array] = \
         dataclasses.field(default=None)  # type: ignore[assignment]
 
     def __post_init__(self):
         if self.feature_fn is None:
-            self.feature_fn = default_features
+            if self.features == "handcrafted":
+                self.feature_fn = default_features
+            elif self.features in ("conv1", "layer3"):
+                self.feature_fn = self._make_resnet_features(self.features)
+            else:
+                raise ValueError(f"unknown features '{self.features}'")
+        z = jnp.zeros((self.crop_size, self.crop_size, 3))
+        fshape = jax.eval_shape(self.feature_fn, z).shape   # (C, h, w)
+        self._feat_sz = fshape[-1]
+        self._cell = self.crop_size / self._feat_sz
         self._frame = 0
         self._learn = jax.jit(self._learn_fn)
         self._localise = jax.jit(self._localise_fn)
         self._update = jax.jit(self._update_fn)
+
+    def _make_resnet_features(self, layer: str):
+        from multi_modal_tracking_tpu.models.resnet import resnet18
+        self.backbone = resnet18()
+        self._bb_vars = jax.jit(self.backbone.init)(
+            jax.random.PRNGKey(self.rng_seed),
+            jnp.zeros((1, self.crop_size, self.crop_size, 3)))
+
+        def fn(patch):
+            f = self.backbone.apply(self._bb_vars, patch[None])[layer][0]
+            f = f.transpose(2, 0, 1)                  # (C, h, w)
+            return f - f.mean(axis=(1, 2), keepdims=True)
+
+        return fn
+
+    def load_backbone(self, state_dict) -> None:
+        """Warm-start the deep-feature ResNet from a torchvision/pytracking
+        state dict (features='conv1'|'layer3' only)."""
+        if not hasattr(self, "backbone"):
+            raise ValueError("load_backbone requires features='conv1'|'layer3'")
+        from multi_modal_tracking_tpu.utils.torch_convert import convert_resnet
+        self._bb_vars, _ = convert_resnet(state_dict, self._bb_vars,
+                                          strict=False, verbose=False)
 
     # ----------------------------------------------------------- device fns
     def _crop(self, image: jax.Array, center: jax.Array, size: jax.Array,
@@ -104,7 +145,7 @@ class ECOTracker:
 
     def _localise_fn(self, state: ECOState, image: jax.Array):
         """Scale-pyramid correlation -> new centre + size."""
-        win = hann2d(self.crop_size // 4, self.crop_size // 4)
+        win = hann2d(self._feat_sz, self._feat_sz)
 
         def score_at(scale):
             crop, px = self._crop(image, state.center, state.target_sz, scale)
@@ -127,8 +168,8 @@ class ECOTracker:
         _, peak = max2d(score)
         peak = subpixel_peak(score, peak)
         h, w = score.shape
-        cell = 4.0
-        disp = (peak - jnp.asarray([h // 2, w // 2], jnp.float32)) * cell * pxs[best]
+        disp = (peak - jnp.asarray([h // 2, w // 2], jnp.float32)) * \
+            self._cell * pxs[best]
         new_center = state.center + disp
         new_sz = state.target_sz * jnp.take(jnp.asarray(self.scale_factors), best)
         return new_center, new_sz, maxes[best]
@@ -137,7 +178,7 @@ class ECOTracker:
         """Exponential sample-memory update (the reference's sample space
         with a single merged component) + CG refinement."""
         crop, _ = self._crop(image, state.center, state.target_sz)
-        win = hann2d(self.crop_size // 4, self.crop_size // 4)
+        win = hann2d(self._feat_sz, self._feat_sz)
         xf = fft2(self.feature_fn(crop / 255.0) * win[None])
         lr = self.learning_rate
         new_sample = state.sample_xf * (1 - lr) + xf * lr * jnp.maximum(state.sample_w, 1.0)
@@ -152,11 +193,11 @@ class ECOTracker:
         target_sz = jnp.asarray([box[3], box[2]])
         img = jnp.asarray(image, jnp.float32)
         crop, _ = self._crop(img, center, target_sz)
-        win = hann2d(self.crop_size // 4, self.crop_size // 4)
+        win = hann2d(self._feat_sz, self._feat_sz)
         x = self.feature_fn(crop / 255.0) * win[None]
         xf = fft2(x)
-        fsz = self.crop_size // 4
-        sigma = jnp.sqrt(jnp.prod(target_sz)) / 4.0 / \
+        fsz = self._feat_sz
+        sigma = jnp.sqrt(jnp.prod(target_sz)) / self._cell / \
             (jnp.sqrt(jnp.prod(target_sz)) * self.search_factor / self.crop_size)
         sigma = jnp.maximum(sigma * self.output_sigma_factor, 1.0)
         y = gauss_label_2d(fsz, fsz, sigma,

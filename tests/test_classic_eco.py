@@ -50,3 +50,28 @@ def test_eco_confidence_drops_when_target_vanishes():
     blank = np.full((160, 200, 3), 45, np.uint8)
     out_absent = t.track(blank)
     assert out_absent["pred_score"] < out_present["pred_score"]
+
+
+def test_eco_deep_features_follow():
+    """ResNet conv1 deep-feature mode: grid geometry adapts (/4, 64ch) and
+    the tracker still follows; load_backbone converts torchvision keys."""
+    t = ECOTracker(crop_size=96, search_factor=4.0, features="conv1",
+                   update_interval=3)
+    assert t._feat_sz == 24 and abs(t._cell - 4.0) < 1e-6
+    cx, cy, size = 70.0, 80.0, 32
+    t.initialize(_frame(cx, cy), {"init_bbox": [cx - 16, cy - 16, size, size]})
+    errs = []
+    for k in range(1, 7):
+        cx += 3.0
+        cy += 2.0
+        out = t.track(_frame(cx, cy, seed=k))
+        b = out["target_bbox"]
+        errs.append(np.hypot(b[0] + b[2] / 2 - cx, b[1] + b[3] / 2 - cy))
+    errs = np.asarray(errs)
+    assert np.isfinite(errs).all()
+    assert errs.mean() < size, errs
+
+
+def test_eco_layer3_grid_geometry():
+    t = ECOTracker(crop_size=96, features="layer3")
+    assert t._feat_sz == 6 and abs(t._cell - 16.0) < 1e-6
