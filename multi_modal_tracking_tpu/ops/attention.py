@@ -14,8 +14,10 @@ The asymmetry is one static mask: allowed(i, j) = (i >= n_mt) | (j < n_mt).
 Backward: custom VJP with the same rematerialisation trade (residuals are
 only q/k/v instead of the N² matrix). For token counts within the VMEM
 budget (_BWD_MAX_N) the recompute + all three grads run as a second fused
-Pallas kernel (_attn_bwd_kernel, measured 1.9x the XLA lowering at the
-flagship train shape); above that the backward falls back to plain XLA ops.
+Pallas kernel (_attn_bwd_kernel, measured 1.9x the XLA lowering as an
+isolated op at the flagship train shape — but a net LOSS in the full train
+graph, see use_pallas_default, so differentiated calls default to XLA);
+above _BWD_MAX_N the backward falls back to plain XLA ops.
 
 Tests run the kernel in interpreter mode on CPU against the two-call XLA
 reference (tests/test_pallas_attention.py).
@@ -209,18 +211,21 @@ def use_pallas_default(*arrays) -> bool:
     forwards on a TPU backend.
 
     Measured on a v5e chip (2026-08-17, scan-chained ops, scalar-fetch
-    timing), pallas vs XLA:
+    timing), pallas vs XLA, ISOLATED op:
       forward-only:  B2xH12xN452 1.01x | B32xN452 1.44x | B16xH16xN864 1.64x
       fwd+bwd with the fused VMEM backward (_attn_bwd_kernel, N <= 640):
                      B32xN452 1.93x | B32xNq452xNk580 (CE cross-modal) 1.76x
       fwd+bwd when the backward falls back to XLA recompute (N > 640):
                      B16xH16xN864 0.83x — a net LOSS vs plain XLA
       under vmap (batched tracker lockstep): bench regressed 470->434 f/s
-    Policy: TPU backend, no vmap BatchTracers, B*H >= 96 (tiny-batch
-    single-stream eval is a measured tie either way); differentiated calls
-    additionally require the fused backward to be eligible (keys/queries
-    within _BWD_MAX_N), since pallas-fwd + XLA-recompute-bwd loses to plain
-    XLA."""
+    IN-GRAPH (full flagship train step, B=16, 24-step draws, interleaved
+    processes): XLA 118.3 ms vs Pallas 122.3 ms, consistent across draws —
+    the isolated fwd+bwd win does NOT survive XLA's fusion context (the
+    custom-call boundary blocks the surrounding elementwise fusions that the
+    two-call lowering keeps). Differentiated calls therefore default to XLA;
+    the fused backward stays available via USE_PALLAS=True.
+    Policy: TPU backend, no vmap BatchTracers, no autodiff tracers, and
+    B*H >= 96 (tiny-batch single-stream eval is a measured tie either way)."""
     if USE_PALLAS is not None:
         return USE_PALLAS
     if not arrays:
@@ -239,7 +244,7 @@ def use_pallas_default(*arrays) -> bool:
     if B * H < 96:
         return False
     if any(isinstance(x, _AD_TRACERS) for x in arrays):
-        return max(x.shape[2] for x in arrays) <= _BWD_MAX_N
+        return False
     return True
 
 
