@@ -31,8 +31,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from multi_modal_tracking_tpu.classic.dcf import (gauss_label_2d, hann2d,
-                                                  max2d, subpixel_peak)
+from multi_modal_tracking_tpu.classic.dcf import (FLAG_HARD_NEGATIVE,
+                                                  FLAG_NORMAL, FLAG_NOT_FOUND,
+                                                  FLAG_UNCERTAIN,
+                                                  gauss_label_2d, hann2d,
+                                                  localize_advanced, max2d,
+                                                  subpixel_peak)
 from multi_modal_tracking_tpu.classic.augmentation import InitAugmenter
 from multi_modal_tracking_tpu.classic.dimpnet import AtomIoUNet
 from multi_modal_tracking_tpu.classic.optimization import solve_normal_equations
@@ -106,6 +110,16 @@ class ATOMTracker:
     rng_seed: int = 0
     augmentation: Optional[dict] = None  # None -> DEFAULT_AUGMENTATION; {} off
     random_shift_factor: float = 1.0 / 3.0
+    # advanced localisation (atom.py:341-404 + default.py:77-85): distractor /
+    # hard-negative / lost detection gating state + memory updates
+    advanced_localization: bool = True
+    target_not_found_threshold: float = 0.25
+    distractor_threshold: float = 0.8
+    hard_negative_threshold: float = 0.5
+    target_neighborhood_scale: float = 2.2
+    displacement_scale: float = 0.8
+    hard_negative_learning_rate: float = 0.02
+    hard_negative_cg_iter: int = 5      # hard_negative_CG_iter
 
     def __post_init__(self):
         # torchvision-layout ResNet-18 (reference ATOM's backbone,
@@ -141,6 +155,10 @@ class ATOMTracker:
         self._init_jit = jax.jit(self._init_fn)
         self._track_jit = jax.jit(self._track_fn)
         self._optim_jit = jax.jit(self._optimize_filter)
+        # hard-negative reaction: one extra CG run with more iterations
+        # (atom.py:285-286 filter_optimizer.run(hard_negative_CG_iter))
+        self._optim_hn_jit = jax.jit(lambda st: self._optimize_filter(
+            st, num_gn_iter=1, num_cg_iter=self.hard_negative_cg_iter))
 
     def load_backbone(self, state_dict) -> None:
         """Warm-start the feature extractor from a torchvision/pytracking
@@ -178,7 +196,9 @@ class ATOMTracker:
             samples, filt[..., None], (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
 
-    def _optimize_filter(self, state: ATOMState) -> ATOMState:
+    def _optimize_filter(self, state: ATOMState,
+                         num_gn_iter: Optional[int] = None,
+                         num_cg_iter: Optional[int] = None) -> ATOMState:
         w = jnp.sqrt(jnp.maximum(state.weights, 0.0))[:, None, None]
 
         def residual(filt):
@@ -186,9 +206,10 @@ class ATOMTracker:
             return {"data": r, "reg": jnp.sqrt(self.reg) * filt}
 
         filt = state.filt
-        for _ in range(self.num_gn_iter):   # linear problem: GN == repeated CG
-            filt = solve_normal_equations(residual, filt,
-                                          num_iter=self.num_cg_iter)
+        gn = self.num_gn_iter if num_gn_iter is None else num_gn_iter
+        cg = self.num_cg_iter if num_cg_iter is None else num_cg_iter
+        for _ in range(gn):                 # linear problem: GN == repeated CG
+            filt = solve_normal_equations(residual, filt, num_iter=cg)
         return state._replace(filt=filt)
 
     def _label(self, center_rc) -> jax.Array:
@@ -243,14 +264,29 @@ class ATOMTracker:
         feat = feats["layer3"]
         score = self._apply_filter(state.filt, feat)[0]
         score = score * hann2d(*self._feat_hw)
-        conf, peak = max2d(score)
-        peak = subpixel_peak(score, peak)
         h, w = self._feat_hw
+        fs = 1.0 / px                   # crop px per image px
+        if self.advanced_localization:
+            disp_sc, flag, conf = localize_advanced(
+                score, state.target_sz * fs * self._scale,
+                not_found_threshold=self.target_not_found_threshold,
+                distractor_threshold=self.distractor_threshold,
+                hard_negative_threshold=self.hard_negative_threshold,
+                target_neighborhood_scale=self.target_neighborhood_scale,
+                displacement_scale=self.displacement_scale)
+            peak = disp_sc + jnp.asarray([(h - 1) / 2.0, (w - 1) / 2.0])
+        else:
+            conf, peak = max2d(score)
+            peak = subpixel_peak(score, peak)
+            flag = jnp.asarray(FLAG_NORMAL, jnp.int32)
+        found = flag != FLAG_NOT_FOUND
+        # update_flag (atom.py:270): insert into memory only on confident
+        # frames (normal / hard-negative)
+        update_ok = found & (flag != FLAG_UNCERTAIN)
         disp = (peak - jnp.asarray([h / 2.0, w / 2.0])) * (1.0 / self._scale) * px
         center = state.center + disp
 
         # candidate box in crop px for IoU refinement
-        fs = 1.0 / px                   # crop px per image px
         c_crop = jnp.asarray([self.crop_size / 2.0, self.crop_size / 2.0]) + \
             disp * fs
         sz_crop = state.target_sz * fs
@@ -275,6 +311,11 @@ class ATOMTracker:
                                  4.0, None)
         else:
             target_sz = state.target_sz
+        # position/scale update gated on the flag (atom.py:247-252: state is
+        # frozen when NOT_FOUND; uncertain still moves the position because
+        # update_scale_when_uncertain defaults True)
+        center = jnp.where(found, center, state.center)
+        target_sz = jnp.where(found, target_sz, state.target_sz)
 
         # memory insert at ring pointer
         lbl_center = jnp.asarray([h / 2.0, w / 2.0]) + \
@@ -290,14 +331,21 @@ class ATOMTracker:
         labels = jax.lax.dynamic_update_index_in_dim(
             state.labels, self._label(lbl_center), ptr, 0)
         # exponential forgetting (atom.py update_memory): old weights decay,
-        # the new sample enters at lr, frame 0 stays anchored
-        weights = (state.weights * (1.0 - self.learning_rate)).at[ptr].set(
-            self.learning_rate)
+        # the new sample enters at lr (hard-negative lr when flagged), frame 0
+        # stays anchored
+        lr = jnp.where(flag == FLAG_HARD_NEGATIVE,
+                       self.hard_negative_learning_rate, self.learning_rate)
+        weights = (state.weights * (1.0 - lr)).at[ptr].set(lr)
         weights = weights.at[0].max(0.25)
+        # the whole insert is skipped on not-found/uncertain frames
+        samples = jnp.where(update_ok, samples, state.samples)
+        labels = jnp.where(update_ok, labels, state.labels)
+        weights = jnp.where(update_ok, weights, state.weights)
+        mem_ptr = state.mem_ptr + update_ok.astype(jnp.int32)
         new_st = ATOMState(filt=state.filt, samples=samples, labels=labels,
-                           weights=weights, mem_ptr=state.mem_ptr + 1,
+                           weights=weights, mem_ptr=mem_ptr,
                            center=center, target_sz=target_sz)
-        return new_st, conf
+        return new_st, conf, flag
 
     # --------------------------------------------------------------- host API
     def initialize(self, image: np.ndarray, info: dict):
@@ -312,14 +360,24 @@ class ATOMTracker:
     def track(self, image: np.ndarray, info: Optional[dict] = None) -> dict:
         self._frame += 1
         img = jnp.asarray(np.asarray(image), jnp.float32)
-        self._state, conf = self._track_jit(self._state, img, self._mod)
-        if self._frame % self.update_interval == 0:
+        self._state, conf, flag = self._track_jit(self._state, img, self._mod)
+        flag = int(flag)
+        # filter refresh (atom.py:285-289): immediate boosted run on a hard
+        # negative, otherwise the periodic schedule (train_skipping)
+        if flag == FLAG_HARD_NEGATIVE:
+            self._state = self._optim_hn_jit(self._state)
+        elif self._frame % self.update_interval == 0:
             self._state = self._optim_jit(self._state)
         c = np.asarray(self._state.center)
         s = np.asarray(self._state.target_sz)
         return {"target_bbox": [float(c[1] - s[1] / 2), float(c[0] - s[0] / 2),
                                 float(s[1]), float(s[0])],
-                "pred_score": float(conf)}
+                "pred_score": float(conf), "flag": _FLAG_NAMES[flag]}
+
+
+_FLAG_NAMES = {FLAG_NORMAL: "normal", FLAG_NOT_FOUND: "not_found",
+               FLAG_UNCERTAIN: "uncertain",
+               FLAG_HARD_NEGATIVE: "hard_negative"}
 
 
 def _combine(parts):

@@ -76,8 +76,91 @@ def subpixel_peak(score: jax.Array, peak: jax.Array) -> jax.Array:
     f0 = score[r, c]
     fr1, fr2 = score[r - 1, c], score[r + 1, c]
     fc1, fc2 = score[r, c - 1], score[r, c + 1]
-    dr = 0.5 * (fr1 - fr2) / jnp.maximum(fr1 - 2 * f0 + fr2, 1e-12)
-    dc = 0.5 * (fc1 - fc2) / jnp.maximum(fc1 - 2 * f0 + fc2, 1e-12)
+    # peak of the parabola through (-1, f1), (0, f0), (+1, f2) is
+    # (f1 - f2) / (2 (f1 + f2 - 2 f0)); at a maximum the curvature term is
+    # <= 0, so guard the degenerate flat case on the NEGATIVE side (a
+    # positive floor would flip the offset's sign at every concave peak).
+    dr = 0.5 * (fr1 - fr2) / jnp.minimum(fr1 - 2 * f0 + fr2, -1e-12)
+    dc = 0.5 * (fc1 - fc2) / jnp.minimum(fc1 - 2 * f0 + fc2, -1e-12)
     dr = jnp.clip(dr, -1.0, 1.0)
     dc = jnp.clip(dc, -1.0, 1.0)
     return jnp.stack([r + dr, c + dc]).astype(jnp.float32)
+
+
+# localisation flags (pytracking's string flags as int codes so the whole
+# decision runs on device; tracker/atom/atom.py:341-404 localize_advanced,
+# tracker/dimp/dimp.py:239-304 — identical logic in both)
+FLAG_NORMAL = 0
+FLAG_NOT_FOUND = 1
+FLAG_UNCERTAIN = 2
+FLAG_HARD_NEGATIVE = 3
+
+
+def localize_advanced(score: jax.Array, target_sz_score: jax.Array,
+                      prev_disp: jax.Array | None = None, *,
+                      not_found_threshold: float = 0.25,
+                      distractor_threshold: float = 0.8,
+                      hard_negative_threshold: float = 0.5,
+                      target_neighborhood_scale: float = 2.2,
+                      displacement_scale: float = 0.8):
+    """Advanced target localisation with distractor / hard-negative / lost
+    detection (atom.py:341-404, dimp.py:239-304), as one pure device fn.
+
+    score: (H, W) response map (after any output window). target_sz_score:
+    (2,) target (h, w) in score-map px. prev_disp: (2,) previous target
+    displacement from the map centre in score px (zeros for centred crops).
+
+    Returns (disp, flag, max_score): disp (2,) chosen sub-pixel displacement
+    from the map centre, flag one of the FLAG_* codes, max_score the primary
+    peak value. Decision tree (same order as the reference):
+      peak1 < not_found_threshold                     -> NOT_FOUND
+      peak2 > distractor_threshold * peak1:
+        far/near disambiguation vs prev_disp          -> HARD_NEGATIVE
+        (switching to peak2 when it is the near one)
+        both far or both near                         -> UNCERTAIN
+      peak2 > hard_negative_threshold * peak1
+        and peak2 > not_found_threshold               -> HARD_NEGATIVE
+      otherwise                                       -> NORMAL
+    """
+    h, w = score.shape
+    center = jnp.asarray([(h - 1) / 2.0, (w - 1) / 2.0])
+    if prev_disp is None:
+        prev_disp = jnp.zeros(2)
+
+    s1, p1 = max2d(score)
+    d1 = subpixel_peak(score, p1) - center
+
+    # mask out the primary target neighbourhood (rounded, clipped window —
+    # zeroing [top:bottom) x [left:right) like the reference slice assign)
+    half = target_neighborhood_scale * target_sz_score / 2.0
+    top = jnp.round(p1[0] - half[0])
+    bottom = jnp.round(p1[0] + half[0] + 1)
+    left = jnp.round(p1[1] - half[1])
+    right = jnp.round(p1[1] + half[1] + 1)
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :]
+    inside = (rows >= top) & (rows < bottom) & (cols >= left) & (cols < right)
+    masked = jnp.where(inside, 0.0, score)
+
+    s2, p2 = max2d(masked)
+    d2 = subpixel_peak(masked, p2) - center
+
+    disp_threshold = displacement_scale * jnp.sqrt(float(h * w)) / 2.0
+    n1 = jnp.linalg.norm(d1 - prev_disp)
+    n2 = jnp.linalg.norm(d2 - prev_disp)
+
+    c_nf = s1 < not_found_threshold
+    c_distr = s2 > distractor_threshold * s1
+    c_hn_keep = c_distr & (n2 > disp_threshold) & (n1 < disp_threshold)
+    c_hn_switch = c_distr & (n2 < disp_threshold) & (n1 > disp_threshold)
+    c_unc = c_distr & ~c_hn_keep & ~c_hn_switch
+    c_hn = ~c_distr & (s2 > hard_negative_threshold * s1) & \
+        (s2 > not_found_threshold)
+
+    flag = jnp.select(
+        [c_nf, c_hn_keep, c_hn_switch, c_unc, c_hn],
+        [FLAG_NOT_FOUND, FLAG_HARD_NEGATIVE, FLAG_HARD_NEGATIVE,
+         FLAG_UNCERTAIN, FLAG_HARD_NEGATIVE],
+        FLAG_NORMAL).astype(jnp.int32)
+    disp = jnp.where(c_hn_switch & ~c_nf, d2, d1)
+    return disp, flag, s1

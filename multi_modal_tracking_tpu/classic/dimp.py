@@ -32,9 +32,14 @@ import jax
 import jax.numpy as jnp
 
 from multi_modal_tracking_tpu.classic.atom import (refine_box_iounet,
-                                                   _combine, _split)
+                                                   _combine, _split,
+                                                   _FLAG_NAMES)
 from multi_modal_tracking_tpu.classic.augmentation import InitAugmenter
-from multi_modal_tracking_tpu.classic.dcf import hann2d, max2d, subpixel_peak
+from multi_modal_tracking_tpu.classic.dcf import (FLAG_HARD_NEGATIVE,
+                                                  FLAG_NORMAL, FLAG_NOT_FOUND,
+                                                  FLAG_UNCERTAIN, hann2d,
+                                                  localize_advanced, max2d,
+                                                  subpixel_peak)
 from multi_modal_tracking_tpu.classic.dimpnet import AtomIoUNet, DiMPClassifier
 from multi_modal_tracking_tpu.models.resnet import resnet18, resnet50
 from multi_modal_tracking_tpu.ops.crop import crop_resize
@@ -78,6 +83,15 @@ class DiMPTracker:
     rng_seed: int = 0
     augmentation: Optional[dict] = None
     random_shift_factor: float = 1.0 / 3.0
+    # advanced localisation (dimp.py:239-304 + dimp50.py:42-49)
+    advanced_localization: bool = True
+    target_not_found_threshold: float = 0.25
+    distractor_threshold: float = 0.8
+    hard_negative_threshold: float = 0.5
+    target_neighborhood_scale: float = 2.2
+    displacement_scale: float = 0.8
+    hard_negative_learning_rate: float = 0.02
+    hn_opt_iter: int = 1                # net_opt_hn_iter
 
     def __post_init__(self):
         ctor, l3c, l2c, fdim, odim, nblocks = _ARCH[self.arch]
@@ -114,6 +128,10 @@ class DiMPTracker:
         self._init_jit = jax.jit(self._init_fn)
         self._track_jit = jax.jit(self._track_fn)
         self._update_jit = jax.jit(self._update_fn)
+        # hard-negative reaction (dimp.py:619-620: net_opt_hn_iter SD steps
+        # with the boosted-lr memory, run immediately on the flagged frame)
+        self._update_hn_jit = jax.jit(
+            lambda st: self._update_fn(st, num_iter=self.hn_opt_iter))
         self._mod_jit = jax.jit(self._modulation)
 
     def load_network(self, state_dict, strict: bool = True) -> None:
@@ -180,12 +198,16 @@ class DiMPTracker:
                          weights=weights, mem_ptr=jnp.asarray(A, jnp.int32),
                          center=center, target_sz=size)
 
-    def _update_fn(self, state: DiMPState) -> DiMPState:
-        """update_classifier: net_opt_update_iter learned SD-GN steps over
-        the weighted memory."""
+    def _update_fn(self, state: DiMPState,
+                   num_iter: Optional[int] = None) -> DiMPState:
+        """update_classifier: learned SD-GN steps over the weighted memory
+        (net_opt_update_iter on the periodic schedule, net_opt_hn_iter on a
+        hard-negative frame)."""
         filt = self.classifier.apply(
             self._clf_vars, state.filt, state.samples, state.boxes,
-            state.weights, self.update_opt_iter, method="optimize_filter")
+            state.weights,
+            self.update_opt_iter if num_iter is None else num_iter,
+            method="optimize_filter")
         return state._replace(filt=filt)
 
     def _modulation(self, image, center, size):
@@ -203,13 +225,24 @@ class DiMPTracker:
         sh, sw = score.shape
         if self.window_output:
             score = score * hann2d(sh, sw)
-        conf, peak = max2d(score)
-        peak = subpixel_peak(score, peak)
-        sc = jnp.asarray([(sh - 1) / 2.0, (sw - 1) / 2.0])
-        disp = (peak - sc) * (1.0 / self._scale) * px
-        center = state.center + disp
-
         fs = 1.0 / px                    # crop px per image px
+        sc = jnp.asarray([(sh - 1) / 2.0, (sw - 1) / 2.0])
+        if self.advanced_localization:
+            disp_sc, flag, conf = localize_advanced(
+                score, state.target_sz * fs * self._scale,
+                not_found_threshold=self.target_not_found_threshold,
+                distractor_threshold=self.distractor_threshold,
+                hard_negative_threshold=self.hard_negative_threshold,
+                target_neighborhood_scale=self.target_neighborhood_scale,
+                displacement_scale=self.displacement_scale)
+        else:
+            conf, peak = max2d(score)
+            disp_sc = subpixel_peak(score, peak) - sc
+            flag = jnp.asarray(FLAG_NORMAL, jnp.int32)
+        found = flag != FLAG_NOT_FOUND
+        update_ok = found & (flag != FLAG_UNCERTAIN)   # dimp.py:135
+        disp = disp_sc * (1.0 / self._scale) * px
+        center = state.center + disp
         if self.refine:
             c_crop = jnp.asarray([self.crop_size / 2.0] * 2) + disp * fs
             sz_crop = state.target_sz * fs
@@ -233,9 +266,14 @@ class DiMPTracker:
                                  4.0, None)
         else:
             target_sz = state.target_sz
+        # position/scale frozen when NOT_FOUND (dimp.py:123-130)
+        center = jnp.where(found, center, state.center)
+        target_sz = jnp.where(found, target_sz, state.target_sz)
 
         # memory insert (dimp.py update_memory): protected init samples,
-        # ring over the rest, exponential forgetting, anchored slot 0
+        # ring over the rest, exponential forgetting, anchored slot 0;
+        # skipped entirely on not-found/uncertain frames (dimp.py:139),
+        # boosted lr on hard negatives (dimp.py:137)
         new_box = self._target_box_crop(
             target_sz, px, (center - state.center) * fs)
         M = self.memory_size
@@ -246,13 +284,18 @@ class DiMPTracker:
             state.samples, clf_feat[0], ptr, 0)
         boxes = jax.lax.dynamic_update_index_in_dim(
             state.boxes, new_box, ptr, 0)
-        weights = (state.weights * (1.0 - self.learning_rate)).at[ptr].set(
-            self.learning_rate)
+        lr = jnp.where(flag == FLAG_HARD_NEGATIVE,
+                       self.hard_negative_learning_rate, self.learning_rate)
+        weights = (state.weights * (1.0 - lr)).at[ptr].set(lr)
         weights = weights.at[0].max(0.25)
+        samples = jnp.where(update_ok, samples, state.samples)
+        boxes = jnp.where(update_ok, boxes, state.boxes)
+        weights = jnp.where(update_ok, weights, state.weights)
         new_st = DiMPState(filt=state.filt, samples=samples, boxes=boxes,
-                           weights=weights, mem_ptr=state.mem_ptr + 1,
+                           weights=weights,
+                           mem_ptr=state.mem_ptr + update_ok.astype(jnp.int32),
                            center=center, target_sz=target_sz)
-        return new_st, conf
+        return new_st, conf, flag
 
     # --------------------------------------------------------------- host API
     def initialize(self, image: np.ndarray, info: dict):
@@ -266,11 +309,17 @@ class DiMPTracker:
     def track(self, image: np.ndarray, info: Optional[dict] = None) -> dict:
         self._frame += 1
         img = jnp.asarray(np.asarray(image), jnp.float32)
-        self._state, conf = self._track_jit(self._state, img, self._mod)
-        if self._frame % self.update_interval == 0:
+        self._state, conf, flag = self._track_jit(self._state, img, self._mod)
+        flag = int(flag)
+        # filter refresh (dimp.py update_classifier): immediate short run on a
+        # hard negative; otherwise the train_skipping schedule, and only on
+        # frames whose sample entered the memory (update_flag)
+        if flag == FLAG_HARD_NEGATIVE:
+            self._state = self._update_hn_jit(self._state)
+        elif flag == FLAG_NORMAL and self._frame % self.update_interval == 0:
             self._state = self._update_jit(self._state)
         c = np.asarray(self._state.center)
         s = np.asarray(self._state.target_sz)
         return {"target_bbox": [float(c[1] - s[1] / 2), float(c[0] - s[0] / 2),
                                 float(s[1]), float(s[0])],
-                "pred_score": float(conf)}
+                "pred_score": float(conf), "flag": _FLAG_NAMES[flag]}
