@@ -48,35 +48,55 @@ def refine_box_iounet(iou_net: AtomIoUNet, iou_vars, iou_feat, modulation,
                       box_xywh: jax.Array, rng: jax.Array, *,
                       num_random: int = 9, jitter_pos: float = 0.1,
                       jitter_sz: float = 0.5, steps: int = 5,
-                      step_length: float = 1.0, topk: int = 3):
-    """pytracking refine_target_box (atom.py:700-772): jitter num_random
-    proposals around the predicted box, gradient-ascend the predicted IoU on
-    all of them (steps x step_length, coordinate steps scaled by box size),
-    then average the top-k boxes by final IoU. box_xywh in crop px; returns
-    (refined box xywh, mean top-k IoU)."""
+                      step_length: float = 1.0, step_decay: float = 1.0,
+                      topk: int = 3, max_aspect_ratio: float = 6.0):
+    """pytracking refine_target_box (dimp.py:651-712, atom.py:700-772):
+    jitter num_random proposals around the predicted box (uniform centre +
+    size noise scaled by sqrt(area), sizes clamped at min_edge/3),
+    gradient-ascend the predicted IoU on all of them (steps x step_length
+    with multiplicative decay, coordinate steps scaled by box size), drop
+    boxes with aspect ratio outside (1/max_ar, max_ar), then average the
+    top-k survivors by final IoU. All proposals keep a static shape: the
+    aspect filter masks IoUs to -inf instead of slicing, and when every box
+    is filtered the input box is returned unchanged (reference early-return
+    at dimp.py:688). box_xywh in crop px; returns (refined box xywh,
+    mean top-k IoU)."""
     sq = jnp.sqrt(jnp.maximum(box_xywh[2] * box_xywh[3], 1.0))
     factor = jnp.stack([jitter_pos * sq, jitter_pos * sq,
                         jitter_sz * sq, jitter_sz * sq])
-    noise = jax.random.normal(rng, (num_random, 4)) * factor
-    props = jnp.concatenate([box_xywh[None],
-                             box_xywh[None] + noise], axis=0)  # (P, 4)
+    noise = (jax.random.uniform(rng, (num_random, 4)) - 0.5) * factor
+    min_edge = jnp.minimum(box_xywh[2], box_xywh[3]) / 3.0
+    new_sz = jnp.maximum(box_xywh[2:] + noise[:, 2:], min_edge)
+    new_c = box_xywh[:2] + box_xywh[2:] / 2.0 + noise[:, :2]
+    jittered = jnp.concatenate([new_c - new_sz / 2.0, new_sz], axis=1)
+    props = jnp.concatenate([box_xywh[None], jittered], axis=0)  # (P, 4)
 
     def iou_of(batch_props):
         return iou_net.apply(iou_vars, modulation, iou_feat,
                              batch_props[None], method="predict_iou")[0]
 
-    def ascend(props, _):
+    def ascend(carry, _):
+        props, step = carry
         ious, g = jax.vjp(iou_of, props)
         grad = g(jnp.ones_like(ious))[0]
         scale = jnp.concatenate([props[:, 2:], props[:, 2:]], axis=1)
-        return props + step_length * grad * scale, None
+        return (props + step * grad * scale, step * step_decay), None
 
-    props, _ = jax.lax.scan(ascend, props, None, length=steps)
-    ious = iou_of(props)
+    (props, _), _ = jax.lax.scan(ascend, (props, jnp.float32(step_length)),
+                                 None, length=steps)
+    props = props.at[:, 2:].set(jnp.maximum(props[:, 2:], 1.0))
+    ar = props[:, 2] / props[:, 3]
+    valid = (ar < max_aspect_ratio) & (ar > 1.0 / max_aspect_ratio)
+    ious = jnp.where(valid, iou_of(props), -jnp.inf)
     k = min(topk, props.shape[0])
     top_iou, top_idx = jax.lax.top_k(ious, k)
-    best = jnp.mean(props[top_idx], axis=0)
-    return best, jnp.mean(top_iou)
+    sel = valid[top_idx].astype(props.dtype)
+    denom = jnp.maximum(jnp.sum(sel), 1.0)
+    best = jnp.sum(props[top_idx] * sel[:, None], axis=0) / denom
+    mean_iou = jnp.sum(jnp.where(sel > 0, top_iou, 0.0)) / denom
+    any_valid = jnp.any(valid)
+    best = jnp.where(any_valid, best, box_xywh)
+    return best, jnp.where(any_valid, mean_iou, 0.0)
 
 
 class ATOMState(NamedTuple):

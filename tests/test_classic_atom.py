@@ -50,6 +50,28 @@ def test_atom_refinement_runs_and_is_finite():
     assert b[2] > 0 and b[3] > 0
 
 
+def test_refine_aspect_filter_falls_back_to_input_box():
+    """When every refined proposal violates the aspect-ratio limit the input
+    box must come back unchanged (reference early-return, dimp.py:688)."""
+    import jax
+    import jax.numpy as jnp
+    from multi_modal_tracking_tpu.classic.atom import refine_box_iounet
+    t = ATOMTracker(crop_size=96, refine=True)
+    rng = np.random.default_rng(3)
+    f2 = jnp.asarray(rng.standard_normal((1, *t._l2_hw, 128)), jnp.float32)
+    f3 = jnp.asarray(rng.standard_normal((1, *t._feat_hw, t._feat_c)),
+                     jnp.float32)
+    box = jnp.asarray([30.0, 30.0, 40.0, 20.0])    # aspect 2
+    mod = t.iou_net.apply(t._iou_vars, f2, f3, box[None],
+                          method="get_modulation")
+    iou_feat = t.iou_net.apply(t._iou_vars, f2, f3, method="get_iou_feat")
+    best, iou = refine_box_iounet(
+        t.iou_net, t._iou_vars, iou_feat, mod, box, jax.random.PRNGKey(0),
+        steps=2, max_aspect_ratio=1.01)            # filters every proposal
+    assert np.allclose(np.asarray(best), np.asarray(box))
+    assert float(iou) == 0.0
+
+
 def test_iou_net_gradients_flow():
     """IoU ascent needs nonzero grads through PrRoI pooling wrt box coords
     (the AtomIoUNet modulation -> iou-feat -> predict path)."""
