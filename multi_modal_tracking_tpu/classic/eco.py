@@ -150,7 +150,12 @@ class ECOTracker:
         def score_at(scale):
             crop, px = self._crop(image, state.center, state.target_sz, scale)
             x = self.feature_fn(crop / 255.0) * win[None]
-            s = ifft2(jnp.sum(jnp.conj(state.filter_f) * fft2(x), axis=0),
+            # learning solves sum_c xf_c f_c ~= yf, so the response on a new
+            # sample is sum_c xf'_c f_c (NO conjugate: the shift theorem then
+            # moves the peak by the target displacement; a conj here reflects
+            # the appearance phase and mislocalises asymmetric targets —
+            # regression-tested in test_classic_eco.py)
+            s = ifft2(jnp.sum(state.filter_f * fft2(x), axis=0),
                       x.shape[-2:])
             s = jnp.fft.fftshift(s, axes=(-2, -1))
             return s, px

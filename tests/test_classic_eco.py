@@ -42,6 +42,35 @@ def test_eco_follows_moving_square():
     assert ious[-3:].mean() > 0.5, ious
 
 
+def test_eco_response_convention_localises_asymmetric_shift():
+    """The learned filter must localise a SHIFTED ASYMMETRIC pattern at the
+    true displacement (regression: conjugating the filter at localisation
+    reflects the appearance phase and mislocalises asymmetric targets)."""
+    import jax.numpy as jnp
+    from multi_modal_tracking_tpu.classic.dcf import (fft2, ifft2,
+                                                      gauss_label_2d)
+    from multi_modal_tracking_tpu.classic.optimization import conjugate_gradient
+    rng = np.random.default_rng(0)
+    H = W = 32
+    x = np.zeros((1, H, W), np.float32)
+    x[0, 12:20, 12:20] = rng.standard_normal((8, 8))
+    x[0, 14:18, 10:12] = 3.0                    # asymmetric lobe
+    y = gauss_label_2d(H, W, 2.0, jnp.asarray([16.0, 16.0]))
+    yf = fft2(jnp.fft.ifftshift(y))
+    xf = fft2(jnp.asarray(x))
+    reg = 1e-3
+
+    def A(f):
+        return jnp.conj(xf) * jnp.sum(xf * f, axis=0, keepdims=True) + reg * f
+
+    f = conjugate_gradient(A, jnp.conj(xf) * yf[None], num_iter=50).x
+    x2 = np.roll(np.roll(x, 3, axis=1), 5, axis=2)
+    resp = ifft2(jnp.sum(f * fft2(jnp.asarray(x2)), axis=0), (H, W))
+    r = np.asarray(jnp.fft.fftshift(resp))
+    pk = np.unravel_index(np.argmax(r), r.shape)
+    assert (pk[0] - H // 2, pk[1] - W // 2) == (3, 5)
+
+
 def test_eco_confidence_drops_when_target_vanishes():
     t = ECOTracker(num_cg_iter=8)
     t.initialize(_frame(80, 80), {"init_bbox": [66.0, 66.0, 28, 28]})
