@@ -1,16 +1,26 @@
 """ECO-style discriminative correlation-filter tracker.
 
-Parity target: external/AR/pytracking/tracker/eco/eco.py (:1-384) — the
-vendored pytracking ECO: multi-channel features, factorized filter learned
-by conjugate gradient in the Fourier domain, sample memory with exponential
-forgetting, scale pyramid localisation.
+Parity target: external/AR/pytracking/tracker/eco/eco.py (:1-384) + optim.py
+— the vendored pytracking ECO: multi-channel features, the FACTORIZED
+convolution (a learned (C, compressed_dim) projection — the "Efficient
+Convolution Operators" idea — PCA-initialised from the init-frame feature
+covariance at eco.py:109-113 and jointly optimised with the filter by
+Gauss-Newton CG over the FactorizedConvProblem at :152-158), a sample memory
+with min-weight replacement and exponential weight bookkeeping
+(update_sample_weights :346-370), augmented init samples, Fourier-domain
+sample recentring (fourier.shift_fs :118-129, :225-227), and scale-pyramid
+localisation.
 
-TPU-first redesign: the whole tracker is three jitted pure functions
-(extract+learn, localise, update) over a `ECOState` pytree. Filter learning
-solves the regularised normal equations with classic.optimization
-.conjugate_gradient in the rfft domain (the reference's CG runs per-element
-torch ops in Python; here one XLA program). Static shapes throughout:
-fixed crop size, fixed number of scales, fixed CG iterations.
+TPU-first redesign: the tracker is three jitted pure functions over an
+`ECOState` pytree — init (augment + PCA + joint GN-CG in one program),
+track-step (scale pyramid + localisation + Fourier-recentred memory insert),
+and filter refinement (weighted normal equations by CG). The reference
+re-enters Python per GN/CG iteration; here both loops are lax.scans. Static
+shapes throughout: fixed crop size, fixed scale count, fixed memory slots,
+fixed iteration counts. Design substitutions: a scalar filter regulariser
+stands in for the spatial reg_filter window, and the shared
+classic.augmentation recipe stands in for ECO's own (pass `augmentation=`
+for the exact ECO zoo).
 """
 from __future__ import annotations
 
@@ -21,9 +31,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from multi_modal_tracking_tpu.classic.augmentation import InitAugmenter
 from multi_modal_tracking_tpu.classic.dcf import (fft2, gauss_label_2d, hann2d,
                                                   ifft2, max2d, subpixel_peak)
-from multi_modal_tracking_tpu.classic.optimization import conjugate_gradient
+from multi_modal_tracking_tpu.classic.optimization import (
+    conjugate_gradient, solve_normal_equations)
 
 
 def default_features(patch: jax.Array) -> jax.Array:
@@ -42,10 +54,22 @@ def default_features(patch: jax.Array) -> jax.Array:
     return f - f.mean(axis=(1, 2), keepdims=True)
 
 
+def fourier_shift(xf: jax.Array, shift_yx: jax.Array, h: int, w: int) -> jax.Array:
+    """Translate rfft2-domain samples so content at +shift moves to the
+    origin (fourier.shift_fs): multiplies by e^{+i w . shift}. xf (..., h,
+    w//2+1); shift in feature px (dy, dx)."""
+    ky = jnp.fft.fftfreq(h).astype(jnp.float32)[:, None]
+    kx = jnp.fft.rfftfreq(w).astype(jnp.float32)[None, :]
+    phase = jnp.exp(2j * jnp.pi * (ky * shift_yx[0] + kx * shift_yx[1]))
+    return xf * phase
+
+
 class ECOState(NamedTuple):
-    filter_f: jax.Array      # (C, h, w//2+1) complex rfft-domain filter
-    sample_xf: jax.Array     # (C, h, w//2+1) running weighted sample
-    sample_w: jax.Array      # scalar accumulated weight
+    filter_f: jax.Array      # (Cp, h, w//2+1) compressed-space filter
+    proj: jax.Array          # (C, Cp) factorized-convolution projection
+    samples_f: jax.Array     # (K, Cp, h, w//2+1) compressed sample memory
+    weights: jax.Array       # (K,) sample weights (0 = empty slot)
+    prev_ind: jax.Array      # scalar int32 previous replace index (-1 = none)
     yf: jax.Array            # (h, w//2+1) label spectrum
     center: jax.Array        # (2,) target centre (y, x) image px
     target_sz: jax.Array     # (2,) target (h, w) image px
@@ -66,13 +90,23 @@ class ECOTracker:
     output_sigma_factor: float = 1. / 12
     reg: float = 0.05
     learning_rate: float = 0.012
-    num_cg_iter: int = 5
+    num_cg_iter: int = 5               # CG_iter per train update
     scale_factors: Tuple[float, ...] = (0.97, 1.0, 1.03)
-    update_interval: int = 5
+    update_interval: int = 5           # train_skipping
     features: str = "handcrafted"
     rng_seed: int = 0
     feature_fn: Callable[[jax.Array], jax.Array] = \
         dataclasses.field(default=None)  # type: ignore[assignment]
+    # factorized convolution (eco.py:67,109-113,152-158)
+    compressed_dim: Optional[int] = None   # None -> min(C, 16) (64 for deep)
+    update_projection: bool = True         # update_projection_matrix
+    projection_reg: float = 5e-8
+    init_gn_iter: int = 10                 # init_GN_iter
+    init_cg_per_gn: int = 10               # init_CG_iter // init_GN_iter
+    # sample space (eco.py:339-370)
+    sample_memory_size: int = 50
+    augmentation: Optional[dict] = None    # None -> shared default recipe
+    random_shift_factor: float = 0.0       # ECO shifts are explicit in spec
 
     def __post_init__(self):
         if self.feature_fn is None:
@@ -84,12 +118,35 @@ class ECOTracker:
                 raise ValueError(f"unknown features '{self.features}'")
         z = jnp.zeros((self.crop_size, self.crop_size, 3))
         fshape = jax.eval_shape(self.feature_fn, z).shape   # (C, h, w)
+        self._feat_c = fshape[0]
         self._feat_sz = fshape[-1]
         self._cell = self.crop_size / self._feat_sz
+        if self.compressed_dim is None:
+            # reference ratios: 16 of ~41 shallow channels, 64 of 256 deep
+            if self._feat_c <= 8:
+                self.compressed_dim = max(self._feat_c // 2 + 1, 3)
+            elif self._feat_c <= 64:
+                self.compressed_dim = 16
+            else:
+                self.compressed_dim = 64
+        self.compressed_dim = min(self.compressed_dim, self._feat_c)
+        self.augmenter = InitAugmenter(
+            self.crop_size, spec=self.augmentation,
+            random_shift_factor=self.random_shift_factor, seed=self.rng_seed)
+        if self.augmenter.num_samples > self.sample_memory_size:
+            raise ValueError(
+                f"sample_memory_size={self.sample_memory_size} < augmented "
+                f"init batch {self.augmenter.num_samples}")
+        if self.augmenter.num_samples < 5 and self.update_projection:
+            # the bilinear joint problem is ill-posed on a near-single
+            # sample (P can fit it exactly with an arbitrarily large
+            # filter); the reference only ever runs it on the full
+            # augmentation zoo
+            self.update_projection = False
         self._frame = 0
+        self._init = jax.jit(self._init_fn)
+        self._track_step = jax.jit(self._track_step_fn)
         self._learn = jax.jit(self._learn_fn)
-        self._localise = jax.jit(self._localise_fn)
-        self._update = jax.jit(self._update_fn)
 
     def _make_resnet_features(self, layer: str):
         from multi_modal_tracking_tpu.models.resnet import resnet18
@@ -126,103 +183,211 @@ class ECOTracker:
                                self.crop_size)
         return crop, 1.0 / rf
 
+    def _compress(self, xf: jax.Array, proj: jax.Array) -> jax.Array:
+        """Project rfft-domain features (..., C, h, wf) -> (..., Cp, h, wf)
+        (projection is spatial-linear so it commutes with the FFT,
+        eco.py project_sample :302-309)."""
+        return jnp.einsum("...chw,cp->...phw", xf, proj.astype(xf.dtype))
+
     def _learn_fn(self, state: ECOState) -> ECOState:
-        """CG solve of (S_xx + reg) f = S_xy in the rfft domain, per channel
-        with cross-channel coupling through the data term (eco.py
-        filter optimization)."""
-        xf = state.sample_xf / jnp.maximum(state.sample_w, 1e-8)
+        """FilterOptim (optim.py): CG on the weighted normal equations over
+        the compressed sample memory, projection fixed."""
+        zf = state.samples_f
+        w = state.weights[:, None, None]
         yf = state.yf
 
         def A(f):
-            # (sum_c conj(x_c) x_c') f — rank-1 per-pixel operator + reg
-            resp = jnp.sum(xf * f, axis=0, keepdims=True)   # X^H-free forward
-            return jnp.conj(xf) * resp + self.reg * f
+            resp = jnp.einsum("kphw,phw->khw", zf, f)
+            out = jnp.einsum("khw,kphw->phw", w * resp, jnp.conj(zf))
+            return out + self.reg * f
 
-        b = jnp.conj(xf) * yf[None]
+        b = jnp.einsum("khw,kphw->phw", w * jnp.broadcast_to(yf, zf.shape[:1] + yf.shape),
+                       jnp.conj(zf))
         res = conjugate_gradient(A, b, x0=state.filter_f,
                                  num_iter=self.num_cg_iter)
         return state._replace(filter_f=res.x)
 
-    def _localise_fn(self, state: ECOState, image: jax.Array):
-        """Scale-pyramid correlation -> new centre + size."""
-        win = hann2d(self._feat_sz, self._feat_sz)
+    def _init_fn(self, image, box_xywh) -> ECOState:
+        """Augmented init batch -> PCA projection -> joint factorized
+        optimization (eco.py:106-177) -> seeded sample memory."""
+        center = jnp.asarray([box_xywh[1] + box_xywh[3] / 2.0,
+                              box_xywh[0] + box_xywh[2] / 2.0])
+        target_sz = jnp.asarray([box_xywh[3], box_xywh[2]])
+        crop, _ = self._crop(image, center, target_sz)
+        aug = self.augmenter(crop)                           # (A_img, H, W, 3)
+        feats = jax.vmap(self.feature_fn)(aug / 255.0)       # (A_img, C, h, w)
+        # feature-dropout copies of the identity sample (NHWC helper)
+        feats = self.augmenter.augment_features(
+            feats.transpose(0, 2, 3, 1),
+            jax.random.PRNGKey(self.rng_seed + 2)).transpose(0, 3, 1, 2)
+        A_n = self.augmenter.num_samples
+        C, h, w = feats.shape[1:]
 
-        def score_at(scale):
+        # PCA init of the projection (eco.py:110-113): top-Cp eigenvectors of
+        # the feature covariance over all augmented samples
+        x_mat = feats.transpose(1, 0, 2, 3).reshape(C, -1)
+        x_mat = x_mat - x_mat.mean(axis=1, keepdims=True)
+        cov = x_mat @ x_mat.T
+        _, vecs = jnp.linalg.eigh(cov)                       # ascending
+        proj0 = vecs[:, ::-1][:, :self.compressed_dim]       # (C, Cp)
+
+        win = hann2d(h, w)
+        xf = fft2(feats * win[None, None])                   # (A, C, h, wf)
+        # recentre augmented samples whose transform displaced the target
+        # (eco.py:118-125 "Shift the samples back")
+        shifts = jnp.asarray(self.augmenter.shifts) / self._cell  # feat px
+        xf = jax.vmap(lambda s, sh: fourier_shift(s, sh, h, w))(xf, shifts)
+
+        sigma = jnp.maximum(
+            jnp.sqrt(jnp.prod(target_sz)) * self._feat_sz /
+            (jnp.sqrt(jnp.prod(target_sz)) * self.search_factor) *
+            self.output_sigma_factor, 1.0)
+        y = gauss_label_2d(h, w, sigma, jnp.asarray([h / 2.0, w / 2.0]))
+        yf = fft2(jnp.fft.ifftshift(y))
+
+        f0 = jnp.zeros((self.compressed_dim, h, w // 2 + 1), xf.dtype)
+        sw = jnp.sqrt(1.0 / A_n)
+        if self.update_projection:
+            # Joint (filter, projection) Gauss-Newton over the bilinear
+            # factorized-convolution objective (FactorizedConvProblem,
+            # eco.py:153-158). The raw objective is scale-degenerate
+            # ((f/a, aP) leaves the data term unchanged, so with
+            # projection_reg ~ 5e-8 it rewards blowing P up until the filter
+            # regulariser is voided); the reference holds this off with a
+            # hand-tuned block preconditioner whose heavy P diagonal
+            # (optim.py:31, precond_proj_param = 35 x label energy) keeps P
+            # near its PCA init. Here the damping is Levenberg-Marquardt:
+            # zero-valued residual rows lam * base * (x - stop_gradient(x))
+            # add damping to every linearised solve without changing the
+            # objective, and each GN step is ACCEPTED only if the true
+            # objective decreased (else the step is rejected and lam grows)
+            # — monotone by construction, no tuned per-bin preconditioner.
+            base_p = jnp.sqrt(35.0 * (2.0 * jnp.sum(jnp.abs(yf) ** 2) / C +
+                                      self.projection_reg))
+            base_f = jnp.sqrt(self.reg)
+
+            def residual(v):
+                f, P = v["f"], v["P"]
+                zf = self._compress(xf, P)
+                r = jnp.einsum("kphw,phw->khw", zf, f) - yf[None]
+                return {"data": sw * r,
+                        "reg_f": jnp.sqrt(self.reg) * f,
+                        "reg_P": jnp.sqrt(self.projection_reg) * P}
+
+            def objective(v):
+                return sum(jnp.sum(jnp.abs(r) ** 2)
+                           for r in jax.tree_util.tree_leaves(residual(v)))
+
+            def gn_step(carry, _):
+                v, lam = carry
+
+                def damped(vv):
+                    sg = jax.lax.stop_gradient
+                    return {**residual(vv),
+                            "damp_f": lam * base_f * (vv["f"] - sg(vv["f"])),
+                            "damp_P": lam * base_p * (vv["P"] - sg(vv["P"]))}
+
+                v_new = solve_normal_equations(damped, v,
+                                               num_iter=self.init_cg_per_gn)
+                ok = objective(v_new) < objective(v)
+                v = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), v_new, v)
+                lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1.0), lam * 4.0)
+                return (v, lam), None
+
+            (v, _), _ = jax.lax.scan(gn_step,
+                                     ({"f": f0, "P": proj0}, jnp.float32(1.0)),
+                                     None, length=self.init_gn_iter)
+            filt, proj = v["f"], v["P"]
+        else:
+            filt, proj = f0, proj0
+
+        # seed the memory with the compressed init samples (eco.py:160-163)
+        zf0 = self._compress(xf, proj)
+        K = self.sample_memory_size
+        samples_f = jnp.zeros((K, self.compressed_dim, h, w // 2 + 1),
+                              xf.dtype).at[:A_n].set(zf0)
+        weights = jnp.zeros((K,)).at[:A_n].set(1.0 / A_n)
+
+        st = ECOState(filter_f=filt, proj=proj, samples_f=samples_f,
+                      weights=weights, prev_ind=jnp.asarray(-1, jnp.int32),
+                      yf=yf, center=center, target_sz=target_sz)
+        if not self.update_projection:
+            st = self._learn_fn(st)
+        return st
+
+    def _track_step_fn(self, state: ECOState, image: jax.Array):
+        """Scale-pyramid localisation + Fourier-recentred memory insert
+        (eco.py track :190-230), one device program."""
+        h = w = self._feat_sz
+        win = hann2d(h, w)
+
+        def sample_at(scale):
             crop, px = self._crop(image, state.center, state.target_sz, scale)
             x = self.feature_fn(crop / 255.0) * win[None]
-            # learning solves sum_c xf_c f_c ~= yf, so the response on a new
-            # sample is sum_c xf'_c f_c (NO conjugate: the shift theorem then
+            zf = self._compress(fft2(x), state.proj)         # (Cp, h, wf)
+            # learning solves sum_p zf_p f_p ~= yf, so the response on a new
+            # sample is sum_p zf'_p f_p (NO conjugate: the shift theorem then
             # moves the peak by the target displacement; a conj here reflects
             # the appearance phase and mislocalises asymmetric targets —
             # regression-tested in test_classic_eco.py)
-            s = ifft2(jnp.sum(state.filter_f * fft2(x), axis=0),
-                      x.shape[-2:])
-            s = jnp.fft.fftshift(s, axes=(-2, -1))
-            return s, px
+            s = ifft2(jnp.sum(zf * state.filter_f, axis=0), (h, w))
+            return jnp.fft.fftshift(s, axes=(-2, -1)), zf, px
 
-        scores, pxs = [], []
-        for sc in self.scale_factors:    # static unroll (3 scales)
-            s, px = score_at(sc)
+        scores, zfs, pxs = [], [], []
+        for sc in self.scale_factors:    # static unroll (few scales)
+            s, zf, px = sample_at(sc)
             scores.append(s)
+            zfs.append(zf)
             pxs.append(px)
         scores = jnp.stack(scores)
+        zfs = jnp.stack(zfs)
         pxs = jnp.stack(pxs)
         maxes = scores.max(axis=(-2, -1))
         best = jnp.argmax(maxes)
         score = scores[best]
-        _, peak = max2d(score)
+        conf, peak = max2d(score)
         peak = subpixel_peak(score, peak)
-        h, w = score.shape
-        disp = (peak - jnp.asarray([h // 2, w // 2], jnp.float32)) * \
-            self._cell * pxs[best]
+        disp_feat = peak - jnp.asarray([h // 2, w // 2], jnp.float32)
+        disp = disp_feat * self._cell * pxs[best]
         new_center = state.center + disp
-        new_sz = state.target_sz * jnp.take(jnp.asarray(self.scale_factors), best)
-        return new_center, new_sz, maxes[best]
+        new_sz = state.target_sz * jnp.take(jnp.asarray(self.scale_factors),
+                                            best)
 
-    def _update_fn(self, state: ECOState, image: jax.Array) -> ECOState:
-        """Exponential sample-memory update (the reference's sample space
-        with a single merged component) + CG refinement."""
-        crop, _ = self._crop(image, state.center, state.target_sz)
-        win = hann2d(self._feat_sz, self._feat_sz)
-        xf = fft2(self.feature_fn(crop / 255.0) * win[None])
+        # memory insert: recentre the best-scale sample on the estimated
+        # position (eco.py:225-227), then min-weight replacement with
+        # exponential bookkeeping (update_sample_weights :346-370)
+        zf_new = fourier_shift(zfs[best], disp_feat, h, w)
+        r_ind = jnp.argmin(state.weights).astype(jnp.int32)
         lr = self.learning_rate
-        new_sample = state.sample_xf * (1 - lr) + xf * lr * jnp.maximum(state.sample_w, 1.0)
-        new_w = state.sample_w * (1 - lr) + lr * jnp.maximum(state.sample_w, 1.0)
-        state = state._replace(sample_xf=new_sample, sample_w=new_w)
-        return self._learn_fn(state)
+        first = state.prev_ind < 0
+        w_first = (state.weights / (1.0 - lr)).at[r_ind].set(lr)
+        prev = jnp.clip(state.prev_ind, 0, None)
+        w_next = state.weights.at[r_ind].set(state.weights[prev] / (1.0 - lr))
+        weights = jnp.where(first, w_first, w_next)
+        weights = weights / jnp.sum(weights)
+        samples_f = jax.lax.dynamic_update_index_in_dim(
+            state.samples_f, zf_new, r_ind, 0)
+        new_st = state._replace(samples_f=samples_f, weights=weights,
+                                prev_ind=r_ind, center=new_center,
+                                target_sz=new_sz)
+        return new_st, conf
 
     # --------------------------------------------------------------- host API
     def initialize(self, image: np.ndarray, info: dict):
-        box = np.asarray(info["init_bbox"], np.float32)
-        center = jnp.asarray([box[1] + box[3] / 2.0, box[0] + box[2] / 2.0])
-        target_sz = jnp.asarray([box[3], box[2]])
-        img = jnp.asarray(image, jnp.float32)
-        crop, _ = self._crop(img, center, target_sz)
-        win = hann2d(self._feat_sz, self._feat_sz)
-        x = self.feature_fn(crop / 255.0) * win[None]
-        xf = fft2(x)
-        fsz = self._feat_sz
-        sigma = jnp.sqrt(jnp.prod(target_sz)) / self._cell / \
-            (jnp.sqrt(jnp.prod(target_sz)) * self.search_factor / self.crop_size)
-        sigma = jnp.maximum(sigma * self.output_sigma_factor, 1.0)
-        y = gauss_label_2d(fsz, fsz, sigma,
-                           jnp.asarray([fsz / 2.0, fsz / 2.0]))
-        yf = fft2(jnp.fft.ifftshift(y))
-        st = ECOState(filter_f=jnp.zeros_like(xf), sample_xf=xf,
-                      sample_w=jnp.asarray(1.0), yf=yf,
-                      center=center, target_sz=target_sz)
-        self._state = jax.block_until_ready(self._learn(st))
+        img = jnp.asarray(np.asarray(image), jnp.float32)
+        self._state = jax.block_until_ready(
+            self._init(img, jnp.asarray(info["init_bbox"], jnp.float32)))
         self._frame = 0
 
     def track(self, image: np.ndarray, info: Optional[dict] = None) -> dict:
         self._frame += 1
         img = jnp.asarray(np.asarray(image), jnp.float32)
-        center, sz, conf = self._localise(self._state, img)
-        self._state = self._state._replace(center=center, target_sz=sz)
+        self._state, conf = self._track_step(self._state, img)
         if self._frame % self.update_interval == 0:
-            self._state = self._update(self._state, img)
-        c = np.asarray(center)
-        s = np.asarray(sz)
+            self._state = self._learn(self._state)
+        c = np.asarray(self._state.center)
+        s = np.asarray(self._state.target_sz)
         return {"target_bbox": [float(c[1] - s[1] / 2), float(c[0] - s[0] / 2),
                                 float(s[1]), float(s[0])],
                 "pred_score": float(conf)}

@@ -90,37 +90,42 @@ def conjugate_gradient(A: Callable[[Pytree], Pytree], b: Pytree,
 
 
 def solve_normal_equations(residual_fn: Callable[[Pytree], Pytree], x: Pytree,
-                           num_iter: int = 10,
-                           reg: float = 0.0) -> Pytree:
+                           num_iter: int = 10, reg: Optional[Any] = None,
+                           precond: Optional[Callable[[Pytree], Pytree]] = None
+                           ) -> Pytree:
     """ConjugateGradient (:199-290): minimise ||r(x + dx)||^2 in the
     linearisation r(x) + J dx  ==>  solve (J^T J + reg I) dx = -J^T r(x),
     returning the updated x + dx.
 
     J-products via jvp (forward) and vjp (reverse) exactly where the
-    reference uses torch.autograd.grad twice (:278-291).
+    reference uses torch.autograd.grad twice (:278-291). `precond` is the M1
+    preconditioner applied inside CG (reference Problem.M1).
     """
     r0, vjp_fn = jax.vjp(residual_fn, x)
 
     def A(dx):
         _, Jdx = jax.jvp(residual_fn, (x,), (dx,))
         (JtJdx,) = vjp_fn(Jdx)
-        if reg:
+        if reg is not None:                 # Levenberg damping (may be traced)
             JtJdx = _axpy(reg, dx, JtJdx)
         return JtJdx
 
     (neg_Jtr,) = vjp_fn(jax.tree_util.tree_map(lambda u: -u, r0))
-    res = conjugate_gradient(A, neg_Jtr, num_iter=num_iter)
+    res = conjugate_gradient(A, neg_Jtr, num_iter=num_iter, precond=precond)
     return jax.tree_util.tree_map(lambda u, v: u + v, x, res.x)
 
 
 def gauss_newton_cg(residual_fn: Callable[[Pytree], Pytree], x0: Pytree,
                     num_gn_iter: int = 3, num_cg_iter: int = 5,
-                    reg: float = 0.0) -> Pytree:
+                    reg: Optional[Any] = None,
+                    precond: Optional[Callable[[Pytree], Pytree]] = None
+                    ) -> Pytree:
     """GaussNewtonCG (:293-435): outer re-linearisation loop around the CG
     normal-equation solve. Both loops are static-length; the whole nest jits
     to one program (the reference re-enters Python per GN iteration)."""
     def gn_step(x, _):
-        x = solve_normal_equations(residual_fn, x, num_iter=num_cg_iter, reg=reg)
+        x = solve_normal_equations(residual_fn, x, num_iter=num_cg_iter,
+                                   reg=reg, precond=precond)
         return x, None
 
     x, _ = jax.lax.scan(gn_step, x0, None, length=num_gn_iter)

@@ -84,8 +84,11 @@ def test_eco_confidence_drops_when_target_vanishes():
 def test_eco_deep_features_follow():
     """ResNet conv1 deep-feature mode: grid geometry adapts (/4, 64ch) and
     the tracker still follows; load_backbone converts torchvision keys."""
+    # PCA-fixed projection: joint projection optimization assumes trained
+    # features (it is exercised by the handcrafted moving-square test);
+    # on a RANDOM-init backbone it overfits the augmented init batch
     t = ECOTracker(crop_size=96, search_factor=4.0, features="conv1",
-                   update_interval=3)
+                   update_interval=3, update_projection=False)
     assert t._feat_sz == 24 and abs(t._cell - 4.0) < 1e-6
     cx, cy, size = 70.0, 80.0, 32
     t.initialize(_frame(cx, cy), {"init_bbox": [cx - 16, cy - 16, size, size]})
@@ -104,3 +107,36 @@ def test_eco_deep_features_follow():
 def test_eco_layer3_grid_geometry():
     t = ECOTracker(crop_size=96, features="layer3")
     assert t._feat_sz == 6 and abs(t._cell - 16.0) < 1e-6
+
+
+def test_eco_sample_memory_bookkeeping():
+    """pytracking update_sample_weights semantics (eco.py:346-370): empty
+    slots fill first (min weight), weights stay normalised, the first
+    post-init insert gets learning_rate, later inserts grow geometrically
+    relative to the previous one."""
+    import jax.numpy as jnp
+    t = ECOTracker(crop_size=96, update_interval=1000)  # no filter re-train
+    A = t.augmenter.num_samples
+    t.initialize(_frame(80, 80), {"init_bbox": [66.0, 66.0, 28, 28]})
+    st0 = t._state
+    assert int(jnp.sum(st0.weights > 0)) == A
+    np.testing.assert_allclose(float(st0.weights.sum()), 1.0, rtol=1e-5)
+
+    t.track(_frame(83, 82, seed=1))
+    st1 = t._state
+    # new sample landed in the first empty slot with weight ~ learning_rate
+    assert int(st1.prev_ind) == A
+    lr = t.learning_rate
+    # pre-normalise: old weights sum 1/(1-lr), new slot lr
+    np.testing.assert_allclose(float(st1.weights[A]),
+                               lr * (1 - lr) / (1 + lr * (1 - lr)), rtol=1e-4)
+    np.testing.assert_allclose(float(st1.weights.sum()), 1.0, rtol=1e-5)
+    # the stored sample at the slot is the (recentred) new sample, nonzero
+    assert float(jnp.abs(st1.samples_f[A]).sum()) > 0
+
+    t.track(_frame(86, 84, seed=2))
+    st2 = t._state
+    assert int(st2.prev_ind) == A + 1
+    # second insert outweighs the first (geometric growth before normalise)
+    assert float(st2.weights[A + 1]) > float(st2.weights[A])
+    np.testing.assert_allclose(float(st2.weights.sum()), 1.0, rtol=1e-5)
