@@ -48,7 +48,37 @@ def ifft2(xf: jax.Array, shape: Tuple[int, int]) -> jax.Array:
     return jnp.fft.irfft2(xf, s=shape, axes=(-2, -1))
 
 
-def fourier_correlate(feat: jax.Array, filt: jax.Array) -> jax.Array:
+def pad_rfft2(sf: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Zero-pad an rfft2 spectrum (..., h, w//2+1) of an (h, w) real signal
+    into the spectrum of an (H, W) grid — exact Fourier (sinc) upsampling,
+    the spatial-domain amplitude preserved (pytracking fourier.sample_fs /
+    sum_fs zero-padding of score spectra to the common output size).
+
+    Even-size Nyquist bins are split half-and-half between the +N/2 and
+    -N/2 rows (and halved at the w/2 column) so real signals stay real.
+    """
+    h, wf = sf.shape[-2], sf.shape[-1]
+    w = 2 * (wf - 1)
+    H, W = out_hw
+    if (h, w) == (H, W):
+        return sf
+    Wf = W // 2 + 1
+    out = jnp.zeros(sf.shape[:-2] + (H, Wf), sf.dtype)
+    top = h // 2 + 1                      # rows 0..h/2 (incl. Nyquist)
+    bot = h - top                         # rows -(h/2-1)..-1
+    body = sf
+    if w < W:                             # halve the Nyquist column
+        body = body.at[..., :, wf - 1].multiply(0.5)
+    rows_top = body[..., :top, :]
+    if h < H:
+        # split the Nyquist row half-and-half between +h/2 and -h/2 (the
+        # row is Hermitian in kx by itself, so this keeps the signal real)
+        rows_top = rows_top.at[..., top - 1, :].multiply(0.5)
+        out = out.at[..., H - h // 2, :wf].set(rows_top[..., top - 1, :])
+    out = out.at[..., :top, :wf].set(rows_top)
+    if bot:
+        out = out.at[..., H - bot:, :wf].set(body[..., top:, :])
+    return out * (float(H * W) / float(h * w))
     """Circular cross-correlation sum over channels: feat (C, H, W) with
     filter (C, H, W) -> score (H, W). Correlation = IFFT(conj(F_filt)*F_feat),
     summed over C (the ECO/CCOT score operator, fourier.py)."""

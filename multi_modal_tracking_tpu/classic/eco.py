@@ -1,31 +1,37 @@
 """ECO-style discriminative correlation-filter tracker.
 
 Parity target: external/AR/pytracking/tracker/eco/eco.py (:1-384) + optim.py
-— the vendored pytracking ECO: multi-channel features, the FACTORIZED
-convolution (a learned (C, compressed_dim) projection — the "Efficient
-Convolution Operators" idea — PCA-initialised from the init-frame feature
-covariance at eco.py:109-113 and jointly optimised with the filter by
-Gauss-Newton CG over the FactorizedConvProblem at :152-158), a sample memory
-with min-weight replacement and exponential weight bookkeeping
-(update_sample_weights :346-370), augmented init samples, Fourier-domain
-sample recentring (fourier.shift_fs :118-129, :225-227), and scale-pyramid
-localisation.
+— the vendored pytracking ECO: MULTI-BANK features (the reference default
+runs a shallow and a deep bank with per-bank labels/learning rates and fuses
+their score spectra by Fourier-upsampled weighted sum, eco.py:247-287
+'weightedsum'), the FACTORIZED convolution (a learned (C, compressed_dim)
+projection per bank — the "Efficient Convolution Operators" idea —
+PCA-initialised from the init-frame feature covariance at eco.py:109-113 and
+jointly optimised with the filter by Gauss-Newton CG over the
+FactorizedConvProblem at :152-158), a sample memory with min-weight
+replacement and exponential weight bookkeeping (update_sample_weights
+:346-370), augmented init samples, and Fourier-domain sample recentring
+(fourier.shift_fs :118-129, :225-227).
 
 TPU-first redesign: the tracker is three jitted pure functions over an
-`ECOState` pytree — init (augment + PCA + joint GN-CG in one program),
-track-step (scale pyramid + localisation + Fourier-recentred memory insert),
-and filter refinement (weighted normal equations by CG). The reference
-re-enters Python per GN/CG iteration; here both loops are lax.scans. Static
-shapes throughout: fixed crop size, fixed scale count, fixed memory slots,
-fixed iteration counts. Design substitutions: a scalar filter regulariser
-stands in for the spatial reg_filter window, and the shared
-classic.augmentation recipe stands in for ECO's own (pass `augmentation=`
-for the exact ECO zoo).
+`ECOState` pytree whose per-bank leaves are tuples — init (augment + PCA +
+joint guarded-LM optimization per bank in one program), track-step (per-bank
+score spectra -> pad_rfft2 to the common grid -> weighted sum -> one ifft ->
+localisation + per-bank recentred memory inserts), and filter refinement
+(per-bank weighted normal equations by CG). The reference re-enters Python
+per GN/CG iteration; here both loops are lax.scans. Static shapes
+throughout: fixed crop size, fixed scale count, fixed memory slots, fixed
+iteration counts. Design substitutions: a scalar filter regulariser stands
+in for the spatial reg_filter window; the joint bilinear optimization is
+stabilised by accept/reject Levenberg-Marquardt damping instead of the
+reference's hand-tuned block preconditioner (see _init_fn); the shared
+classic.augmentation recipe stands in for ECO's own zoo (pass
+`augmentation=` for the exact one).
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -33,15 +39,25 @@ import jax.numpy as jnp
 
 from multi_modal_tracking_tpu.classic.augmentation import InitAugmenter
 from multi_modal_tracking_tpu.classic.dcf import (fft2, gauss_label_2d, hann2d,
-                                                  ifft2, max2d, subpixel_peak)
+                                                  ifft2, max2d, pad_rfft2,
+                                                  subpixel_peak)
 from multi_modal_tracking_tpu.classic.optimization import (
     conjugate_gradient, solve_normal_equations)
+
+# per-bank (output_sigma_factor, learning_rate, translation_weight) when
+# MULTIPLE banks run together (parameter/eco/default.py:36-50: shallow
+# 1/16 / 0.025 / 0.4, deep 1/4 / 0.0075 / 0.6)
+_MULTI_BANK_DEFAULTS = {
+    "handcrafted": (1.0 / 16, 0.025, 0.4),
+    "conv1": (1.0 / 16, 0.025, 0.4),
+    "layer3": (1.0 / 4, 0.0075, 0.6),
+}
 
 
 def default_features(patch: jax.Array) -> jax.Array:
     """Feature map for a (H, W, 3) float patch in [0,1] -> (C, h, w) with a
     cell size of 4 (mean-pooled): color channels, grayscale, |dx|, |dy|.
-    Stands in for the reference's HOG/CN/conv features (eco.py params) while
+    Stands in for the reference's HOG/CN features (eco.py params) while
     staying dependency-free and fully jittable."""
     gray = patch.mean(axis=-1)
     dy = jnp.abs(jnp.diff(gray, axis=0, prepend=gray[:1]))
@@ -65,26 +81,38 @@ def fourier_shift(xf: jax.Array, shift_yx: jax.Array, h: int, w: int) -> jax.Arr
 
 
 class ECOState(NamedTuple):
-    filter_f: jax.Array      # (Cp, h, w//2+1) compressed-space filter
-    proj: jax.Array          # (C, Cp) factorized-convolution projection
-    samples_f: jax.Array     # (K, Cp, h, w//2+1) compressed sample memory
-    weights: jax.Array       # (K,) sample weights (0 = empty slot)
-    prev_ind: jax.Array      # scalar int32 previous replace index (-1 = none)
-    yf: jax.Array            # (h, w//2+1) label spectrum
-    center: jax.Array        # (2,) target centre (y, x) image px
-    target_sz: jax.Array     # (2,) target (h, w) image px
+    filter_f: Tuple[jax.Array, ...]   # per bank (Cp, h, w//2+1)
+    proj: Tuple[jax.Array, ...]       # per bank (C, Cp)
+    samples_f: Tuple[jax.Array, ...]  # per bank (K, Cp, h, w//2+1)
+    weights: Tuple[jax.Array, ...]    # per bank (K,)
+    prev_ind: Tuple[jax.Array, ...]   # per bank scalar int32 (-1 = none)
+    yf: Tuple[jax.Array, ...]         # per bank (h, w//2+1) label spectrum
+    center: jax.Array                 # (2,) target centre (y, x) image px
+    target_sz: jax.Array              # (2,) target (h, w) image px
+
+
+@dataclasses.dataclass
+class _Bank:
+    name: str
+    sigma_factor: float
+    learning_rate: float
+    weight: float
+    feat_c: int = 0
+    feat_sz: int = 0
+    cdim: int = 0
 
 
 @dataclasses.dataclass
 class ECOTracker:
     """Host wrapper with the framework tracker API (initialize/track).
 
-    features: 'handcrafted' (default_features, dependency-free) or a ResNet-18
-    layer ('conv1' @ /4 64ch, 'layer3' @ /16 256ch) — the deep option of the
-    reference's feature stack (pytracking features/deep.py ResNet18m1 pulls
-    a shallow conv layer + layer3; here both come from the standard
-    torchvision ResNet-18 so `load_backbone()` converts published weights).
-    A custom feature_fn overrides both."""
+    features: '+'-joined bank names — 'handcrafted' (default_features,
+    dependency-free), 'conv1' (/4 64ch) and 'layer3' (/16 256ch) from one
+    torchvision-layout ResNet-18 (pytracking features/deep.py ResNet18m1;
+    `load_backbone()` converts published weights). 'conv1+layer3' mirrors
+    the reference's default shallow+deep configuration with per-bank labels
+    and learning rates and weighted score fusion. A custom feature_fn
+    overrides everything with a single bank."""
     search_factor: float = 4.0
     crop_size: int = 224               # square crop, features at /4 -> 56
     output_sigma_factor: float = 1. / 12
@@ -98,7 +126,7 @@ class ECOTracker:
     feature_fn: Callable[[jax.Array], jax.Array] = \
         dataclasses.field(default=None)  # type: ignore[assignment]
     # factorized convolution (eco.py:67,109-113,152-158)
-    compressed_dim: Optional[int] = None   # None -> min(C, 16) (64 for deep)
+    compressed_dim: Optional[int] = None   # None -> per-bank heuristic
     update_projection: bool = True         # update_projection_matrix
     projection_reg: float = 5e-8
     init_gn_iter: int = 10                 # init_GN_iter
@@ -109,27 +137,42 @@ class ECOTracker:
     random_shift_factor: float = 0.0       # ECO shifts are explicit in spec
 
     def __post_init__(self):
-        if self.feature_fn is None:
-            if self.features == "handcrafted":
-                self.feature_fn = default_features
-            elif self.features in ("conv1", "layer3"):
-                self.feature_fn = self._make_resnet_features(self.features)
+        names = self.features.split("+")
+        if self.feature_fn is not None:
+            names = ["custom"]
+        if any(n in ("conv1", "layer3") for n in names):
+            from multi_modal_tracking_tpu.models.resnet import resnet18
+            self.backbone = resnet18()
+            self._bb_vars = jax.jit(self.backbone.init)(
+                jax.random.PRNGKey(self.rng_seed),
+                jnp.zeros((1, self.crop_size, self.crop_size, 3)))
+        self.banks = []
+        for n in names:
+            if len(names) == 1:
+                osf, lr, wt = (self.output_sigma_factor, self.learning_rate,
+                               1.0)
+            elif n in _MULTI_BANK_DEFAULTS:
+                osf, lr, wt = _MULTI_BANK_DEFAULTS[n]
             else:
-                raise ValueError(f"unknown features '{self.features}'")
+                raise ValueError(f"unknown bank '{n}' in multi-bank mode")
+            if n not in ("handcrafted", "conv1", "layer3", "custom"):
+                raise ValueError(f"unknown features '{n}'")
+            self.banks.append(_Bank(n, osf, lr, wt))
         z = jnp.zeros((self.crop_size, self.crop_size, 3))
-        fshape = jax.eval_shape(self.feature_fn, z).shape   # (C, h, w)
-        self._feat_c = fshape[0]
-        self._feat_sz = fshape[-1]
-        self._cell = self.crop_size / self._feat_sz
-        if self.compressed_dim is None:
-            # reference ratios: 16 of ~41 shallow channels, 64 of 256 deep
-            if self._feat_c <= 8:
-                self.compressed_dim = max(self._feat_c // 2 + 1, 3)
-            elif self._feat_c <= 64:
-                self.compressed_dim = 16
+        shapes = jax.eval_shape(self._extract, z)
+        for b, sh in zip(self.banks, shapes):
+            b.feat_c, b.feat_sz = sh.shape[0], sh.shape[-1]
+            if self.compressed_dim is not None:
+                b.cdim = min(self.compressed_dim, b.feat_c)
+            elif b.feat_c <= 8:                 # reference ratios: 16 of
+                b.cdim = max(b.feat_c // 2 + 1, 3)  # ~41 shallow, 64 of 256
+            elif b.feat_c <= 64:
+                b.cdim = 16
             else:
-                self.compressed_dim = 64
-        self.compressed_dim = min(self.compressed_dim, self._feat_c)
+                b.cdim = 64
+        # common (finest) output grid for score fusion (eco.py output_sz)
+        self._feat_sz = max(b.feat_sz for b in self.banks)
+        self._cell = self.crop_size / self._feat_sz
         self.augmenter = InitAugmenter(
             self.crop_size, spec=self.augmentation,
             random_shift_factor=self.random_shift_factor, seed=self.rng_seed)
@@ -148,25 +191,30 @@ class ECOTracker:
         self._track_step = jax.jit(self._track_step_fn)
         self._learn = jax.jit(self._learn_fn)
 
-    def _make_resnet_features(self, layer: str):
-        from multi_modal_tracking_tpu.models.resnet import resnet18
-        self.backbone = resnet18()
-        self._bb_vars = jax.jit(self.backbone.init)(
-            jax.random.PRNGKey(self.rng_seed),
-            jnp.zeros((1, self.crop_size, self.crop_size, 3)))
-
-        def fn(patch):
-            f = self.backbone.apply(self._bb_vars, patch[None])[layer][0]
-            f = f.transpose(2, 0, 1)                  # (C, h, w)
-            return f - f.mean(axis=(1, 2), keepdims=True)
-
-        return fn
+    # ------------------------------------------------------------- features
+    def _extract(self, crop: jax.Array) -> Tuple[jax.Array, ...]:
+        """(H, W, 3) float crop [0,255] -> per-bank (C, h, w), one backbone
+        forward shared across deep banks."""
+        out = []
+        resnet_feats = None
+        for b in self.banks:
+            if b.name in ("conv1", "layer3"):
+                if resnet_feats is None:
+                    resnet_feats = self.backbone.apply(self._bb_vars,
+                                                       crop[None] / 255.0)
+                f = resnet_feats[b.name][0].transpose(2, 0, 1)
+                out.append(f - f.mean(axis=(1, 2), keepdims=True))
+            elif b.name == "custom":
+                out.append(self.feature_fn(crop / 255.0))
+            else:
+                out.append(default_features(crop / 255.0))
+        return tuple(out)
 
     def load_backbone(self, state_dict) -> None:
         """Warm-start the deep-feature ResNet from a torchvision/pytracking
-        state dict (features='conv1'|'layer3' only)."""
+        state dict (banks using 'conv1'/'layer3' only)."""
         if not hasattr(self, "backbone"):
-            raise ValueError("load_backbone requires features='conv1'|'layer3'")
+            raise ValueError("load_backbone requires a conv1/layer3 bank")
         from multi_modal_tracking_tpu.utils.torch_convert import convert_resnet
         self._bb_vars, _ = convert_resnet(state_dict, self._bb_vars,
                                           strict=False, verbose=False)
@@ -183,71 +231,63 @@ class ECOTracker:
                                self.crop_size)
         return crop, 1.0 / rf
 
-    def _compress(self, xf: jax.Array, proj: jax.Array) -> jax.Array:
+    @staticmethod
+    def _compress(xf: jax.Array, proj: jax.Array) -> jax.Array:
         """Project rfft-domain features (..., C, h, wf) -> (..., Cp, h, wf)
         (projection is spatial-linear so it commutes with the FFT,
         eco.py project_sample :302-309)."""
         return jnp.einsum("...chw,cp->...phw", xf, proj.astype(xf.dtype))
 
-    def _learn_fn(self, state: ECOState) -> ECOState:
+    def _learn_bank(self, filt, zf, w, yf, num_iter):
         """FilterOptim (optim.py): CG on the weighted normal equations over
         the compressed sample memory, projection fixed."""
-        zf = state.samples_f
-        w = state.weights[:, None, None]
-        yf = state.yf
+        w = w[:, None, None]
 
         def A(f):
             resp = jnp.einsum("kphw,phw->khw", zf, f)
             out = jnp.einsum("khw,kphw->phw", w * resp, jnp.conj(zf))
             return out + self.reg * f
 
-        b = jnp.einsum("khw,kphw->phw", w * jnp.broadcast_to(yf, zf.shape[:1] + yf.shape),
+        b = jnp.einsum("khw,kphw->phw",
+                       w * jnp.broadcast_to(yf, zf.shape[:1] + yf.shape),
                        jnp.conj(zf))
-        res = conjugate_gradient(A, b, x0=state.filter_f,
-                                 num_iter=self.num_cg_iter)
-        return state._replace(filter_f=res.x)
+        return conjugate_gradient(A, b, x0=filt, num_iter=num_iter).x
 
-    def _init_fn(self, image, box_xywh) -> ECOState:
-        """Augmented init batch -> PCA projection -> joint factorized
-        optimization (eco.py:106-177) -> seeded sample memory."""
-        center = jnp.asarray([box_xywh[1] + box_xywh[3] / 2.0,
-                              box_xywh[0] + box_xywh[2] / 2.0])
-        target_sz = jnp.asarray([box_xywh[3], box_xywh[2]])
-        crop, _ = self._crop(image, center, target_sz)
-        aug = self.augmenter(crop)                           # (A_img, H, W, 3)
-        feats = jax.vmap(self.feature_fn)(aug / 255.0)       # (A_img, C, h, w)
-        # feature-dropout copies of the identity sample (NHWC helper)
-        feats = self.augmenter.augment_features(
-            feats.transpose(0, 2, 3, 1),
-            jax.random.PRNGKey(self.rng_seed + 2)).transpose(0, 3, 1, 2)
-        A_n = self.augmenter.num_samples
-        C, h, w = feats.shape[1:]
+    def _learn_fn(self, state: ECOState) -> ECOState:
+        filt = tuple(
+            self._learn_bank(f, zf, w, yf, self.num_cg_iter)
+            for f, zf, w, yf in zip(state.filter_f, state.samples_f,
+                                    state.weights, state.yf))
+        return state._replace(filter_f=filt)
 
-        # PCA init of the projection (eco.py:110-113): top-Cp eigenvectors of
-        # the feature covariance over all augmented samples
+    def _init_bank(self, bank: _Bank, feats: jax.Array):
+        """Augmented per-bank init: PCA projection -> guarded-LM joint
+        (filter, projection) optimization -> compressed init samples.
+        feats (A, C, h, w) -> (filter, proj, zf0, yf)."""
+        A_n, C, h, w = feats.shape
         x_mat = feats.transpose(1, 0, 2, 3).reshape(C, -1)
         x_mat = x_mat - x_mat.mean(axis=1, keepdims=True)
-        cov = x_mat @ x_mat.T
-        _, vecs = jnp.linalg.eigh(cov)                       # ascending
-        proj0 = vecs[:, ::-1][:, :self.compressed_dim]       # (C, Cp)
+        _, vecs = jnp.linalg.eigh(x_mat @ x_mat.T)          # ascending
+        proj0 = vecs[:, ::-1][:, :bank.cdim]                # (C, Cp)
 
         win = hann2d(h, w)
-        xf = fft2(feats * win[None, None])                   # (A, C, h, wf)
+        xf = fft2(feats * win[None, None])                  # (A, C, h, wf)
         # recentre augmented samples whose transform displaced the target
         # (eco.py:118-125 "Shift the samples back")
-        shifts = jnp.asarray(self.augmenter.shifts) / self._cell  # feat px
+        cell = self.crop_size / bank.feat_sz
+        shifts = jnp.asarray(self.augmenter.shifts) / cell  # feat px
         xf = jax.vmap(lambda s, sh: fourier_shift(s, sh, h, w))(xf, shifts)
 
-        sigma = jnp.maximum(
-            jnp.sqrt(jnp.prod(target_sz)) * self._feat_sz /
-            (jnp.sqrt(jnp.prod(target_sz)) * self.search_factor) *
-            self.output_sigma_factor, 1.0)
+        sigma = jnp.maximum(bank.feat_sz / self.search_factor *
+                            bank.sigma_factor, 1.0)
         y = gauss_label_2d(h, w, sigma, jnp.asarray([h / 2.0, w / 2.0]))
         yf = fft2(jnp.fft.ifftshift(y))
 
-        f0 = jnp.zeros((self.compressed_dim, h, w // 2 + 1), xf.dtype)
+        f0 = jnp.zeros((bank.cdim, h, w // 2 + 1), xf.dtype)
         sw = jnp.sqrt(1.0 / A_n)
-        if self.update_projection:
+        if not self.update_projection:
+            filt, proj = f0, proj0
+        else:
             # Joint (filter, projection) Gauss-Newton over the bilinear
             # factorized-convolution objective (FactorizedConvProblem,
             # eco.py:153-158). The raw objective is scale-degenerate
@@ -295,82 +335,122 @@ class ECOTracker:
                 lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1.0), lam * 4.0)
                 return (v, lam), None
 
-            (v, _), _ = jax.lax.scan(gn_step,
-                                     ({"f": f0, "P": proj0}, jnp.float32(1.0)),
-                                     None, length=self.init_gn_iter)
+            (v, _), _ = jax.lax.scan(
+                gn_step, ({"f": f0, "P": proj0}, jnp.float32(1.0)),
+                None, length=self.init_gn_iter)
             filt, proj = v["f"], v["P"]
-        else:
-            filt, proj = f0, proj0
+        return filt, proj, self._compress(xf, proj), yf
 
-        # seed the memory with the compressed init samples (eco.py:160-163)
-        zf0 = self._compress(xf, proj)
+    def _init_fn(self, image, box_xywh) -> ECOState:
+        """Augmented init batch -> per-bank PCA + joint factorized
+        optimization (eco.py:106-177) -> seeded sample memories."""
+        center = jnp.asarray([box_xywh[1] + box_xywh[3] / 2.0,
+                              box_xywh[0] + box_xywh[2] / 2.0])
+        target_sz = jnp.asarray([box_xywh[3], box_xywh[2]])
+        crop, _ = self._crop(image, center, target_sz)
+        aug = self.augmenter(crop)                           # (A_img, H, W, 3)
+        feats = jax.vmap(self._extract)(aug / 1.0)           # per-bank (A,...)
+        A_n = self.augmenter.num_samples
         K = self.sample_memory_size
-        samples_f = jnp.zeros((K, self.compressed_dim, h, w // 2 + 1),
-                              xf.dtype).at[:A_n].set(zf0)
-        weights = jnp.zeros((K,)).at[:A_n].set(1.0 / A_n)
-
-        st = ECOState(filter_f=filt, proj=proj, samples_f=samples_f,
-                      weights=weights, prev_ind=jnp.asarray(-1, jnp.int32),
-                      yf=yf, center=center, target_sz=target_sz)
+        filt, proj, samples, weights, yfs, prev = [], [], [], [], [], []
+        for bank, fb in zip(self.banks, feats):
+            # feature-dropout copies of the identity sample (NHWC helper)
+            fb = self.augmenter.augment_features(
+                fb.transpose(0, 2, 3, 1),
+                jax.random.PRNGKey(self.rng_seed + 2)).transpose(0, 3, 1, 2)
+            f, P, zf0, yf = self._init_bank(bank, fb)
+            filt.append(f)
+            proj.append(P)
+            samples.append(jnp.zeros((K,) + zf0.shape[1:],
+                                     zf0.dtype).at[:A_n].set(zf0))
+            weights.append(jnp.zeros((K,)).at[:A_n].set(1.0 / A_n))
+            yfs.append(yf)
+            prev.append(jnp.asarray(-1, jnp.int32))
+        st = ECOState(filter_f=tuple(filt), proj=tuple(proj),
+                      samples_f=tuple(samples), weights=tuple(weights),
+                      prev_ind=tuple(prev), yf=tuple(yfs),
+                      center=center, target_sz=target_sz)
         if not self.update_projection:
             st = self._learn_fn(st)
         return st
 
     def _track_step_fn(self, state: ECOState, image: jax.Array):
-        """Scale-pyramid localisation + Fourier-recentred memory insert
-        (eco.py track :190-230), one device program."""
-        h = w = self._feat_sz
-        win = hann2d(h, w)
+        """Scale-pyramid localisation on the fused score + Fourier-recentred
+        per-bank memory inserts (eco.py track :190-230), one program."""
+        H = W = self._feat_sz
 
-        def sample_at(scale):
+        def fused_score_at(scale):
             crop, px = self._crop(image, state.center, state.target_sz, scale)
-            x = self.feature_fn(crop / 255.0) * win[None]
-            zf = self._compress(fft2(x), state.proj)         # (Cp, h, wf)
-            # learning solves sum_p zf_p f_p ~= yf, so the response on a new
-            # sample is sum_p zf'_p f_p (NO conjugate: the shift theorem then
-            # moves the peak by the target displacement; a conj here reflects
-            # the appearance phase and mislocalises asymmetric targets —
-            # regression-tested in test_classic_eco.py)
-            s = ifft2(jnp.sum(zf * state.filter_f, axis=0), (h, w))
-            return jnp.fft.fftshift(s, axes=(-2, -1)), zf, px
+            feats = self._extract(crop)
+            score_f = jnp.zeros((H, W // 2 + 1), jnp.complex64)
+            zfs = []
+            for bank, fb, P, f in zip(self.banks, feats, state.proj,
+                                      state.filter_f):
+                h = w = bank.feat_sz
+                win = hann2d(h, w)
+                zf = self._compress(fft2(fb * win[None]), P)   # (Cp, h, wf)
+                zfs.append(zf)
+                # learning solves sum_p zf_p f_p ~= yf, so the response on a
+                # new sample is sum_p zf'_p f_p (NO conjugate: the shift
+                # theorem then moves the peak by the target displacement; a
+                # conj here reflects the appearance phase and mislocalises
+                # asymmetric targets — regression-tested in
+                # test_classic_eco.py). Spectra are Fourier-upsampled to the
+                # common grid and weight-summed ('weightedsum' fusion,
+                # eco.py:250-252).
+                sf = jnp.sum(zf * f, axis=0)
+                score_f = score_f + bank.weight * \
+                    pad_rfft2(sf, (H, W)).astype(jnp.complex64)
+            s = jnp.fft.fftshift(ifft2(score_f, (H, W)), axes=(-2, -1))
+            return s, zfs, px
 
-        scores, zfs, pxs = [], [], []
+        scores, zfs_all, pxs = [], [], []
         for sc in self.scale_factors:    # static unroll (few scales)
-            s, zf, px = sample_at(sc)
+            s, zfs, px = fused_score_at(sc)
             scores.append(s)
-            zfs.append(zf)
+            zfs_all.append(zfs)
             pxs.append(px)
         scores = jnp.stack(scores)
-        zfs = jnp.stack(zfs)
         pxs = jnp.stack(pxs)
         maxes = scores.max(axis=(-2, -1))
         best = jnp.argmax(maxes)
         score = scores[best]
         conf, peak = max2d(score)
         peak = subpixel_peak(score, peak)
-        disp_feat = peak - jnp.asarray([h // 2, w // 2], jnp.float32)
+        disp_feat = peak - jnp.asarray([H // 2, W // 2], jnp.float32)
         disp = disp_feat * self._cell * pxs[best]
         new_center = state.center + disp
         new_sz = state.target_sz * jnp.take(jnp.asarray(self.scale_factors),
                                             best)
 
-        # memory insert: recentre the best-scale sample on the estimated
-        # position (eco.py:225-227), then min-weight replacement with
-        # exponential bookkeeping (update_sample_weights :346-370)
-        zf_new = fourier_shift(zfs[best], disp_feat, h, w)
-        r_ind = jnp.argmin(state.weights).astype(jnp.int32)
-        lr = self.learning_rate
-        first = state.prev_ind < 0
-        w_first = (state.weights / (1.0 - lr)).at[r_ind].set(lr)
-        prev = jnp.clip(state.prev_ind, 0, None)
-        w_next = state.weights.at[r_ind].set(state.weights[prev] / (1.0 - lr))
-        weights = jnp.where(first, w_first, w_next)
-        weights = weights / jnp.sum(weights)
-        samples_f = jax.lax.dynamic_update_index_in_dim(
-            state.samples_f, zf_new, r_ind, 0)
-        new_st = state._replace(samples_f=samples_f, weights=weights,
-                                prev_ind=r_ind, center=new_center,
-                                target_sz=new_sz)
+        # per-bank memory insert: recentre the best-scale sample on the
+        # estimated position (eco.py:225-227), then min-weight replacement
+        # with exponential bookkeeping (update_sample_weights :346-370)
+        samples_t, weights_t, prev_t = [], [], []
+        for bi, bank in enumerate(self.banks):
+            zf_b = jnp.stack([zfs_all[si][bi]
+                              for si in range(len(self.scale_factors))])
+            h = w = bank.feat_sz
+            zf_new = fourier_shift(zf_b[best],
+                                   disp_feat * (bank.feat_sz / self._feat_sz),
+                                   h, w)
+            wts = state.weights[bi]
+            r_ind = jnp.argmin(wts).astype(jnp.int32)
+            lr = bank.learning_rate
+            first = state.prev_ind[bi] < 0
+            w_first = (wts / (1.0 - lr)).at[r_ind].set(lr)
+            prev = jnp.clip(state.prev_ind[bi], 0, None)
+            w_next = wts.at[r_ind].set(wts[prev] / (1.0 - lr))
+            wts = jnp.where(first, w_first, w_next)
+            wts = wts / jnp.sum(wts)
+            samples_t.append(jax.lax.dynamic_update_index_in_dim(
+                state.samples_f[bi], zf_new, r_ind, 0))
+            weights_t.append(wts)
+            prev_t.append(r_ind)
+        new_st = state._replace(samples_f=tuple(samples_t),
+                                weights=tuple(weights_t),
+                                prev_ind=tuple(prev_t),
+                                center=new_center, target_sz=new_sz)
         return new_st, conf
 
     # --------------------------------------------------------------- host API

@@ -109,6 +109,42 @@ def test_eco_layer3_grid_geometry():
     assert t._feat_sz == 6 and abs(t._cell - 16.0) < 1e-6
 
 
+def test_eco_dual_bank_fusion_follows():
+    """Reference-default shallow+deep configuration: per-bank labels and
+    learning rates, score spectra Fourier-upsampled to the common grid and
+    weight-summed ('weightedsum', eco.py:250-252)."""
+    t = ECOTracker(crop_size=96, search_factor=4.0, features="conv1+layer3",
+                   update_interval=3, update_projection=False)
+    assert len(t.banks) == 2
+    assert t._feat_sz == 24                       # fused on the finest grid
+    assert t.banks[0].learning_rate != t.banks[1].learning_rate
+    cx, cy, size = 70.0, 80.0, 32
+    t.initialize(_frame(cx, cy), {"init_bbox": [cx - 16, cy - 16, size, size]})
+    errs = []
+    for k in range(1, 7):
+        cx += 3.0
+        cy += 2.0
+        out = t.track(_frame(cx, cy, seed=k))
+        b = out["target_bbox"]
+        errs.append(np.hypot(b[0] + b[2] / 2 - cx, b[1] + b[3] / 2 - cy))
+    errs = np.asarray(errs)
+    assert np.isfinite(errs).all()
+    assert errs.mean() < size / 2, errs
+
+
+def test_pad_rfft2_exact_upsample():
+    """Fourier zero-padding is exact sinc interpolation: the upsampled map
+    passes through the original samples and stays real."""
+    import jax.numpy as jnp
+    from multi_modal_tracking_tpu.classic.dcf import fft2, ifft2, pad_rfft2
+    rng = np.random.default_rng(0)
+    for (h, w, H, W) in [(6, 6, 24, 24), (8, 12, 16, 24)]:
+        x = rng.standard_normal((h, w)).astype(np.float32)
+        big = np.asarray(ifft2(pad_rfft2(fft2(jnp.asarray(x)), (H, W)),
+                               (H, W)))
+        np.testing.assert_allclose(big[::H // h, ::W // w], x, atol=1e-5)
+
+
 def test_eco_sample_memory_bookkeeping():
     """pytracking update_sample_weights semantics (eco.py:346-370): empty
     slots fill first (min weight), weights stay normalised, the first
@@ -119,24 +155,24 @@ def test_eco_sample_memory_bookkeeping():
     A = t.augmenter.num_samples
     t.initialize(_frame(80, 80), {"init_bbox": [66.0, 66.0, 28, 28]})
     st0 = t._state
-    assert int(jnp.sum(st0.weights > 0)) == A
-    np.testing.assert_allclose(float(st0.weights.sum()), 1.0, rtol=1e-5)
+    assert int(jnp.sum(st0.weights[0] > 0)) == A
+    np.testing.assert_allclose(float(st0.weights[0].sum()), 1.0, rtol=1e-5)
 
     t.track(_frame(83, 82, seed=1))
     st1 = t._state
     # new sample landed in the first empty slot with weight ~ learning_rate
-    assert int(st1.prev_ind) == A
+    assert int(st1.prev_ind[0]) == A
     lr = t.learning_rate
     # pre-normalise: old weights sum 1/(1-lr), new slot lr
-    np.testing.assert_allclose(float(st1.weights[A]),
+    np.testing.assert_allclose(float(st1.weights[0][A]),
                                lr * (1 - lr) / (1 + lr * (1 - lr)), rtol=1e-4)
-    np.testing.assert_allclose(float(st1.weights.sum()), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(float(st1.weights[0].sum()), 1.0, rtol=1e-5)
     # the stored sample at the slot is the (recentred) new sample, nonzero
-    assert float(jnp.abs(st1.samples_f[A]).sum()) > 0
+    assert float(jnp.abs(st1.samples_f[0][A]).sum()) > 0
 
     t.track(_frame(86, 84, seed=2))
     st2 = t._state
-    assert int(st2.prev_ind) == A + 1
+    assert int(st2.prev_ind[0]) == A + 1
     # second insert outweighs the first (geometric growth before normalise)
-    assert float(st2.weights[A + 1]) > float(st2.weights[A])
-    np.testing.assert_allclose(float(st2.weights.sum()), 1.0, rtol=1e-5)
+    assert float(st2.weights[0][A + 1]) > float(st2.weights[0][A])
+    np.testing.assert_allclose(float(st2.weights[0].sum()), 1.0, rtol=1e-5)
