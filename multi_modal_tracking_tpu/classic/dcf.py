@@ -9,7 +9,7 @@ rfft2 domain (XLA lowers FFTs natively) with static shapes.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,29 +48,35 @@ def ifft2(xf: jax.Array, shape: Tuple[int, int]) -> jax.Array:
     return jnp.fft.irfft2(xf, s=shape, axes=(-2, -1))
 
 
-def pad_rfft2(sf: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+def pad_rfft2(sf: jax.Array, out_hw: Tuple[int, int],
+              in_hw: Optional[Tuple[int, int]] = None) -> jax.Array:
     """Zero-pad an rfft2 spectrum (..., h, w//2+1) of an (h, w) real signal
     into the spectrum of an (H, W) grid — exact Fourier (sinc) upsampling,
     the spatial-domain amplitude preserved (pytracking fourier.sample_fs /
     sum_fs zero-padding of score spectra to the common output size).
 
-    Even-size Nyquist bins are split half-and-half between the +N/2 and
-    -N/2 rows (and halved at the w/2 column) so real signals stay real.
+    The input width cannot be inferred from the half-spectrum when odd, so
+    pass in_hw for odd-sized inputs (default assumes even width). Even-size
+    Nyquist bins are split half-and-half between the +N/2 and -N/2 rows
+    (and halved at the w/2 column); odd sizes have no Nyquist bin and copy
+    straight over. Real signals stay real either way.
     """
     h, wf = sf.shape[-2], sf.shape[-1]
-    w = 2 * (wf - 1)
+    w = 2 * (wf - 1) if in_hw is None else in_hw[1]
+    if in_hw is not None:
+        assert in_hw[0] == h and w // 2 + 1 == wf, (in_hw, sf.shape)
     H, W = out_hw
     if (h, w) == (H, W):
         return sf
     Wf = W // 2 + 1
     out = jnp.zeros(sf.shape[:-2] + (H, Wf), sf.dtype)
-    top = h // 2 + 1                      # rows 0..h/2 (incl. Nyquist)
-    bot = h - top                         # rows -(h/2-1)..-1
+    top = h // 2 + 1                      # rows 0..h/2 (incl. Nyquist if even)
+    bot = h - top                         # negative-frequency rows
     body = sf
-    if w < W:                             # halve the Nyquist column
+    if w % 2 == 0 and w < W:              # halve the even-width Nyquist col
         body = body.at[..., :, wf - 1].multiply(0.5)
     rows_top = body[..., :top, :]
-    if h < H:
+    if h % 2 == 0 and h < H:
         # split the Nyquist row half-and-half between +h/2 and -h/2 (the
         # row is Hermitian in kx by itself, so this keeps the signal real)
         rows_top = rows_top.at[..., top - 1, :].multiply(0.5)
@@ -79,13 +85,6 @@ def pad_rfft2(sf: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     if bot:
         out = out.at[..., H - bot:, :wf].set(body[..., top:, :])
     return out * (float(H * W) / float(h * w))
-    """Circular cross-correlation sum over channels: feat (C, H, W) with
-    filter (C, H, W) -> score (H, W). Correlation = IFFT(conj(F_filt)*F_feat),
-    summed over C (the ECO/CCOT score operator, fourier.py)."""
-    ff = fft2(feat)
-    hf = fft2(filt)
-    sf = jnp.sum(jnp.conj(hf) * ff, axis=0)
-    return ifft2(sf, feat.shape[-2:])
 
 
 def max2d(score: jax.Array) -> Tuple[jax.Array, jax.Array]:

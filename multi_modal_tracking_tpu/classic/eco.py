@@ -319,7 +319,7 @@ class ECOTracker:
                            for r in jax.tree_util.tree_leaves(residual(v)))
 
             def gn_step(carry, _):
-                v, lam = carry
+                v, obj_v, lam = carry
 
                 def damped(vv):
                     sg = jax.lax.stop_gradient
@@ -329,14 +329,17 @@ class ECOTracker:
 
                 v_new = solve_normal_equations(damped, v,
                                                num_iter=self.init_cg_per_gn)
-                ok = objective(v_new) < objective(v)
+                obj_new = objective(v_new)
+                ok = obj_new < obj_v
                 v = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(ok, a, b), v_new, v)
+                obj_v = jnp.where(ok, obj_new, obj_v)
                 lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1.0), lam * 4.0)
-                return (v, lam), None
+                return (v, obj_v, lam), None
 
-            (v, _), _ = jax.lax.scan(
-                gn_step, ({"f": f0, "P": proj0}, jnp.float32(1.0)),
+            v0 = {"f": f0, "P": proj0}
+            (v, _, _), _ = jax.lax.scan(
+                gn_step, (v0, objective(v0), jnp.float32(1.0)),
                 None, length=self.init_gn_iter)
             filt, proj = v["f"], v["P"]
         return filt, proj, self._compress(xf, proj), yf
@@ -349,7 +352,7 @@ class ECOTracker:
         target_sz = jnp.asarray([box_xywh[3], box_xywh[2]])
         crop, _ = self._crop(image, center, target_sz)
         aug = self.augmenter(crop)                           # (A_img, H, W, 3)
-        feats = jax.vmap(self._extract)(aug / 1.0)           # per-bank (A,...)
+        feats = jax.vmap(self._extract)(aug)                 # per-bank (A,...)
         A_n = self.augmenter.num_samples
         K = self.sample_memory_size
         filt, proj, samples, weights, yfs, prev = [], [], [], [], [], []
@@ -400,7 +403,7 @@ class ECOTracker:
                 # eco.py:250-252).
                 sf = jnp.sum(zf * f, axis=0)
                 score_f = score_f + bank.weight * \
-                    pad_rfft2(sf, (H, W)).astype(jnp.complex64)
+                    pad_rfft2(sf, (H, W), (h, w)).astype(jnp.complex64)
             s = jnp.fft.fftshift(ifft2(score_f, (H, W)), axes=(-2, -1))
             return s, zfs, px
 

@@ -16,6 +16,7 @@ double-backward trick.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -100,17 +101,28 @@ def solve_normal_equations(residual_fn: Callable[[Pytree], Pytree], x: Pytree,
     J-products via jvp (forward) and vjp (reverse) exactly where the
     reference uses torch.autograd.grad twice (:278-291). `precond` is the M1
     preconditioner applied inside CG (reference Problem.M1).
+
+    Complex leaves: jax.vjp of a holomorphic map returns the UNCONJUGATED
+    transpose J^T w, but least squares needs the Hermitian adjoint
+    J^H w = conj(J^T conj(w)) — so every vjp call is conj-wrapped (a no-op
+    on real leaves). Without this the "normal equations" are non-Hermitian
+    and CG stalls (caught on the ECO factorized-conv init).
     """
     r0, vjp_fn = jax.vjp(residual_fn, x)
+    _conj = functools.partial(jax.tree_util.tree_map, jnp.conj)
+
+    def JH(w):
+        (out,) = vjp_fn(_conj(w))
+        return _conj(out)
 
     def A(dx):
         _, Jdx = jax.jvp(residual_fn, (x,), (dx,))
-        (JtJdx,) = vjp_fn(Jdx)
+        JtJdx = JH(Jdx)
         if reg is not None:                 # Levenberg damping (may be traced)
             JtJdx = _axpy(reg, dx, JtJdx)
         return JtJdx
 
-    (neg_Jtr,) = vjp_fn(jax.tree_util.tree_map(lambda u: -u, r0))
+    neg_Jtr = JH(jax.tree_util.tree_map(lambda u: -u, r0))
     res = conjugate_gradient(A, neg_Jtr, num_iter=num_iter, precond=precond)
     return jax.tree_util.tree_map(lambda u, v: u + v, x, res.x)
 

@@ -138,10 +138,11 @@ def test_pad_rfft2_exact_upsample():
     import jax.numpy as jnp
     from multi_modal_tracking_tpu.classic.dcf import fft2, ifft2, pad_rfft2
     rng = np.random.default_rng(0)
-    for (h, w, H, W) in [(6, 6, 24, 24), (8, 12, 16, 24)]:
+    for (h, w, H, W) in [(6, 6, 24, 24), (8, 12, 16, 24),
+                         (7, 7, 21, 21), (6, 9, 24, 27)]:  # odd needs in_hw
         x = rng.standard_normal((h, w)).astype(np.float32)
-        big = np.asarray(ifft2(pad_rfft2(fft2(jnp.asarray(x)), (H, W)),
-                               (H, W)))
+        big = np.asarray(ifft2(pad_rfft2(fft2(jnp.asarray(x)), (H, W),
+                                         (h, w)), (H, W)))
         np.testing.assert_allclose(big[::H // h, ::W // w], x, atol=1e-5)
 
 

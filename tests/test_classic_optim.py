@@ -48,6 +48,46 @@ def test_normal_equations_linear_least_squares():
     np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-3, atol=1e-3)
 
 
+def test_normal_equations_complex_least_squares():
+    """Complex leaves need the HERMITIAN adjoint: jax.vjp of a holomorphic
+    map returns the unconjugated transpose J^T, so solve_normal_equations
+    conj-wraps it (regression: the raw transpose makes CG solve a
+    non-Hermitian system that never descends — the ECO factorized-conv
+    init shipped with that bug)."""
+    rng = np.random.default_rng(5)
+    Z = jnp.asarray(rng.standard_normal((12, 5)) +
+                    1j * rng.standard_normal((12, 5)), jnp.complex64)
+    y = jnp.asarray(rng.standard_normal(12) +
+                    1j * rng.standard_normal(12), jnp.complex64)
+    x = solve_normal_equations(lambda x: Z @ x - y,
+                               jnp.zeros(5, jnp.complex64), num_iter=20)
+    expected, *_ = np.linalg.lstsq(np.asarray(Z), np.asarray(y), rcond=None)
+    np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-3, atol=1e-3)
+
+
+def test_normal_equations_mixed_real_complex_tree():
+    """Bilinear-style mixed pytree (complex filter + real matrix): the joint
+    solve must minimise the true real objective."""
+    rng = np.random.default_rng(6)
+    Z = jnp.asarray(rng.standard_normal((30, 4)) +
+                    1j * rng.standard_normal((30, 4)), jnp.complex64)
+    y = jnp.asarray(rng.standard_normal(30) +
+                    1j * rng.standard_normal(30), jnp.complex64)
+    M = jnp.asarray(rng.standard_normal((30, 3)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal(30), jnp.float32)
+
+    def residual(v):
+        return {"c": Z @ v["f"] - y, "r": M @ v["p"] - t}
+
+    v = solve_normal_equations(residual,
+                               {"f": jnp.zeros(4, jnp.complex64),
+                                "p": jnp.zeros(3, jnp.float32)}, num_iter=30)
+    ef, *_ = np.linalg.lstsq(np.asarray(Z), np.asarray(y), rcond=None)
+    ep, *_ = np.linalg.lstsq(np.asarray(M), np.asarray(t), rcond=None)
+    np.testing.assert_allclose(np.asarray(v["f"]), ef, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v["p"]), ep, rtol=1e-3, atol=1e-3)
+
+
 def test_gauss_newton_nonlinear():
     """Fit exp(a*t) to data: GN converges from a nearby start."""
     t = jnp.linspace(0, 1, 16)
