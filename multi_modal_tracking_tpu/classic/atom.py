@@ -123,6 +123,11 @@ class ATOMTracker:
     update_interval: int = 10
     sigma_factor: float = 0.25          # label sigma in target-size units
     refine: bool = True                 # IoUNet gradient-ascent refinement
+    # scale pyramid for the classifier localisation: reference runs one
+    # scale when the IoUNet estimates size (default.py:54) and
+    # 1.02**arange(-2,3) in the no-IoUNet config (multiscale_no_iounet.py);
+    # the best-scale factor updates target_sz when refine=False
+    scale_factors: Tuple[float, ...] = (1.0,)
     refine_steps: int = 5
     refine_lr: float = 1.0
     num_random_boxes: int = 9           # num_init_random_boxes
@@ -210,6 +215,21 @@ class ATOMTracker:
         feats = self.backbone.apply(self._bb_vars, crop[None] / 255.0)
         return feats, 1.0 / rf           # image px per crop px
 
+    def _features_pyramid(self, image, center, size):
+        """One crop per scale factor, ONE batched backbone forward.
+        Returns ({'layer2','layer3'} with leading scale dim, (S,) px)."""
+        box = jnp.stack([center[1] - size[1] / 2.0, center[0] - size[0] / 2.0,
+                         size[1], size[0]])
+        crops, pxs = [], []
+        for sc in self.scale_factors:    # static unroll (few scales)
+            crop, rf = crop_resize(image, box, self.search_factor * sc,
+                                   self.crop_size)
+            crops.append(crop)
+            pxs.append(1.0 / rf)
+        feats = self.backbone.apply(self._bb_vars,
+                                    jnp.stack(crops) / 255.0)
+        return feats, jnp.stack(pxs)
+
     def _apply_filter(self, filt, samples) -> jax.Array:
         """conv2d of the filter over (M, h, w, C) samples -> (M, h, w)."""
         return jax.lax.conv_general_dilated(
@@ -280,10 +300,16 @@ class ATOMTracker:
                                   method="get_modulation")
 
     def _track_fn(self, state: ATOMState, image, modulation):
-        feats, px = self._features(image, state.center, state.target_sz)
-        feat = feats["layer3"]
-        score = self._apply_filter(state.filt, feat)[0]
-        score = score * hann2d(*self._feat_hw)
+        feats, pxs = self._features_pyramid(image, state.center,
+                                            state.target_sz)
+        scores = self._apply_filter(state.filt, feats["layer3"])  # (S, h, w)
+        scores = scores * hann2d(*self._feat_hw)[None]
+        # best scale by peak response (atom.py:322-323), then localise on it
+        best = jnp.argmax(scores.max(axis=(1, 2)))
+        score = scores[best]
+        feat = feats["layer3"][best][None]
+        px = pxs[best]
+        scale_best = jnp.take(jnp.asarray(self.scale_factors), best)
         h, w = self._feat_hw
         fs = 1.0 / px                   # crop px per image px
         if self.advanced_localization:
@@ -314,23 +340,26 @@ class ATOMTracker:
             box = jnp.stack([c_crop[1] - sz_crop[1] / 2.0,
                              c_crop[0] - sz_crop[0] / 2.0,
                              sz_crop[1], sz_crop[0]])
-            iou_feat = self.iou_net.apply(self._iou_vars, feats["layer2"],
-                                          feats["layer3"],
+            iou_feat = self.iou_net.apply(self._iou_vars,
+                                          feats["layer2"][best][None],
+                                          feats["layer3"][best][None],
                                           method="get_iou_feat")
             rng = jax.random.fold_in(jax.random.PRNGKey(self.rng_seed + 3),
                                      state.mem_ptr)
-            best, _ = refine_box_iounet(
+            refined, _ = refine_box_iounet(
                 self.iou_net, self._iou_vars, iou_feat, modulation, box, rng,
                 num_random=self.num_random_boxes, steps=self.refine_steps,
                 step_length=self.refine_lr, topk=self.iounet_topk)
-            c_new = jnp.asarray([best[1] + best[3] / 2.0,
-                                 best[0] + best[2] / 2.0])
+            c_new = jnp.asarray([refined[1] + refined[3] / 2.0,
+                                 refined[0] + refined[2] / 2.0])
             center = state.center + \
                 (c_new - jnp.asarray([self.crop_size / 2.0] * 2)) * px
-            target_sz = jnp.clip(jnp.asarray([best[3], best[2]]) * px,
+            target_sz = jnp.clip(jnp.asarray([refined[3], refined[2]]) * px,
                                  4.0, None)
         else:
-            target_sz = state.target_sz
+            # no IoUNet: the best pyramid scale sets the size
+            # (atom.py:252-253 update_state(new_pos, sample_scales[ind]))
+            target_sz = state.target_sz * scale_best
         # position/scale update gated on the flag (atom.py:247-252: state is
         # frozen when NOT_FOUND; uncertain still moves the position because
         # update_scale_when_uncertain defaults True)

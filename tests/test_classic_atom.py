@@ -50,6 +50,24 @@ def test_atom_refinement_runs_and_is_finite():
     assert b[2] > 0 and b[3] > 0
 
 
+def test_atom_scale_pyramid_adapts_size():
+    """No-IoUNet multi-scale config (multiscale_no_iounet.py): the best
+    pyramid scale updates target_sz (atom.py:252-253)."""
+    t = ATOMTracker(crop_size=160, search_factor=4.0, refine=False,
+                    num_cg_iter=6, update_interval=3,
+                    scale_factors=tuple(1.04 ** i for i in range(-2, 3)))
+    cx, cy, size = 80.0, 80.0, 24
+    t.initialize(_frame(cx, cy, size=size),
+                 {"init_bbox": [cx - size / 2, cy - size / 2, size, size]})
+    for k in range(1, 8):
+        size += 2                        # target grows ~8%/frame
+        out = t.track(_frame(cx, cy, size=size, seed=k))
+    b = out["target_bbox"]
+    assert np.isfinite(b).all()
+    # size tracked upward (started at 24, target ended at 38)
+    assert b[2] > 26 and b[3] > 26, b
+
+
 def test_refine_aspect_filter_falls_back_to_input_box():
     """When every refined proposal violates the aspect-ratio limit the input
     box must come back unchanged (reference early-return, dimp.py:688)."""
