@@ -40,7 +40,8 @@ from multi_modal_tracking_tpu.classic.dcf import (FLAG_HARD_NEGATIVE,
 from multi_modal_tracking_tpu.classic.augmentation import InitAugmenter
 from multi_modal_tracking_tpu.classic.dimpnet import AtomIoUNet
 from multi_modal_tracking_tpu.classic.optimization import solve_normal_equations
-from multi_modal_tracking_tpu.models.resnet import resnet18
+from multi_modal_tracking_tpu.models.resnet import (imagenet_preprocess,
+                                                    resnet18)
 from multi_modal_tracking_tpu.ops.crop import crop_resize
 
 
@@ -157,10 +158,13 @@ class ATOMTracker:
         self.augmenter = InitAugmenter(
             self.crop_size, spec=self.augmentation,
             random_shift_factor=self.random_shift_factor, seed=self.rng_seed)
-        if self.augmenter.num_samples > self.memory_size:
+        if self.augmenter.num_samples >= self.memory_size:
+            # need >= 1 free slot: the ring wraps into slots A..M-1 and must
+            # never clobber the protected init samples (pytracking keeps all
+            # num_init_samples for the whole sequence)
             raise ValueError(
-                f"memory_size={self.memory_size} < augmented init batch "
-                f"{self.augmenter.num_samples}")
+                f"memory_size={self.memory_size} must exceed the augmented "
+                f"init batch {self.augmenter.num_samples}")
         z = jnp.zeros((1, self.crop_size, self.crop_size, 3))
         self._bb_vars = jax.jit(self.backbone.init)(
             jax.random.PRNGKey(self.rng_seed), z)
@@ -177,8 +181,12 @@ class ATOMTracker:
             jnp.zeros((1, *self._l2_hw, 128)),
             jnp.zeros((1, *self._feat_hw, self._feat_c)),
             box[None], box[None, None])
+        # network variables are passed as jit ARGUMENTS (never closed over:
+        # closure params inline into the HLO — CLAUDE.md remote-compile
+        # limit — and would silently pin pre-load_network weights)
         self._init_jit = jax.jit(self._init_fn)
         self._track_jit = jax.jit(self._track_fn)
+        self._mod_jit = jax.jit(self._modulation)
         self._optim_jit = jax.jit(self._optimize_filter)
         # hard-negative reaction: one extra CG run with more iterations
         # (atom.py:285-286 filter_optimizer.run(hard_negative_CG_iter))
@@ -207,15 +215,15 @@ class ATOMTracker:
         self._iou_vars = split["bb_regressor"]
 
     # ----------------------------------------------------------- device fns
-    def _features(self, image, center, size):
+    def _features(self, bb_vars, image, center, size):
         """Crop + backbone. Returns ({'layer2','layer3'}, px-per-crop-px)."""
         box = jnp.stack([center[1] - size[1] / 2.0, center[0] - size[0] / 2.0,
                          size[1], size[0]])
         crop, rf = crop_resize(image, box, self.search_factor, self.crop_size)
-        feats = self.backbone.apply(self._bb_vars, crop[None] / 255.0)
+        feats = self.backbone.apply(bb_vars, imagenet_preprocess(crop[None]))
         return feats, 1.0 / rf           # image px per crop px
 
-    def _features_pyramid(self, image, center, size):
+    def _features_pyramid(self, bb_vars, image, center, size):
         """One crop per scale factor, ONE batched backbone forward.
         Returns ({'layer2','layer3'} with leading scale dim, (S,) px)."""
         box = jnp.stack([center[1] - size[1] / 2.0, center[0] - size[0] / 2.0,
@@ -226,8 +234,8 @@ class ATOMTracker:
                                    self.crop_size)
             crops.append(crop)
             pxs.append(1.0 / rf)
-        feats = self.backbone.apply(self._bb_vars,
-                                    jnp.stack(crops) / 255.0)
+        feats = self.backbone.apply(bb_vars,
+                                    imagenet_preprocess(jnp.stack(crops)))
         return feats, jnp.stack(pxs)
 
     def _apply_filter(self, filt, samples) -> jax.Array:
@@ -257,7 +265,7 @@ class ATOMTracker:
         sigma = self.sigma_factor * jnp.sqrt(h * w) / self.search_factor
         return gauss_label_2d(h, w, sigma, center_rc)
 
-    def _init_fn(self, image, box_xywh) -> ATOMState:
+    def _init_fn(self, bb_vars, image, box_xywh) -> ATOMState:
         center = jnp.asarray([box_xywh[1] + box_xywh[3] / 2.0,
                               box_xywh[0] + box_xywh[2] / 2.0])
         size = jnp.asarray([box_xywh[3], box_xywh[2]])
@@ -267,7 +275,8 @@ class ATOMTracker:
                          size[1], size[0]])
         crop, _ = crop_resize(image, box, self.search_factor, self.crop_size)
         aug = self.augmenter(crop)                       # (A_img, H, W, 3)
-        feats = self.backbone.apply(self._bb_vars, aug / 255.0)["layer3"]
+        feats = self.backbone.apply(bb_vars,
+                                    imagenet_preprocess(aug))["layer3"]
         feats = self.augmenter.augment_features(
             feats, jax.random.PRNGKey(self.rng_seed + 2))  # (A, h, w, C)
         A = self.augmenter.num_samples
@@ -287,20 +296,20 @@ class ATOMTracker:
                        center=center, target_sz=size)
         return self._optimize_filter(st)
 
-    def _modulation(self, image, center, size):
+    def _modulation(self, nets, image, center, size):
         """Reference-branch modulation vectors from the init frame
         (atom.py init_iou_net): target box in crop px."""
-        feats, px = self._features(image, center, size)
+        feats, px = self._features(nets["bb"], image, center, size)
         sz_crop = size / px                              # (h, w) crop px
         c = self.crop_size / 2.0
         box = jnp.stack([c - sz_crop[1] / 2.0, c - sz_crop[0] / 2.0,
                          sz_crop[1], sz_crop[0]])
-        return self.iou_net.apply(self._iou_vars, feats["layer2"],
+        return self.iou_net.apply(nets["iou"], feats["layer2"],
                                   feats["layer3"], box[None],
                                   method="get_modulation")
 
-    def _track_fn(self, state: ATOMState, image, modulation):
-        feats, pxs = self._features_pyramid(image, state.center,
+    def _track_fn(self, nets, state: ATOMState, image, modulation):
+        feats, pxs = self._features_pyramid(nets["bb"], image, state.center,
                                             state.target_sz)
         scores = self._apply_filter(state.filt, feats["layer3"])  # (S, h, w)
         scores = scores * hann2d(*self._feat_hw)[None]
@@ -340,14 +349,14 @@ class ATOMTracker:
             box = jnp.stack([c_crop[1] - sz_crop[1] / 2.0,
                              c_crop[0] - sz_crop[0] / 2.0,
                              sz_crop[1], sz_crop[0]])
-            iou_feat = self.iou_net.apply(self._iou_vars,
+            iou_feat = self.iou_net.apply(nets["iou"],
                                           feats["layer2"][best][None],
                                           feats["layer3"][best][None],
                                           method="get_iou_feat")
             rng = jax.random.fold_in(jax.random.PRNGKey(self.rng_seed + 3),
                                      state.mem_ptr)
             refined, _ = refine_box_iounet(
-                self.iou_net, self._iou_vars, iou_feat, modulation, box, rng,
+                self.iou_net, nets["iou"], iou_feat, modulation, box, rng,
                 num_random=self.num_random_boxes, steps=self.refine_steps,
                 step_length=self.refine_lr, topk=self.iounet_topk)
             c_new = jnp.asarray([refined[1] + refined[3] / 2.0,
@@ -397,19 +406,25 @@ class ATOMTracker:
         return new_st, conf, flag
 
     # --------------------------------------------------------------- host API
+    @property
+    def _nets(self):
+        return {"bb": self._bb_vars, "iou": self._iou_vars}
+
     def initialize(self, image: np.ndarray, info: dict):
         img = jnp.asarray(np.asarray(image), jnp.float32)
-        self._state = self._init_jit(img, jnp.asarray(info["init_bbox"],
-                                                      jnp.float32))
+        self._state = self._init_jit(self._bb_vars, img,
+                                     jnp.asarray(info["init_bbox"],
+                                                 jnp.float32))
         # reference branch for IoUNet modulation, cached for the sequence
-        self._mod = jax.jit(self._modulation)(img, self._state.center,
-                                              self._state.target_sz)
+        self._mod = self._mod_jit(self._nets, img, self._state.center,
+                                  self._state.target_sz)
         self._frame = 0
 
     def track(self, image: np.ndarray, info: Optional[dict] = None) -> dict:
         self._frame += 1
         img = jnp.asarray(np.asarray(image), jnp.float32)
-        self._state, conf, flag = self._track_jit(self._state, img, self._mod)
+        self._state, conf, flag = self._track_jit(self._nets, self._state,
+                                                  img, self._mod)
         flag = int(flag)
         # filter refresh (atom.py:285-289): immediate boosted run on a hard
         # negative, otherwise the periodic schedule (train_skipping)

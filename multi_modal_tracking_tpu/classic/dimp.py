@@ -41,7 +41,8 @@ from multi_modal_tracking_tpu.classic.dcf import (FLAG_HARD_NEGATIVE,
                                                   localize_advanced, max2d,
                                                   subpixel_peak)
 from multi_modal_tracking_tpu.classic.dimpnet import AtomIoUNet, DiMPClassifier
-from multi_modal_tracking_tpu.models.resnet import resnet18, resnet50
+from multi_modal_tracking_tpu.models.resnet import (imagenet_preprocess,
+                                                    resnet18, resnet50)
 from multi_modal_tracking_tpu.ops.crop import crop_resize
 
 # (backbone ctor, layer3 ch, layer2 ch, clf feature_dim, clf out_dim,
@@ -104,10 +105,13 @@ class DiMPTracker:
         self.augmenter = InitAugmenter(
             self.crop_size, spec=self.augmentation,
             random_shift_factor=self.random_shift_factor, seed=self.rng_seed)
-        if self.augmenter.num_samples > self.memory_size:
+        if self.augmenter.num_samples >= self.memory_size:
+            # need >= 1 free slot: the ring wraps into slots A..M-1 and must
+            # never clobber the protected init samples (pytracking keeps all
+            # num_init_samples for the whole sequence)
             raise ValueError(
-                f"memory_size={self.memory_size} < augmented init batch "
-                f"{self.augmenter.num_samples}")
+                f"memory_size={self.memory_size} must exceed the augmented "
+                f"init batch {self.augmenter.num_samples}")
         z = jnp.zeros((1, self.crop_size, self.crop_size, 3))
         self._bb_vars = jax.jit(self.backbone.init)(
             jax.random.PRNGKey(self.rng_seed), z)
@@ -125,14 +129,23 @@ class DiMPTracker:
             jnp.zeros((1, *self._l2_hw, l2c)), l3,
             jnp.zeros((1, *self._l2_hw, l2c)), l3,
             bb0, bb0[:, None])
+        # network variables are passed as jit ARGUMENTS (never closed over:
+        # closure params inline into the HLO — CLAUDE.md remote-compile
+        # limit — and would silently pin pre-load_network weights)
         self._init_jit = jax.jit(self._init_fn)
         self._track_jit = jax.jit(self._track_fn)
         self._update_jit = jax.jit(self._update_fn)
         # hard-negative reaction (dimp.py:619-620: net_opt_hn_iter SD steps
         # with the boosted-lr memory, run immediately on the flagged frame)
         self._update_hn_jit = jax.jit(
-            lambda st: self._update_fn(st, num_iter=self.hn_opt_iter))
+            lambda nets, st: self._update_fn(nets, st,
+                                             num_iter=self.hn_opt_iter))
         self._mod_jit = jax.jit(self._modulation)
+
+    @property
+    def _nets(self):
+        return {"bb": self._bb_vars, "clf": self._clf_vars,
+                "iou": self._iou_vars}
 
     def load_network(self, state_dict, strict: bool = True) -> None:
         """Load a full DiMPnet checkpoint (dimpnet.py assembly:
@@ -149,12 +162,12 @@ class DiMPTracker:
         self._iou_vars = split["bb_regressor"]
 
     # ----------------------------------------------------------- device fns
-    def _features(self, image, center, size):
+    def _features(self, nets, image, center, size):
         box = jnp.stack([center[1] - size[1] / 2.0, center[0] - size[0] / 2.0,
                          size[1], size[0]])
         crop, rf = crop_resize(image, box, self.search_factor, self.crop_size)
-        feats = self.backbone.apply(self._bb_vars, crop[None] / 255.0)
-        clf = self.classifier.apply(self._clf_vars, feats["layer3"],
+        feats = self.backbone.apply(nets["bb"], imagenet_preprocess(crop[None]))
+        clf = self.classifier.apply(nets["clf"], feats["layer3"],
                                     method="extract_classification_feat")
         return feats, clf, 1.0 / rf      # image px per crop px
 
@@ -167,7 +180,7 @@ class DiMPTracker:
         return jnp.stack([c + dx - sz[1] / 2.0, c + dy - sz[0] / 2.0,
                           sz[1], sz[0]])
 
-    def _init_fn(self, image, box_xywh) -> DiMPState:
+    def _init_fn(self, nets, image, box_xywh) -> DiMPState:
         center = jnp.asarray([box_xywh[1] + box_xywh[3] / 2.0,
                               box_xywh[0] + box_xywh[2] / 2.0])
         size = jnp.asarray([box_xywh[3], box_xywh[2]])
@@ -175,8 +188,9 @@ class DiMPTracker:
                          size[1], size[0]])
         crop, rf = crop_resize(image, box, self.search_factor, self.crop_size)
         aug = self.augmenter(crop)                       # (A_img, H, W, 3)
-        l3 = self.backbone.apply(self._bb_vars, aug / 255.0)["layer3"]
-        clf = self.classifier.apply(self._clf_vars, l3,
+        l3 = self.backbone.apply(nets["bb"],
+                                 imagenet_preprocess(aug))["layer3"]
+        clf = self.classifier.apply(nets["clf"], l3,
                                     method="extract_classification_feat")
         clf = self.augmenter.augment_features(
             clf, jax.random.PRNGKey(self.rng_seed + 3))  # (A, h', w', C)
@@ -186,7 +200,7 @@ class DiMPTracker:
                            for s in self.augmenter.shifts])      # (A, 4)
         # learned init: FilterInitializerLinear + net_opt_iter SD-GN steps
         # (dimp.py init_classifier; sample_weight None -> sqrt(1/A)*spatial)
-        filt = self.classifier.apply(self._clf_vars, clf, boxes,
+        filt = self.classifier.apply(nets["clf"], clf, boxes,
                                      None, self.init_opt_iter,
                                      method="get_filter")
         h, w = clf.shape[1:3]
@@ -198,29 +212,29 @@ class DiMPTracker:
                          weights=weights, mem_ptr=jnp.asarray(A, jnp.int32),
                          center=center, target_sz=size)
 
-    def _update_fn(self, state: DiMPState,
+    def _update_fn(self, nets, state: DiMPState,
                    num_iter: Optional[int] = None) -> DiMPState:
         """update_classifier: learned SD-GN steps over the weighted memory
         (net_opt_update_iter on the periodic schedule, net_opt_hn_iter on a
         hard-negative frame)."""
         filt = self.classifier.apply(
-            self._clf_vars, state.filt, state.samples, state.boxes,
+            nets["clf"], state.filt, state.samples, state.boxes,
             state.weights,
             self.update_opt_iter if num_iter is None else num_iter,
             method="optimize_filter")
         return state._replace(filt=filt)
 
-    def _modulation(self, image, center, size):
-        feats, _, px = self._features(image, center, size)
+    def _modulation(self, nets, image, center, size):
+        feats, _, px = self._features(nets, image, center, size)
         box = self._target_box_crop(size, px)
-        return self.iou_net.apply(self._iou_vars, feats["layer2"],
+        return self.iou_net.apply(nets["iou"], feats["layer2"],
                                   feats["layer3"], box[None],
                                   method="get_modulation")
 
-    def _track_fn(self, state: DiMPState, image, modulation):
-        feats, clf_feat, px = self._features(image, state.center,
+    def _track_fn(self, nets, state: DiMPState, image, modulation):
+        feats, clf_feat, px = self._features(nets, image, state.center,
                                              state.target_sz)
-        score = self.classifier.apply(self._clf_vars, state.filt, clf_feat,
+        score = self.classifier.apply(nets["clf"], state.filt, clf_feat,
                                       method="classify")[0]  # (sh, sw)
         sh, sw = score.shape
         if self.window_output:
@@ -249,13 +263,13 @@ class DiMPTracker:
             box = jnp.stack([c_crop[1] - sz_crop[1] / 2.0,
                              c_crop[0] - sz_crop[0] / 2.0,
                              sz_crop[1], sz_crop[0]])
-            iou_feat = self.iou_net.apply(self._iou_vars, feats["layer2"],
+            iou_feat = self.iou_net.apply(nets["iou"], feats["layer2"],
                                           feats["layer3"],
                                           method="get_iou_feat")
             rng = jax.random.fold_in(jax.random.PRNGKey(self.rng_seed + 4),
                                      state.mem_ptr)
             best, _ = refine_box_iounet(
-                self.iou_net, self._iou_vars, iou_feat, modulation, box, rng,
+                self.iou_net, nets["iou"], iou_feat, modulation, box, rng,
                 num_random=self.num_random_boxes, steps=self.refine_steps,
                 step_length=self.refine_lr, topk=self.iounet_topk)
             c_new = jnp.asarray([best[1] + best[3] / 2.0,
@@ -300,24 +314,26 @@ class DiMPTracker:
     # --------------------------------------------------------------- host API
     def initialize(self, image: np.ndarray, info: dict):
         img = jnp.asarray(np.asarray(image), jnp.float32)
-        self._state = self._init_jit(img, jnp.asarray(info["init_bbox"],
-                                                      jnp.float32))
-        self._mod = self._mod_jit(img, self._state.center,
+        self._state = self._init_jit(self._nets, img,
+                                     jnp.asarray(info["init_bbox"],
+                                                 jnp.float32))
+        self._mod = self._mod_jit(self._nets, img, self._state.center,
                                   self._state.target_sz)
         self._frame = 0
 
     def track(self, image: np.ndarray, info: Optional[dict] = None) -> dict:
         self._frame += 1
         img = jnp.asarray(np.asarray(image), jnp.float32)
-        self._state, conf, flag = self._track_jit(self._state, img, self._mod)
+        self._state, conf, flag = self._track_jit(self._nets, self._state,
+                                                  img, self._mod)
         flag = int(flag)
         # filter refresh (dimp.py update_classifier): immediate short run on a
         # hard negative; otherwise the train_skipping schedule, and only on
         # frames whose sample entered the memory (update_flag)
         if flag == FLAG_HARD_NEGATIVE:
-            self._state = self._update_hn_jit(self._state)
+            self._state = self._update_hn_jit(self._nets, self._state)
         elif flag == FLAG_NORMAL and self._frame % self.update_interval == 0:
-            self._state = self._update_jit(self._state)
+            self._state = self._update_jit(self._nets, self._state)
         c = np.asarray(self._state.center)
         s = np.asarray(self._state.target_sz)
         return {"target_bbox": [float(c[1] - s[1] / 2), float(c[0] - s[0] / 2),

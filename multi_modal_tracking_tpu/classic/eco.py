@@ -159,7 +159,8 @@ class ECOTracker:
                 raise ValueError(f"unknown features '{n}'")
             self.banks.append(_Bank(n, osf, lr, wt))
         z = jnp.zeros((self.crop_size, self.crop_size, 3))
-        shapes = jax.eval_shape(self._extract, z)
+        shapes = jax.eval_shape(self._extract,
+                                getattr(self, "_bb_vars", {}), z)
         for b, sh in zip(self.banks, shapes):
             b.feat_c, b.feat_sz = sh.shape[0], sh.shape[-1]
             if self.compressed_dim is not None:
@@ -187,21 +188,25 @@ class ECOTracker:
             # augmentation zoo
             self.update_projection = False
         self._frame = 0
+        # backbone variables are passed as jit ARGUMENTS (never closed over:
+        # closure params inline into the HLO — CLAUDE.md remote-compile
+        # limit — and would silently pin pre-load_backbone weights)
         self._init = jax.jit(self._init_fn)
         self._track_step = jax.jit(self._track_step_fn)
         self._learn = jax.jit(self._learn_fn)
 
     # ------------------------------------------------------------- features
-    def _extract(self, crop: jax.Array) -> Tuple[jax.Array, ...]:
+    def _extract(self, bb_vars, crop: jax.Array) -> Tuple[jax.Array, ...]:
         """(H, W, 3) float crop [0,255] -> per-bank (C, h, w), one backbone
         forward shared across deep banks."""
+        from multi_modal_tracking_tpu.models.resnet import imagenet_preprocess
         out = []
         resnet_feats = None
         for b in self.banks:
             if b.name in ("conv1", "layer3"):
                 if resnet_feats is None:
-                    resnet_feats = self.backbone.apply(self._bb_vars,
-                                                       crop[None] / 255.0)
+                    resnet_feats = self.backbone.apply(
+                        bb_vars, imagenet_preprocess(crop[None]))
                 f = resnet_feats[b.name][0].transpose(2, 0, 1)
                 out.append(f - f.mean(axis=(1, 2), keepdims=True))
             elif b.name == "custom":
@@ -344,7 +349,7 @@ class ECOTracker:
             filt, proj = v["f"], v["P"]
         return filt, proj, self._compress(xf, proj), yf
 
-    def _init_fn(self, image, box_xywh) -> ECOState:
+    def _init_fn(self, bb_vars, image, box_xywh) -> ECOState:
         """Augmented init batch -> per-bank PCA + joint factorized
         optimization (eco.py:106-177) -> seeded sample memories."""
         center = jnp.asarray([box_xywh[1] + box_xywh[3] / 2.0,
@@ -352,7 +357,7 @@ class ECOTracker:
         target_sz = jnp.asarray([box_xywh[3], box_xywh[2]])
         crop, _ = self._crop(image, center, target_sz)
         aug = self.augmenter(crop)                           # (A_img, H, W, 3)
-        feats = jax.vmap(self._extract)(aug)                 # per-bank (A,...)
+        feats = jax.vmap(lambda c: self._extract(bb_vars, c))(aug)
         A_n = self.augmenter.num_samples
         K = self.sample_memory_size
         filt, proj, samples, weights, yfs, prev = [], [], [], [], [], []
@@ -377,14 +382,14 @@ class ECOTracker:
             st = self._learn_fn(st)
         return st
 
-    def _track_step_fn(self, state: ECOState, image: jax.Array):
+    def _track_step_fn(self, bb_vars, state: ECOState, image: jax.Array):
         """Scale-pyramid localisation on the fused score + Fourier-recentred
         per-bank memory inserts (eco.py track :190-230), one program."""
         H = W = self._feat_sz
 
         def fused_score_at(scale):
             crop, px = self._crop(image, state.center, state.target_sz, scale)
-            feats = self._extract(crop)
+            feats = self._extract(bb_vars, crop)
             score_f = jnp.zeros((H, W // 2 + 1), jnp.complex64)
             zfs = []
             for bank, fb, P, f in zip(self.banks, feats, state.proj,
@@ -460,13 +465,15 @@ class ECOTracker:
     def initialize(self, image: np.ndarray, info: dict):
         img = jnp.asarray(np.asarray(image), jnp.float32)
         self._state = jax.block_until_ready(
-            self._init(img, jnp.asarray(info["init_bbox"], jnp.float32)))
+            self._init(getattr(self, "_bb_vars", {}), img,
+                       jnp.asarray(info["init_bbox"], jnp.float32)))
         self._frame = 0
 
     def track(self, image: np.ndarray, info: Optional[dict] = None) -> dict:
         self._frame += 1
         img = jnp.asarray(np.asarray(image), jnp.float32)
-        self._state, conf = self._track_step(self._state, img)
+        self._state, conf = self._track_step(getattr(self, "_bb_vars", {}),
+                                             self._state, img)
         if self._frame % self.update_interval == 0:
             self._state = self._learn(self._state)
         c = np.asarray(self._state.center)

@@ -89,21 +89,26 @@ class AsymCrossModalAttention(nn.Module):
 
         from multi_modal_tracking_tpu.ops import attention as _attn_ops
         from multi_modal_tracking_tpu.ops.attention import mixed_attention
-        if _attn_ops.use_pallas_default(q, k, v) or _attn_ops.FORCE_INTERPRET:
+        use_pallas = _attn_ops.use_pallas_default(q, k, v) \
+            or _attn_ops.FORCE_INTERPRET
+        if use_pallas:
             # Fused Pallas path: per modality, keys are laid out
             # [own templates ; other-modality templates ; own search], so the
             # standard asymmetric mask (template rows see j < n_mt, search
             # rows see everything) realises the cross-modal semantics, and
             # both modalities ride the kernel's batch grid in ONE call.
             # Softmax/weighted-sum are key-order-invariant, so this matches
-            # the 4-call formulation exactly.
+            # the 4-call formulation exactly. The decision is made HERE on
+            # the pre-merge shapes and passed through explicitly so the
+            # dispatcher cannot re-decide differently on the merged arrays.
             k_all = jnp.concatenate([
                 jnp.concatenate([k_mt_V, k_mt_I, k_s_V], axis=2),
                 jnp.concatenate([k_mt_I, k_mt_V, k_s_I], axis=2)], axis=0)
             v_all = jnp.concatenate([
                 jnp.concatenate([v_mt_V, v_mt_I, v_s_V], axis=2),
                 jnp.concatenate([v_mt_I, v_mt_V, v_s_I], axis=2)], axis=0)
-            x_all = mixed_attention(q, k_all, v_all, n_mt, self.scale)
+            x_all = mixed_attention(q, k_all, v_all, n_mt, self.scale,
+                                    use_pallas=True)
             out = self.proj(_merge(x_all))
             x_v, x_i = out[:B], out[B:]
         else:

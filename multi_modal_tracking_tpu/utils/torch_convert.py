@@ -405,9 +405,17 @@ def _bn_leaf(prefix: tuple, leaf: str):
             prefix + ("mean" if leaf == "running_mean" else "var",), None)
 
 
+#: Sentinel for keys that are INTENTIONALLY absent from the flax model
+#: (e.g. the torchvision classification head): strict conversion accepts
+#: them silently instead of raising like it does for unknown keys.
+IGNORE = "ignore"
+
+
 def map_resnet_key(rest: str):
     """torchvision/resnet_seg state-dict key -> flax ResNet path
     (models/resnet.py; external/AR/ltr/models/backbone/resnet_seg.py)."""
+    if re.match(r"^fc\.(weight|bias)$", rest):
+        return IGNORE   # classification head intentionally unmapped
     m = re.match(r"^conv1\.(weight)$", rest)
     if m:
         return ("params", ("conv1", "kernel"), _conv)
@@ -498,7 +506,9 @@ def map_alpha_refine_key(key: str):
         return None
     if key.startswith("feature_extractor."):
         r = map_resnet_key(key[len("feature_extractor."):])
-        return (r[0], ("feature_extractor",) + r[1], r[2]) if r else None
+        if r is None or r is IGNORE:
+            return r
+        return (r[0], ("feature_extractor",) + r[1], r[2])
     if key.startswith("neck."):
         r = _map_corrnl_key(key[len("neck."):])
         return (r[0], ("neck",) + r[1], r[2]) if r else None
@@ -521,8 +531,11 @@ def convert_resnet(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
                    verbose: bool = True):
     """torchvision ResNet state dict -> flax models/resnet.ResNet variables
     (optionally nested under `prefix` inside a larger tree)."""
-    mapper = lambda k: (lambda r: (r[0], prefix + r[1], r[2]) if r else None)(
-        map_resnet_key(k))
+    def mapper(k):
+        r = map_resnet_key(k)
+        if r is None or r is IGNORE:
+            return r
+        return (r[0], prefix + r[1], r[2])
     return convert_state_dict(sd, variables, strict=strict, verbose=verbose,
                               key_mapper=mapper)
 
@@ -619,7 +632,9 @@ def map_dimpnet_key(key: str):
         return None
     if key.startswith("feature_extractor."):
         r = map_resnet_key(key[len("feature_extractor."):])
-        return (r[0], ("backbone",) + r[1], r[2]) if r else None
+        if r is None or r is IGNORE:
+            return r
+        return (r[0], ("backbone",) + r[1], r[2])
     if key.startswith("classifier."):
         r = map_dimp_classifier_key(key[len("classifier."):])
         return (r[0], ("classifier",) + r[1], r[2]) if r else None
@@ -665,6 +680,9 @@ def convert_state_dict(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
             r = key_mapper(k)
         else:
             r = map_torch_key(k, frozen_head_bn=frozen_head_bn)
+        if r is IGNORE:                  # known-and-deliberately-absent key
+            report.setdefault("ignored", []).append(k)
+            continue
         if r is None:
             report["skipped"].append(k)
             continue

@@ -550,6 +550,10 @@ def _resnet18_sd(prefix):
                 conv(f"{pre}.downsample.0", planes, cin, 1)
                 bn(f"{pre}.downsample.1", planes)
         cin = planes
+    # published checkpoints keep the torchvision classification head
+    # (ltr backbone retains fc); strict conversion must IGNORE it, not raise
+    sd[f"{prefix}.fc.weight"] = g.standard_normal((1000, 512)).astype(np.float32)
+    sd[f"{prefix}.fc.bias"] = g.standard_normal(1000).astype(np.float32)
     return sd
 
 

@@ -103,8 +103,8 @@ def test_atom_not_found_freezes_state():
     img = np.random.default_rng(0).integers(0, 255, (120, 160, 3), np.uint8)
     t.initialize(img, {"init_bbox": [60.0, 50.0, 30.0, 24.0]})
     st = t._state._replace(filt=jnp.zeros_like(t._state.filt))
-    new_st, conf, flag = t._track_jit(st, jnp.asarray(img, jnp.float32),
-                                      t._mod)
+    new_st, conf, flag = t._track_jit(t._nets, st,
+                                      jnp.asarray(img, jnp.float32), t._mod)
     assert int(flag) == FLAG_NOT_FOUND
     assert np.allclose(np.asarray(new_st.center), np.asarray(st.center))
     assert np.allclose(np.asarray(new_st.target_sz), np.asarray(st.target_sz))
@@ -120,12 +120,38 @@ def test_dimp_not_found_freezes_state():
     img = np.random.default_rng(1).integers(0, 255, (120, 160, 3), np.uint8)
     t.initialize(img, {"init_bbox": [60.0, 50.0, 30.0, 24.0]})
     st = t._state._replace(filt=jnp.zeros_like(t._state.filt))
-    new_st, conf, flag = t._track_jit(st, jnp.asarray(img, jnp.float32),
-                                      t._mod)
+    new_st, conf, flag = t._track_jit(t._nets, st,
+                                      jnp.asarray(img, jnp.float32), t._mod)
     assert int(flag) == FLAG_NOT_FOUND
     assert np.allclose(np.asarray(new_st.center), np.asarray(st.center))
     assert int(new_st.mem_ptr) == int(st.mem_ptr)
     assert np.allclose(np.asarray(new_st.samples), np.asarray(st.samples))
+
+
+def test_backbones_receive_imagenet_normalised_input(monkeypatch):
+    """Converted-checkpoint backbones must see (x/255 - mean)/std inputs
+    like pytracking's NetWithBackbone.preprocess_image — NOT raw x/255
+    (regression: published weights would run off-distribution)."""
+    from multi_modal_tracking_tpu.classic.atom import ATOMTracker
+    t = ATOMTracker(crop_size=96, refine=False, num_cg_iter=2,
+                    update_interval=100, augmentation={})
+    seen = {}
+    orig = type(t.backbone).apply
+
+    def spy(self, variables, x, *a, **kw):
+        seen["min"] = float(jnp.min(x))
+        seen["max"] = float(jnp.max(x))
+        return orig(self, variables, x, *a, **kw)
+
+    monkeypatch.setattr(type(t.backbone), "apply", spy)
+    img = jnp.asarray(np.full((120, 160, 3), 255, np.uint8), jnp.float32)
+    # eager (un-jitted) call so the spy sees concrete values
+    t._features(t._bb_vars, img, jnp.asarray([62.0, 75.0]),
+                jnp.asarray([24.0, 30.0]))
+    # white pixels normalise to (1 - mean)/std ~ [2.25, 2.64]; zero-padded
+    # crop regions to -mean/std ~ [-2.12, -1.80]
+    assert seen["max"] > 2.0, seen
+    assert seen["min"] < -1.5, seen
 
 
 def test_track_reports_flag():

@@ -54,6 +54,13 @@ def main(argv=None):
         kwargs[k] = _coerce(v)
 
     dataset = get_dataset(args.dataset_name)
+    # classic trackers are unimodal: RGBT/RGBD sequences deliver per-frame
+    # [visible, infrared] pairs which these trackers cannot consume
+    probe = dataset[0] if len(dataset) else None
+    if probe is not None and getattr(probe, "multimodal", False):
+        p.error(f"dataset '{args.dataset_name}' is multimodal; "
+                f"eco/atom/dimp are RGB-only — pick an RGB dataset "
+                f"(otb, lasot, got10k_test, ...)")
     if args.sequence:
         dataset = type(dataset)([dataset[args.sequence]])
 
