@@ -63,10 +63,13 @@ def calc_seq_err_robust(pred_bb: np.ndarray, anno_bb: np.ndarray, dataset: str,
     if np.isnan(anno_bb).any() and dataset != "uav":
         raise ValueError("NaNs in annotation")
 
-    # zero-size predictions -> carry previous frame (extract_results.py:55-58)
+    # zero-size predictions -> carry previous frame (extract_results.py:55-58;
+    # the reference indexes anno_bb[i] with i from the PRED range, a latent
+    # IndexError when a results file is longer than the GT — bound the loop
+    # to the overlap, the excess rows are trimmed by _align_lengths anyway)
     bad = (pred_bb[:, 2:] == 0.0).any(axis=1)
     if bad.any():
-        for i in range(1, pred_bb.shape[0]):
+        for i in range(1, min(pred_bb.shape[0], anno_bb.shape[0])):
             if bad[i] and not np.isnan(anno_bb[i]).any():
                 pred_bb[i] = pred_bb[i - 1]
                 bad[i] = False
@@ -109,6 +112,10 @@ def calc_seq_err_robust_rgbt(pred_bb: np.ndarray, anno_bb_vi: np.ndarray,
     if np.isnan(anno_bb_vi).any() and dataset != "uav":
         raise ValueError("NaNs in annotation")
 
+    # NOTE: the zero-size carry-forward repair is deliberately ABSENT here —
+    # the reference's RGBT variant has it commented out
+    # (extract_results.py:120-123), unlike the unimodal path.
+
     if dataset == "VTUAV":
         # sparse 10-frame annotations: evaluate every 10th prediction
         pred_bb = pred_bb[0::10]
@@ -134,9 +141,12 @@ def calc_seq_err_robust_rgbt(pred_bb: np.ndarray, anno_bb_vi: np.ndarray,
     err_center[~valid] = -1.0 if dataset == "uav" else np.inf
     err_center_norm[~valid] = -1.0
     err_overlap[~valid] = -1.0
-    if dataset == "lasot":
-        err_center_norm[~valid] = np.inf
-        err_center[~valid] = np.inf
+    if dataset == "lasot" and target_visible is not None:
+        # same convention as the unimodal path (extract_results.py:195-197):
+        # lasot masks centre errors on VISIBILITY, not on the valid mask
+        tv = np.asarray(target_visible).astype(bool)
+        err_center_norm[~tv] = np.inf
+        err_center[~tv] = np.inf
     if np.isnan(err_overlap).any():
         raise ValueError("NaNs in calculated overlap")
     return err_overlap, err_center, err_center_norm, valid

@@ -23,8 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
-import functools
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import numpy as np
 import jax
@@ -659,18 +658,22 @@ class OnlineTrackerJit:
         return self.model.apply(variables, template, ring,
                                 method=self.model.set_online)
 
+    def _init_step(self, variables, frame, box):
+        t, _ = _prep_rgb(frame, box, self.template_factor, self.template_size)
+        ring = jnp.concatenate([t] * self.online_size, axis=0)
+        cache = self._set_online(variables, t, ring)
+        st = OnlineTrackState(
+            template_v=t, template_i=t,
+            online_template_v=ring, online_template_i=ring,
+            max_template_v=t, max_template_i=t,
+            max_pred_score=jnp.float32(-1.0), forget_id=jnp.int32(0),
+            state=box.astype(jnp.float32), frame_id=jnp.int32(0))
+        return st, cache
+
     def _make_init(self, shape):
-        def init_fn(variables, img, box):
-            t, _ = _prep_rgb(img, box, self.template_factor, self.template_size)
-            ring = jnp.concatenate([t] * self.online_size, axis=0)
-            cache = self._set_online(variables, t, ring)
-            st = OnlineTrackState(
-                template_v=t, template_i=t,
-                online_template_v=ring, online_template_i=ring,
-                max_template_v=t, max_template_i=t,
-                max_pred_score=jnp.float32(-1.0), forget_id=jnp.int32(0),
-                state=box.astype(jnp.float32), frame_id=jnp.int32(0))
-            return st, cache
+        # mode transform inside the jit (one device program per frame)
+        def init_fn(variables, img_v, img_i, box):
+            return self._init_step(variables, self._frame(img_v, img_i), box)
         return jax.jit(init_fn)
 
     def _step(self, shape, variables, st: OnlineTrackState, cache, img):
@@ -680,15 +683,20 @@ class OnlineTrackerJit:
         out = self.model.apply(variables, s, cache, run_score_head=True,
                                method=self.model.forward_test)
         pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+        has_score = "pred_scores" in out
         pred_score = jax.nn.sigmoid(
             out["pred_scores"].reshape(-1)[0].astype(jnp.float32)
-        ) if "pred_scores" in out else jnp.float32(1.0)
+        ) if has_score else jnp.float32(1.0)
         pred = pred * (self.search_size / rf)
         new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
                              H, W, margin=10)
 
         max_score = st.max_pred_score * self.max_score_decay
-        is_better = (pred_score > 0.5) & (pred_score > max_score)
+        # without a score head the candidate is ALWAYS the current frame
+        # (fixed-interval refresh like the plain trackers); a constant 1.0
+        # score under strict > would lock the first post-reset frame in
+        is_better = ((pred_score > 0.5) & (pred_score > max_score)
+                     ) if has_score else jnp.bool_(True)
         cand, _ = _prep_rgb(img, new_state, self.template_factor,
                             self.template_size)
         max_t = jnp.where(is_better, cand, st.max_template_v)
@@ -720,8 +728,9 @@ class OnlineTrackerJit:
         return new_st, cache, new_state, pred_score
 
     def _make_track(self, shape):
-        def track_fn(variables, st, cache, img):
-            return self._step(shape, variables, st, cache, img)
+        def track_fn(variables, st, cache, img_v, img_i):
+            return self._step(shape, variables, st, cache,
+                              self._frame(img_v, img_i))
         # NOTE: no donate_argnums — buffer donation costs ~130ms/exec through
         # this environment's IFRT proxy (vs 0.4ms without); the state is ~1MB
         # so the HBM saving is irrelevant.
@@ -774,20 +783,22 @@ class OnlineTrackerJit:
         if shape not in self._init_jit:
             self._init_jit[shape] = self._make_init(shape)
             self._track_jit[shape] = self._make_track(shape)
-        frame = self._frame(_put(img), _put(img_i))
+        dv = _put(img)
+        di = dv if img_i is img else _put(img_i)
         box = info["init_bbox"]
         if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
             box = box[0]
         self._state, self._cache = self._init_jit[shape](
-            self.variables, frame, _put(box, np.float32))
+            self.variables, dv, di, _put(box, np.float32))
         self._shape = shape
 
     def track(self, image, info: Optional[dict] = None):
         img = image[0] if isinstance(image, (list, tuple)) else image
         img_i = image[1] if isinstance(image, (list, tuple)) and len(image) > 1 else img
-        frame = self._frame(_put(img), _put(img_i))
+        dv = _put(img)
+        di = dv if img_i is img else _put(img_i)
         self._state, self._cache, box, score = self._track_jit[self._shape](
-            self.variables, self._state, self._cache, frame)
+            self.variables, self._state, self._cache, dv, di)
         return {"target_bbox": [float(b) for b in np.asarray(box)],
                 "pred_score": float(score)}
 
@@ -825,12 +836,17 @@ class RGBTrackerJit:
         return (1 - self.prompt_lambda) * img_v.astype(jnp.float32) + \
             self.prompt_lambda * apply_jet(img_i)
 
+    def _init_step(self, variables, frame, box):
+        t, _ = _prep_rgb(frame, box, self.template_factor, self.template_size)
+        return TrackState(template_v=t, template_i=t, online_template_v=t,
+                          online_template_i=t, state=box.astype(jnp.float32),
+                          frame_id=jnp.int32(0))
+
     def _make_init(self, shape):
-        def init_fn(variables, img, box):
-            t, _ = _prep_rgb(img, box, self.template_factor, self.template_size)
-            return TrackState(template_v=t, template_i=t, online_template_v=t,
-                              online_template_i=t, state=box.astype(jnp.float32),
-                              frame_id=jnp.int32(0))
+        # the RGB/TIR/Prompt mode transform traces INSIDE the jit: the whole
+        # per-frame pipeline stays one device program (CLAUDE.md invariant)
+        def init_fn(variables, img_v, img_i, box):
+            return self._init_step(variables, self._frame(img_v, img_i), box)
         return jax.jit(init_fn)
 
     def _step(self, shape, variables, st: TrackState, img):
@@ -855,8 +871,9 @@ class RGBTrackerJit:
         return new_st, new_state
 
     def _make_track(self, shape):
-        def track_fn(variables, st, img):
-            return self._step(shape, variables, st, img)
+        def track_fn(variables, st, img_v, img_i):
+            return self._step(shape, variables, st,
+                              self._frame(img_v, img_i))
         return jax.jit(track_fn)   # no donation: ~130ms/exec via IFRT proxy
 
     def _make_track_scan(self, shape, chunk: int):
@@ -897,19 +914,22 @@ class RGBTrackerJit:
         if shape not in self._init_jit:
             self._init_jit[shape] = self._make_init(shape)
             self._track_jit[shape] = self._make_track(shape)
-        frame = self._frame(_put(img), _put(img_i))
+        dv = _put(img)
+        di = dv if img_i is img else _put(img_i)
         box = info["init_bbox"]
         if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
             box = box[0]
-        self._state = self._init_jit[shape](self.variables, frame,
+        self._state = self._init_jit[shape](self.variables, dv, di,
                                             _put(box, np.float32))
         self._shape = shape
 
     def track(self, image, info: Optional[dict] = None):
         img = image[0] if isinstance(image, (list, tuple)) else image
         img_i = image[1] if isinstance(image, (list, tuple)) and len(image) > 1 else img
-        frame = self._frame(_put(img), _put(img_i))
-        self._state, box = self._track_jit[self._shape](self.variables, self._state, frame)
+        dv = _put(img)
+        di = dv if img_i is img else _put(img_i)
+        self._state, box = self._track_jit[self._shape](self.variables,
+                                                        self._state, dv, di)
         return {"target_bbox": [float(b) for b in np.asarray(box)]}
 
 
@@ -923,15 +943,13 @@ class RGBCachedTrackerJit(RGBTrackerJit):
     {"mem", "template"}-style cache contract); cache rebuilt at template
     updates inside the jitted step."""
 
-    def _make_init(self, shape):
-        def init_fn(variables, img, box):
-            t, _ = _prep_rgb(img, box, self.template_factor, self.template_size)
-            cache = self.model.apply(variables, t, t,
-                                     method=type(self.model).set_online)
-            return CachedTrackState(template_v=t, template_i=t, cache=cache,
-                                    state=box.astype(jnp.float32),
-                                    frame_id=jnp.int32(0))
-        return jax.jit(init_fn)
+    def _init_step(self, variables, frame, box):
+        t, _ = _prep_rgb(frame, box, self.template_factor, self.template_size)
+        cache = self.model.apply(variables, t, t,
+                                 method=type(self.model).set_online)
+        return CachedTrackState(template_v=t, template_i=t, cache=cache,
+                                state=box.astype(jnp.float32),
+                                frame_id=jnp.int32(0))
 
     def _step(self, shape, variables, st: CachedTrackState, img):
         H, W = shape

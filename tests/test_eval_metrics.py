@@ -56,6 +56,17 @@ def test_robust_zero_size_carry_forward():
     assert ov[2] == 1.0
 
 
+def test_robust_zero_size_beyond_gt_length_no_crash():
+    """A results file longer than the GT with a zero-size box in the excess
+    rows must not crash (the reference indexes anno[i] with i from the pred
+    range — a latent IndexError; the excess rows get trimmed anyway)."""
+    anno = np.tile([10.0, 10.0, 20.0, 20.0], (5, 1))
+    pred = np.tile([10.0, 10.0, 20.0, 20.0], (7, 1))
+    pred[6] = [50.0, 50.0, 0.0, 0.0]
+    ov, *_ = M.calc_seq_err_robust(pred, anno, "test")
+    assert ov.shape == (5,) and (ov == 1.0).all()
+
+
 def test_robust_rgbt_max_iou_min_center():
     n = 20
     anno_v = np.tile([10.0, 10.0, 20.0, 20.0], (n, 1))
