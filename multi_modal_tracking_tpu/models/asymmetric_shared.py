@@ -48,8 +48,20 @@ from multi_modal_tracking_tpu.models.score_decoder import ScoreDecoder
 from multi_modal_tracking_tpu.ops.boxes import box_xyxy_to_cxcywh
 from multi_modal_tracking_tpu.ops.pos_embed import get_2d_sincos_pos_embed
 
-# CTR_POINT centre-token flat index per template grid size (ce_utils.py:24-37).
+# CTR_POINT centre-token flat index per template grid size (ce_utils.py:24-37)
+# — every entry equals (F - 1) // 2, which _ce_rows uses for other grids.
 _CTR_INDEX = {8: 3, 12: 5, 7: 3, 14: 6}
+
+
+def _check_ce_range(mode: str) -> str:
+    """CE template-mask modes implemented here: CTR_POINT (centre token) and
+    ALL (mean over every template row). The reference's CTR_REC rectangle
+    mask is not implemented — fail loudly instead of silently pooling ALL
+    rows under a config that asks for something else."""
+    if mode not in ("CTR_POINT", "ALL"):
+        raise ValueError(f"unsupported CE_TEMPLATE_RANGE '{mode}' "
+                         f"(implemented: CTR_POINT, ALL)")
+    return mode
 
 
 class AsymCrossModalAttention(nn.Module):
@@ -65,8 +77,13 @@ class AsymCrossModalAttention(nn.Module):
         self.scale = (self.dim // self.num_heads) ** -0.5
 
     def __call__(self, x_v: jax.Array, x_i: jax.Array, n_mt: int,
-                 return_attention: bool = False):
-        """x_v/x_i: (B, n_mt + n_s, C). Returns (x_v, x_i, attn_t2s | None)."""
+                 return_attention: bool = False,
+                 ce_rows: Optional[Tuple[int, ...]] = None):
+        """x_v/x_i: (B, n_mt + n_s, C). Returns (x_v, x_i, attn_t2s | None).
+        ce_rows: static template-row subset for the t->s CE attention — the
+        QK^T + softmax is computed over ONLY those rows (CTR_POINT keeps 4 of
+        4*n_t rows, a ~64x saving per CE block; row-wise softmax makes the
+        slice exact). None returns all template rows."""
         B, N, C = x_v.shape
         qkv = self.qkv(jnp.concatenate([x_v, x_i], axis=0))
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -136,6 +153,8 @@ class AsymCrossModalAttention(nn.Module):
             # Template->search attention for CE ranking (its own softmax over
             # the concatenated bimodal search axis, asymmetric_shared_ce.py:203).
             q_mt = jnp.concatenate([q_mt_V, q_mt_I], axis=2)
+            if ce_rows is not None:
+                q_mt = q_mt[:, :, jnp.asarray(ce_rows), :]
             k_s = jnp.concatenate([k_s_V, k_s_I], axis=2)
             a = jnp.einsum("bhqd,bhkd->bhqk", q_mt, k_s) * self.scale
             attn_t2s = jax.nn.softmax(a.astype(jnp.float32), axis=-1)
@@ -167,7 +186,8 @@ class AsymCrossModalAttention(nn.Module):
                  "qI": q[B:], "kI": k[B:], "vI": v[B:]}
         return out[:B], out[B:], cache
 
-    def search_step(self, nsv, nsi, cache, return_attention: bool = False):
+    def search_step(self, nsv, nsi, cache, return_attention: bool = False,
+                    ce_rows: Optional[Tuple[int, ...]] = None):
         """Normed search tokens (B, n_s, C) per modality + cached template
         q/k/v -> attention output (search rows only) + t->s CE attention.
         Per-modality key sets are stacked on the batch axis so both
@@ -185,6 +205,8 @@ class AsymCrossModalAttention(nn.Module):
         attn_t2s = None
         if return_attention:
             q_mt = jnp.concatenate([cache["qV"], cache["qI"]], axis=2)
+            if ce_rows is not None:
+                q_mt = q_mt[:, :, jnp.asarray(ce_rows), :]
             k_s = jnp.concatenate([ks[:B], ks[B:]], axis=2)
             a = jnp.einsum("bhqd,bhkd->bhqk", q_mt, k_s) * self.scale
             attn_t2s = jax.nn.softmax(a.astype(jnp.float32), axis=-1)
@@ -255,18 +277,15 @@ class SharedBlock(nn.Module):
         exe_ce = lens_keep is not None and lens_keep < gidx_v.shape[1]
         nv, ni = self.norm1_v(x_v), self.norm1_i(x_i)
         av, ai, attn_t2s = self.attn(nv, ni, n_mt,
-                                     return_attention=exe_ce or return_scores)
+                                     return_attention=exe_ce or return_scores,
+                                     ce_rows=ce_rows)
         x_v = x_v + self.dp1(av, deterministic)
         x_i = x_i + self.dp1(ai, deterministic)
 
         scores = None
         if exe_ce or return_scores:
             lens_s = gidx_v.shape[1]
-            if ce_rows is not None:
-                a = attn_t2s[:, :, jnp.asarray(ce_rows), :]       # (B, H, 4, 2*L_s)
-            else:
-                a = attn_t2s
-            a = a.mean(axis=(1, 2))                               # (B, 2*L_s)
+            a = attn_t2s.mean(axis=(1, 2))                        # (B, 2*L_s)
             if return_scores:
                 scores = (a[:, :lens_s], a[:, lens_s:], gidx_v, gidx_i)
             if exe_ce:
@@ -304,16 +323,13 @@ class SharedBlock(nn.Module):
         exe_ce = lens_keep is not None and lens_keep < gidx_v.shape[1]
         av, ai, attn_t2s = self.attn.search_step(self.norm1_v(s_v),
                                                  self.norm1_i(s_i), cache,
-                                                 return_attention=exe_ce)
+                                                 return_attention=exe_ce,
+                                                 ce_rows=ce_rows)
         s_v = s_v + av
         s_i = s_i + ai
         if exe_ce:
             lens_s = gidx_v.shape[1]
-            if ce_rows is not None:
-                a = attn_t2s[:, :, jnp.asarray(ce_rows), :]
-            else:
-                a = attn_t2s
-            a = a.mean(axis=(1, 2))
+            a = attn_t2s.mean(axis=(1, 2))
             s_v, gidx_v = _ce_select(a[:, :lens_s], s_v, gidx_v, 0, lens_keep)
             s_i, gidx_i = _ce_select(a[:, lens_s:], s_i, gidx_i, 0, lens_keep)
         m = self.mlp(jnp.concatenate([self.norm2_v(s_v), self.norm2_i(s_i)],
@@ -377,13 +393,14 @@ class AsymSharedViT(nn.Module):
     def _ce_rows(self, use_mask: bool) -> Optional[Tuple[int, ...]]:
         """Static row indices of the 4 template centre tokens ([t_v, ot_v,
         t_i, ot_i] row order of the pooled t->s attention), CTR_POINT mode
-        (ce_utils.py generate_mask_cond + repeat(1, 4))."""
+        (ce_utils.py generate_mask_cond + repeat(1, 4)). Grids outside the
+        reference's table use the same centre formula (F - 1) // 2 that the
+        table encodes, so small test geometries get true CTR_POINT semantics
+        instead of silently degrading to ALL-rows pooling."""
         if not use_mask:
             return None
         F = self.grid_size_t
-        if F not in _CTR_INDEX:
-            return None
-        c = _CTR_INDEX[F]
+        c = _CTR_INDEX.get(F, (F - 1) // 2)
         flat = c * F + c
         n_t = F * F
         return tuple(flat + g * n_t for g in range(4))
@@ -543,7 +560,8 @@ class RGBTSpec:
             fusion_class=cfg.MODEL.FUSION_CLASS, fusion_layers=cfg.MODEL.FUSION_LAYERS,
             ce_loc=tuple(bb.CE_LOC) if "CE_LOC" in bb else None,
             ce_keep_ratio=tuple(bb.CE_KEEP_RATIO) if "CE_KEEP_RATIO" in bb else None,
-            ce_template_range=bb.get("CE_TEMPLATE_RANGE", "CTR_POINT"),
+            ce_template_range=_check_ce_range(bb.get("CE_TEMPLATE_RANGE",
+                                                     "CTR_POINT")),
             nlayer_head=cfg.MODEL.get("NLAYER_HEAD", 3))
 
 
@@ -585,7 +603,9 @@ class MixFormerRGBT(nn.Module):
                                  use_ce_template_mask, deterministic)
         B = s.shape[0] // 2
         s_v, s_i = s[:B], s[B:]
-        fused = self.fusion_vi(s_v, s_i, deterministic)
+        # train= reaches conv-fusion BatchNorms (batch stats update in
+        # training like the reference's SyncBN path)
+        fused = self.fusion_vi(s_v, s_i, deterministic, train=train)
         box_xyxy = self.box_head(fused, train=train)           # (B, 4) in [0,1]
         out_coord = box_xyxy_to_cxcywh(box_xyxy)
         out = {"pred_boxes": out_coord.reshape(B, 1, 4)}

@@ -74,7 +74,11 @@ class MSDeformAttnBimodal(nn.Module):
         M, L, P = self.n_heads, self.n_levels, self.n_points
         Lq_uni = Lq // 2
 
-        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(src)
+        # xavier_uniform like the reference's _reset_parameters
+        # (ms_deform_attn_bimodal.py:78-81)
+        xav = nn.initializers.xavier_uniform()
+        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj",
+                         kernel_init=xav)(src)
         value = value.reshape(B, Lq, M, C // M)
 
         grid_bias = lambda reps: (lambda *_: jnp.asarray(
@@ -119,7 +123,8 @@ class MSDeformAttnBimodal(nn.Module):
         # coordinates stay f32 inside ms_deform_attn.
         out = ms_deform_attn(value, spatial_shapes,
                              loc.astype(jnp.float32), w.astype(self.dtype))
-        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj",
+                        kernel_init=xav)(out)
 
 
 class _ModalLayerNorm(nn.Module):
@@ -161,9 +166,14 @@ class DeformableEncoderLayer(nn.Module):
         src2 = nn.Dropout(self.dropout)(src2, deterministic=deterministic)
         src = _ModalLayerNorm(self.ln_specific, dtype=self.dtype, name="norm1")(src + src2)
 
-        ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
+        # the reference encoder xavier-inits every dim>1 parameter
+        # (deformable_encoder.py _reset_parameters)
+        xav = nn.initializers.xavier_uniform()
+        ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1",
+                      kernel_init=xav)(src)
         ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
-        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2",
+                      kernel_init=xav)(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         src = _ModalLayerNorm(self.ln_specific, dtype=self.dtype, name="norm2")(src + ff)
         return src
@@ -181,8 +191,10 @@ class DeformableAttentionFusion(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, src_v: jax.Array, src_i: jax.Array, deterministic=True) -> jax.Array:
-        """src_v/src_i: (B, H, W, d_model) -> (B, 2*H*W, d_model)."""
+    def __call__(self, src_v: jax.Array, src_i: jax.Array, deterministic=True,
+                 train: bool = False) -> jax.Array:
+        """src_v/src_i: (B, H, W, d_model) -> (B, 2*H*W, d_model).
+        `train` is accepted for a uniform fusion interface (no BN here)."""
         B, H, W, C = src_v.shape
         spatial_shapes = ((H, W), (H, W))
         src = jnp.concatenate([src_v.reshape(B, H * W, C), src_i.reshape(B, H * W, C)], axis=1)
@@ -245,8 +257,10 @@ class AttentionFusionBimodal(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_v: jax.Array, x_i: jax.Array, deterministic=True) -> jax.Array:
-        """(B, H, W, channels) x2 -> (B, H, W, channels) fused map."""
+    def __call__(self, x_v: jax.Array, x_i: jax.Array, deterministic=True,
+                 train: bool = False) -> jax.Array:
+        """(B, H, W, channels) x2 -> (B, H, W, channels) fused map.
+        `train` is accepted for a uniform fusion interface (no BN here)."""
         B, H, W, _ = x_v.shape
         d_model = self.channels if self.mode == "raw_sum" else self.d_model
         if self.mode == "raw_sum":

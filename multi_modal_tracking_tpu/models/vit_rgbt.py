@@ -185,7 +185,7 @@ class MixFormerViTRGBT(nn.Module):
         t, ot, s = self._backbone(t_vi, ot_vi, s_vi, deterministic)
         B = s.shape[0] // 2
         s_v, s_i = s[:B], s[B:]
-        fused = self.fusion_vi(s_v, s_i, deterministic)
+        fused = self.fusion_vi(s_v, s_i, deterministic, train=train)
         box_xyxy = self.box_head(fused, train=train)
         out = {"pred_boxes": box_xyxy_to_cxcywh(box_xyxy).reshape(B, 1, 4)}
         if run_score_head and self.with_score:

@@ -222,56 +222,29 @@ def use_pallas_default(*arrays) -> bool:
     processes): XLA 118.3 ms vs Pallas 122.3 ms, consistent across draws —
     the isolated fwd+bwd win does NOT survive XLA's fusion context (the
     custom-call boundary blocks the surrounding elementwise fusions that the
-    two-call lowering keeps). Differentiated calls therefore default to XLA;
-    the fused backward stays available via USE_PALLAS=True.
-    Policy: TPU backend, no vmap BatchTracers, no autodiff tracers, and
-    B*H >= 96 (tiny-batch single-stream eval is a measured tie either way)."""
+    two-call lowering keeps).
+
+    Policy: OPT-IN ONLY (USE_PALLAS=True / the use_pallas= argument).
+    Auto-dispatch is off because (a) every production path measured so far
+    either loses in-graph (train fwd+bwd), regresses under vmap (batched
+    lockstep 470->434 f/s), or is below the isolated-win region (B*H=24
+    single-stream); the remaining candidate — large-batch forward-only
+    eval — is unmeasured in-graph; and (b) the flagship's cached-template
+    fast paths always run the XLA lowering, so auto-dispatching the full
+    forward would silently break their bit-identity invariant (CLAUDE.md)
+    on exactly the shapes where the kernel fires."""
     if USE_PALLAS is not None:
         return USE_PALLAS
-    if not arrays:
-        return False
-    if any(isinstance(x, _BATCH_TRACERS) for x in arrays):
-        return False
-    try:
-        # single-chip only: under a GSPMD mesh the custom call would be
-        # replicated (gather traffic) rather than partitioned — unmeasured;
-        # multi-chip runs opt in explicitly via USE_PALLAS.
-        if jax.default_backend() != "tpu" or jax.device_count() != 1:
-            return False
-    except Exception:  # pragma: no cover - backend probing best-effort
-        return False
-    B, H = arrays[0].shape[:2]
-    if B * H < 96:
-        return False
-    if any(isinstance(x, _AD_TRACERS) for x in arrays):
-        return False
-    return True
-
-
-def _ad_tracer_types():
-    """Autodiff tracer classes across JAX versions: classic JVP tracing and
-    the newer linearize-based grad path both mark a differentiated call."""
-    from jax._src.interpreters import ad as _ad
-    types = [_ad.JVPTracer]
-    if hasattr(_ad, "LinearizeTracer"):
-        types.append(_ad.LinearizeTracer)
-    return tuple(types)
-
-
-_AD_TRACERS = _ad_tracer_types()
-
-from jax._src.interpreters import batching as _batching  # noqa: E402
-
-_BATCH_TRACERS = (_batching.BatchTracer,)
+    return False
 
 
 def mixed_attention(q, k, v, n_mt: int, scale: float,
                     use_pallas: Optional[bool] = None):
-    """Dispatcher: fused Pallas kernels (fwd, and the VMEM backward for
-    differentiated calls within _BWD_MAX_N) whenever the measured policy in
-    use_pallas_default says they win; XLA two-call lowering otherwise.
-    USE_PALLAS forces either path; tests run the kernels in interpreter mode
-    via ops.attention.FORCE_INTERPRET."""
+    """Dispatcher: XLA two-call lowering by default; the fused Pallas kernels
+    (fwd, and the VMEM backward within _BWD_MAX_N) on explicit opt-in only
+    (USE_PALLAS / the use_pallas= argument — see use_pallas_default for the
+    measurements behind the default). Tests run the kernels in interpreter
+    mode via ops.attention.FORCE_INTERPRET."""
     if use_pallas is None:
         use_pallas = use_pallas_default(q, k, v)
     if use_pallas or FORCE_INTERPRET:
@@ -279,9 +252,8 @@ def mixed_attention(q, k, v, n_mt: int, scale: float,
     return mixed_attention_xla(q, k, v, n_mt, scale)
 
 
-#: Explicit dispatch override: True -> always fused kernel, False -> always
-#: XLA, None -> auto by backend. Set False when jitting for CPU devices while
-#: the default backend is a TPU (e.g. virtual-mesh dry runs).
+#: Explicit dispatch override: True -> always fused kernel, False/None ->
+#: XLA lowering (the measured default; see use_pallas_default).
 USE_PALLAS: Optional[bool] = None
 
 #: Test hook: run the Pallas kernel in interpreter mode (CPU).

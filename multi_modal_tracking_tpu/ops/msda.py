@@ -79,6 +79,19 @@ def _bilinear_sample_level(value_l: jax.Array, loc: jax.Array, H: int, W: int) -
 
 _DENSE_MAX_SOURCE = 4096     # use the einsum lowering for levels this small
 
+#: Per-level source-size bound for the Pallas lowering: A is (Lq, H*W) in
+#: VMEM per grid cell.
+_PALLAS_MAX_SOURCE = 4096
+
+#: Explicit dispatch override: True -> always Pallas, False -> always XLA,
+#: None -> auto by backend (mirrors ops.attention.USE_PALLAS).
+USE_PALLAS: Optional[bool] = None
+
+#: Test hook: run the Pallas kernel in interpreter mode (CPU).
+FORCE_INTERPRET = False
+
+
+
 
 def _dense_sample_level(value_l: jax.Array, loc: jax.Array, attw: jax.Array,
                         H: int, W: int) -> jax.Array:
@@ -451,14 +464,3 @@ def ms_deform_attn(value: jax.Array,
     return _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
                                attention_weights)
 
-
-#: Per-level source-size bound for the Pallas lowering: A is (Lq, H*W) in
-#: VMEM per grid cell.
-_PALLAS_MAX_SOURCE = 4096
-
-#: Explicit dispatch override: True -> always Pallas, False -> always XLA,
-#: None -> auto by backend (mirrors ops.attention.USE_PALLAS).
-USE_PALLAS: Optional[bool] = None
-
-#: Test hook: run the Pallas kernel in interpreter mode (CPU).
-FORCE_INTERPRET = False
