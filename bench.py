@@ -10,8 +10,9 @@ blocks 3/6/9 @ keep 0.7, 6-layer deformable-attention fusion, corner head;
      reference measures the same loop per-sequence
      (lib/test/evaluation/running.py:191, fps.py).
   2. batched lockstep eval (tracking/batched.py): 16 sequences tracked in
-     one vmapped scan — the TPU answer to the reference's process-per-GPU
-     eval pool (running.py:134-141), reported as frames/s/chip.
+     one vmapped scan through the cached-template fast path — the TPU answer
+     to the reference's process-per-GPU eval pool (running.py:134-141),
+     reported as frames/s/chip.
   3. train step (B=16, bf16 compute / f32 params, CE keep 0.7): samples/s
      and MFU from XLA cost_analysis FLOPs vs the v5e bf16 peak.
 
@@ -69,7 +70,7 @@ def main():
     from multi_modal_tracking_tpu.config import get_default_config
     from multi_modal_tracking_tpu.models.asymmetric_shared import build_mixformer_rgbt
     from multi_modal_tracking_tpu.tracking.tracker import RGBTCachedTrackerJit, _put
-    from multi_modal_tracking_tpu.tracking.batched import BatchedRGBTTrackerJit
+    from multi_modal_tracking_tpu.tracking.batched import BatchedRGBTCachedTrackerJit
     from multi_modal_tracking_tpu.parallel.mesh import create_mesh, replicate, shard_batch
     from multi_modal_tracking_tpu.train.optimizer import make_optimizer
     from multi_modal_tracking_tpu.train.train_step import TrainState, make_train_step
@@ -93,7 +94,9 @@ def main():
                              update_interval=25,   # exercise the update path
                              ce_keep_rate=None,
                              scan_chunk=N_FRAMES)  # whole clip in one dispatch
-    btracker = BatchedRGBTTrackerJit(model=model, variables=variables,
+    # cached-template fast path in lockstep (same trajectories; ~40% fewer
+    # FLOPs/frame than vmapping the full forward)
+    btracker = BatchedRGBTCachedTrackerJit(model=model, variables=variables,
                              template_factor=cfg.TEST.TEMPLATE_FACTOR,
                              template_size=cfg.TEST.TEMPLATE_SIZE,
                              search_factor=cfg.TEST.SEARCH_FACTOR,

@@ -23,8 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from multi_modal_tracking_tpu.tracking.tracker import (RGBTTrackerJit,
-                                                       TrackState, _put)
+from multi_modal_tracking_tpu.tracking.tracker import (RGBTCachedTrackerJit,
+                                                       RGBTTrackerJit, _put)
 
 
 @dataclasses.dataclass
@@ -51,12 +51,16 @@ class BatchedRGBTTrackerJit:
     #: axis size.
     mesh: Optional[Any] = None
 
+    #: single-sequence tracker whose _init_state/_step the lockstep loop
+    #: vmaps; the cached subclass swaps in the template-k/v fast path.
+    _single_cls = RGBTTrackerJit
+
     def __post_init__(self):
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._repl = NamedSharding(self.mesh, P())
             self.variables = jax.device_put(self.variables, self._repl)
-        self._single = RGBTTrackerJit(
+        self._single = self._single_cls(
             model=self.model, variables=self.variables,
             template_factor=self.template_factor, template_size=self.template_size,
             search_factor=self.search_factor, search_size=self.search_size,
@@ -67,16 +71,9 @@ class BatchedRGBTTrackerJit:
     def _make_init(self, shape):
         # vmap the single-sequence init over the batch axis
         def init_fn(variables, imgs_v, imgs_i, boxes):
-            def one(img_v, img_i, box):
-                from multi_modal_tracking_tpu.tracking.tracker import (_prep_rgb,
-                                                                       _prep_tir)
-                tv, _ = _prep_rgb(img_v, box, self.template_factor, self.template_size)
-                ti, _ = _prep_tir(img_i, box, self.template_factor, self.template_size)
-                return TrackState(template_v=tv, template_i=ti,
-                                  online_template_v=tv, online_template_i=ti,
-                                  state=box.astype(jnp.float32),
-                                  frame_id=jnp.int32(0))
-            return jax.vmap(one)(imgs_v, imgs_i, boxes)
+            return jax.vmap(self._single._init_state,
+                            in_axes=(None, 0, 0, 0))(variables, imgs_v,
+                                                     imgs_i, boxes)
         return jax.jit(init_fn)
 
     def _make_scan(self, shape, chunk: int):
@@ -154,6 +151,60 @@ class BatchedRGBTTrackerJit:
         self._state = st
         stacked = jnp.concatenate(boxes, axis=0)
         return np.asarray(stacked) if fetch else stacked
+
+
+@dataclasses.dataclass
+class BatchedRGBTCachedTrackerJit(BatchedRGBTTrackerJit):
+    """Lockstep batching through the cached-template fast path.
+
+    Per frame only the search tokens run the backbone
+    (RGBTCachedTrackerJit._step_search, ~40% fewer FLOPs than the full
+    forward the plain batched tracker vmaps). The interval-gated set_online
+    cache rebuild is hoisted OUT of the vmap onto a scalar lax.cond: under
+    vmap a per-sequence cond lowers to a select that would execute
+    set_online every frame for every sequence, erasing the fast path's
+    entire saving. The scalar cadence is exact, not approximate — lockstep
+    sequences all advance frame_id together while valid (so the per-sequence
+    `frame_id % interval` of single-sequence tracking is the same scalar for
+    every live sequence), and finished sequences are excluded from the
+    rebuild by the same validity mask that freezes their state."""
+
+    _single_cls = RGBTCachedTrackerJit
+
+    def _make_scan(self, shape, chunk: int):
+        single = self._single
+        interval = self.update_interval
+
+        def track_fn(variables, st, frames_v, frames_i, valid):
+            def body(st, fr):
+                fv, fi, ok = fr            # (N, H, W, 3) x2, (N,)
+
+                def one(st1, f1v, f1i, ok1):
+                    new_st, box = single._step_search(shape, variables, st1,
+                                                      f1v, f1i)
+                    new_st = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(ok1, a, b), new_st, st1)
+                    return new_st, box
+                new_st, boxes = jax.vmap(one)(st, fv, fi, ok)
+
+                def rebuild(s):
+                    def one_up(st1, f1v, f1i, ok1):
+                        cache = single._rebuild_cache(variables, st1, f1v, f1i)
+                        cache = jax.tree_util.tree_map(
+                            lambda a, b: jnp.where(ok1, a, b), cache, st1.cache)
+                        return st1.replace(cache=cache)
+                    return jax.vmap(one_up)(s, fv, fi, ok)
+
+                # live sequences share the frame cadence: max(frame_id) IS
+                # every live sequence's frame_id (frozen tails never update
+                # anyway — and their where(ok) above keeps the old cache).
+                do_update = (jnp.max(new_st.frame_id) % interval) == 0
+                new_st = jax.lax.cond(do_update, rebuild, lambda s: s, new_st)
+                return new_st, boxes
+
+            st, boxes = jax.lax.scan(body, st, (frames_v, frames_i, valid))
+            return st, boxes               # boxes (T, N, 4)
+        return jax.jit(track_fn)
 
 
 def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,

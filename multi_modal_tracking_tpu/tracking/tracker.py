@@ -203,15 +203,18 @@ class RGBTTrackerJit:
         self._scan_jit = {}
 
     # ------------------------------------------------------------- device fns
+    def _init_state(self, variables, img_v, img_i, box):
+        """Traceable first-frame state builder (jitted by _make_init, vmapped
+        by the batched lockstep tracker)."""
+        tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+                                self.template_size)
+        return TrackState(template_v=tv, template_i=ti,
+                          online_template_v=tv, online_template_i=ti,
+                          state=box.astype(jnp.float32),
+                          frame_id=jnp.int32(0))
+
     def _make_init(self, shape):
-        def init_fn(variables, img_v, img_i, box):
-            tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
-                                    self.template_size)
-            return TrackState(template_v=tv, template_i=ti,
-                              online_template_v=tv, online_template_i=ti,
-                              state=box.astype(jnp.float32),
-                              frame_id=jnp.int32(0))
-        return jax.jit(init_fn)
+        return jax.jit(self._init_state)
 
     def _step(self, shape, variables, st: TrackState, img_v, img_i):
         """One track step (the reference's per-frame track(), :74-114)."""
@@ -333,19 +336,21 @@ class RGBTCachedTrackerJit(RGBTTrackerJit):
     (lib/models/mixformer_vit/mixformer.py:79-109), which the reference never
     applied to its RGBT models."""
 
-    def _make_init(self, shape):
-        def init_fn(variables, img_v, img_i, box):
-            tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
-                                    self.template_size)
-            t_vi = jnp.concatenate([tv, ti], axis=0)
-            cache = self.model.apply(variables, t_vi, t_vi,
-                                     method=type(self.model).set_online)
-            return CachedTrackState(template_v=tv, template_i=ti, cache=cache,
-                                    state=box.astype(jnp.float32),
-                                    frame_id=jnp.int32(0))
-        return jax.jit(init_fn)
+    def _init_state(self, variables, img_v, img_i, box):
+        tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+                                self.template_size)
+        t_vi = jnp.concatenate([tv, ti], axis=0)
+        cache = self.model.apply(variables, t_vi, t_vi,
+                                 method=type(self.model).set_online)
+        return CachedTrackState(template_v=tv, template_i=ti, cache=cache,
+                                state=box.astype(jnp.float32),
+                                frame_id=jnp.int32(0))
 
-    def _step(self, shape, variables, st: CachedTrackState, img_v, img_i):
+    def _step_search(self, shape, variables, st: CachedTrackState, img_v, img_i):
+        """Search-only track step against the frozen template cache (no
+        template update — the interval-gated cache rebuild is composed on
+        top by _step, and hoisted OUT of the vmap by the batched lockstep
+        tracker so set_online does not run every frame as a vmapped select)."""
         H, W = shape
         frame_id = st.frame_id + 1
         sv, si, rf = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
@@ -358,21 +363,29 @@ class RGBTCachedTrackerJit(RGBTTrackerJit):
         pred = pred * (self.search_size / rf)
         new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
                              H, W, margin=10)
-
-        def updated():
-            otv, oti, _ = _prep_rgbt(img_v, img_i, new_state,
-                                      self.template_factor, self.template_size)
-            t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
-            ot_vi = jnp.concatenate([otv, oti], axis=0)
-            return self.model.apply(variables, t_vi, ot_vi,
-                                    method=type(self.model).set_online)
-
-        do_update = (frame_id % self.update_interval) == 0
-        cache = jax.lax.cond(do_update, updated, lambda: st.cache)
         new_st = CachedTrackState(template_v=st.template_v,
-                                  template_i=st.template_i, cache=cache,
+                                  template_i=st.template_i, cache=st.cache,
                                   state=new_state, frame_id=frame_id)
         return new_st, new_state
+
+    def _rebuild_cache(self, variables, st: CachedTrackState, img_v, img_i):
+        """set_online against the current frame cropped at st.state — the
+        template-update body of the reference's online loop."""
+        otv, oti, _ = _prep_rgbt(img_v, img_i, st.state,
+                                  self.template_factor, self.template_size)
+        t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
+        ot_vi = jnp.concatenate([otv, oti], axis=0)
+        return self.model.apply(variables, t_vi, ot_vi,
+                                method=type(self.model).set_online)
+
+    def _step(self, shape, variables, st: CachedTrackState, img_v, img_i):
+        new_st, new_state = self._step_search(shape, variables, st, img_v, img_i)
+        do_update = (new_st.frame_id % self.update_interval) == 0
+        cache = jax.lax.cond(
+            do_update,
+            lambda: self._rebuild_cache(variables, new_st, img_v, img_i),
+            lambda: new_st.cache)
+        return new_st.replace(cache=cache), new_state
 
 
 @dataclasses.dataclass

@@ -9,9 +9,10 @@ import jax.numpy as jnp
 
 from multi_modal_tracking_tpu.models.asymmetric_shared import (MixFormerRGBT,
                                                                RGBTSpec)
-from multi_modal_tracking_tpu.tracking.batched import (BatchedRGBTTrackerJit,
-                                                       run_sequences_batched)
-from multi_modal_tracking_tpu.tracking.tracker import RGBTTrackerJit
+from multi_modal_tracking_tpu.tracking.batched import (
+    BatchedRGBTCachedTrackerJit, BatchedRGBTTrackerJit, run_sequences_batched)
+from multi_modal_tracking_tpu.tracking.tracker import (RGBTCachedTrackerJit,
+                                                       RGBTTrackerJit)
 
 
 @pytest.fixture(scope="module")
@@ -68,6 +69,68 @@ def test_batched_matches_sequential(model_vars):
     for j in range(3):
         np.testing.assert_allclose(got[: lengths[j] - 1, j], seq_boxes[j],
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_cached_batched_matches_sequential_cached(model_vars):
+    """BatchedRGBTCachedTrackerJit == RGBTCachedTrackerJit run sequentially,
+    across ragged lengths and template-update-interval crossings (the scalar
+    update cadence hoisted out of the vmap must reproduce the per-sequence
+    `frame_id % interval` exactly)."""
+    model, variables = model_vars
+    kw = dict(model=model, variables=variables, template_size=32,
+              search_size=64, update_interval=3)
+    boxes0 = np.asarray([[40.0, 30, 30, 24], [50.0, 20, 24, 30], [30.0, 40, 20, 20]],
+                        np.float32)
+    lengths = [9, 5, 9]                       # crosses updates at frames 3, 6
+    seqs = [_seq_frames(lengths[j], seed=10 + j) for j in range(3)]
+
+    seq_boxes = []
+    for j in range(3):
+        tr = RGBTCachedTrackerJit(**kw)
+        tr.initialize([seqs[j][0][0], seqs[j][1][0]], {"init_bbox": boxes0[j]})
+        seq_boxes.append(np.asarray(
+            [tr.track([seqs[j][0][k], seqs[j][1][k]])["target_bbox"]
+             for k in range(1, lengths[j])]))
+
+    bt = BatchedRGBTCachedTrackerJit(**kw, scan_chunk=4)
+    bt.initialize(np.stack([s[0][0] for s in seqs]),
+                  np.stack([s[1][0] for s in seqs]), boxes0)
+    T = max(lengths) - 1
+    fv = np.zeros((T, 3, 96, 128, 3), np.uint8)
+    fi = np.zeros_like(fv)
+    ok = np.zeros((T, 3), np.bool_)
+    for j in range(3):
+        for t in range(T):
+            k = min(t + 1, lengths[j] - 1)
+            fv[t, j] = seqs[j][0][k]
+            fi[t, j] = seqs[j][1][k]
+            ok[t, j] = t + 1 < lengths[j]
+    got = bt.track_block(fv, fi, ok)
+    for j in range(3):
+        np.testing.assert_allclose(got[: lengths[j] - 1, j], seq_boxes[j],
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_cached_batched_matches_full_batched(model_vars):
+    """Cached lockstep == full-forward lockstep (the fast path must not
+    change trajectories, mirroring the single-sequence guard)."""
+    model, variables = model_vars
+    kw = dict(model=model, variables=variables, template_size=32,
+              search_size=64, update_interval=3, scan_chunk=4)
+    N, T = 4, 7
+    rng = np.random.default_rng(3)
+    fv = rng.integers(0, 255, (T, N, 96, 128, 3), np.uint8)
+    fi = rng.integers(0, 255, (T, N, 96, 128, 3), np.uint8)
+    boxes0 = np.stack([[30.0 + 2 * i, 30, 24, 24] for i in range(N)]).astype(np.float32)
+
+    full = BatchedRGBTTrackerJit(**kw)
+    full.initialize(fv[0], fi[0], boxes0)
+    ref = full.track_block(fv, fi)
+
+    cached = BatchedRGBTCachedTrackerJit(**kw)
+    cached.initialize(fv[0], fi[0], boxes0)
+    got = cached.track_block(fv, fi)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
 
 
 def test_run_sequences_batched_writes_results(tmp_path, model_vars):

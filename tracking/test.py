@@ -83,12 +83,18 @@ def main():
         factory = (lambda: create_tracker(params, dataset_name=args.dataset_name,
                                           mode=mode)) if args.threads else None
         import jax
-        from multi_modal_tracking_tpu.tracking.tracker import RGBTTrackerJit
+        from multi_modal_tracking_tpu.tracking.tracker import (
+            RGBTCachedTrackerJit, RGBTTrackerJit)
         if args.batch_sequences > 1 and isinstance(tracker, RGBTTrackerJit):
             from multi_modal_tracking_tpu.eval.running import _load_frame
             from multi_modal_tracking_tpu.tracking.batched import (
-                BatchedRGBTTrackerJit, run_sequences_batched)
-            bt = BatchedRGBTTrackerJit(
+                BatchedRGBTCachedTrackerJit, BatchedRGBTTrackerJit,
+                run_sequences_batched)
+            # the cached-template fast path carries over to lockstep batching
+            batched_cls = (BatchedRGBTCachedTrackerJit
+                           if isinstance(tracker, RGBTCachedTrackerJit)
+                           else BatchedRGBTTrackerJit)
+            bt = batched_cls(
                 model=tracker.model, variables=tracker.variables,
                 template_factor=tracker.template_factor,
                 template_size=tracker.template_size,
