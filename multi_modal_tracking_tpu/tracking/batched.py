@@ -23,8 +23,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from multi_modal_tracking_tpu.tracking.tracker import (RGBTCachedTrackerJit,
-                                                       RGBTTrackerJit, _put)
+from multi_modal_tracking_tpu.tracking.tracker import (
+    RGBTCachedTrackerJit, RGBTOnlineCachedTrackerJit, RGBTOnlineTrackerJit,
+    RGBTTrackerJit, _put)
 
 
 @dataclasses.dataclass
@@ -55,16 +56,19 @@ class BatchedRGBTTrackerJit:
     #: vmaps; the cached subclass swaps in the template-k/v fast path.
     _single_cls = RGBTTrackerJit
 
+    def _single_kwargs(self):
+        return dict(
+            model=self.model, variables=self.variables,
+            template_factor=self.template_factor, template_size=self.template_size,
+            search_factor=self.search_factor, search_size=self.search_size,
+            update_interval=self.update_interval, ce_keep_rate=self.ce_keep_rate)
+
     def __post_init__(self):
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._repl = NamedSharding(self.mesh, P())
             self.variables = jax.device_put(self.variables, self._repl)
-        self._single = self._single_cls(
-            model=self.model, variables=self.variables,
-            template_factor=self.template_factor, template_size=self.template_size,
-            search_factor=self.search_factor, search_size=self.search_size,
-            update_interval=self.update_interval, ce_keep_rate=self.ce_keep_rate)
+        self._single = self._single_cls(**self._single_kwargs())
         self._init_jit = {}
         self._scan_jit = {}
 
@@ -130,7 +134,7 @@ class BatchedRGBTTrackerJit:
         fn = self._scan_jit[key]
         if valid is None:
             valid = np.ones((T, N), np.bool_)
-        boxes = []
+        outs = []
         st = self._state
         for lo in range(0, T, K):
             hi = min(lo + K, T)
@@ -147,10 +151,12 @@ class BatchedRGBTTrackerJit:
                 ok = np.concatenate([ok, np.zeros((pad, N), np.bool_)])
             st, bxs = fn(self.variables, st, self._put_batch(bv, 1),
                          self._put_batch(bi, 1), self._put_batch(ok, 1))
-            boxes.append(bxs[:n] if n < K else bxs)
+            # bxs is (T, N, 4) boxes, or a pytree of per-frame outputs (the
+            # online trackers yield (boxes, scores))
+            outs.append(jax.tree.map(lambda a: a[:n], bxs) if n < K else bxs)
         self._state = st
-        stacked = jnp.concatenate(boxes, axis=0)
-        return np.asarray(stacked) if fetch else stacked
+        stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        return jax.tree.map(np.asarray, stacked) if fetch else stacked
 
 
 @dataclasses.dataclass
@@ -207,6 +213,83 @@ class BatchedRGBTCachedTrackerJit(BatchedRGBTTrackerJit):
         return jax.jit(track_fn)
 
 
+@dataclasses.dataclass
+class BatchedRGBTOnlineTrackerJit(BatchedRGBTTrackerJit):
+    """Lockstep batching for the score-gated SPM trackers
+    (asymmetric_shared_online): every frame runs the score head; candidate
+    selection, decay and the interval-gated template commit are the same
+    elementwise where-selects as the single tracker (vmap-safe).
+    track_block returns (boxes (T, N, 4), scores (T, N))."""
+
+    max_score_decay: float = 1.0
+    _single_cls = RGBTOnlineTrackerJit
+
+    def _single_kwargs(self):
+        return dict(super()._single_kwargs(),
+                    max_score_decay=self.max_score_decay)
+
+    def _make_scan(self, shape, chunk: int):
+        single_step = self._single._step
+
+        def track_fn(variables, st, frames_v, frames_i, valid):
+            def body(st, fr):
+                fv, fi, ok = fr
+
+                def one(st1, f1v, f1i, ok1):
+                    new_st, box, score = single_step(shape, variables, st1,
+                                                     f1v, f1i)
+                    new_st = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(ok1, a, b), new_st, st1)
+                    return new_st, (box, score)
+                return jax.vmap(one)(st, fv, fi, ok)
+
+            st, outs = jax.lax.scan(body, st, (frames_v, frames_i, valid))
+            return st, outs
+        return jax.jit(track_fn)
+
+
+@dataclasses.dataclass
+class BatchedRGBTOnlineCachedTrackerJit(BatchedRGBTOnlineTrackerJit):
+    """Online lockstep through the cached-template fast path. The scalar
+    update cadence is hoisted out of the vmap exactly as in
+    BatchedRGBTCachedTrackerJit; the rebuild consumes the online-template
+    crops the vmapped search step already committed into the state."""
+
+    _single_cls = RGBTOnlineCachedTrackerJit
+
+    def _make_scan(self, shape, chunk: int):
+        single = self._single
+        interval = self.update_interval
+
+        def track_fn(variables, st, frames_v, frames_i, valid):
+            def body(st, fr):
+                fv, fi, ok = fr
+
+                def one(st1, f1v, f1i, ok1):
+                    new_st, box, score = single._step_search(shape, variables,
+                                                             st1, f1v, f1i)
+                    new_st = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(ok1, a, b), new_st, st1)
+                    return new_st, (box, score)
+                new_st, outs = jax.vmap(one)(st, fv, fi, ok)
+
+                def rebuild(s):
+                    def one_up(st1, ok1):
+                        cache = single._rebuild_cache(variables, st1)
+                        cache = jax.tree_util.tree_map(
+                            lambda a, b: jnp.where(ok1, a, b), cache, st1.cache)
+                        return st1.replace(cache=cache)
+                    return jax.vmap(one_up)(s, ok)
+
+                do_update = (jnp.max(new_st.frame_id) % interval) == 0
+                new_st = jax.lax.cond(do_update, rebuild, lambda s: s, new_st)
+                return new_st, outs
+
+            st, outs = jax.lax.scan(body, st, (frames_v, frames_i, valid))
+            return st, outs
+        return jax.jit(track_fn)
+
+
 def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,
                           results_dir: str, chunk: Optional[int] = None,
                           skip_if_done: bool = True) -> List[dict]:
@@ -242,6 +325,7 @@ def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,
 
     K = chunk or tracker.scan_chunk
     all_boxes = np.zeros((T - 1, N, 4), np.float64)
+    all_scores = None
     pending = []
     for lo in range(1, T, K):
         hi = min(lo + K, T)
@@ -257,6 +341,12 @@ def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,
                 ok[t - lo, j] = t < lengths[j]
         pending.append((lo, hi, tracker.track_block(blk_v, blk_i, ok, fetch=False)))
     for lo, hi, bxs in pending:
+        if isinstance(bxs, tuple):               # online trackers: (boxes, scores)
+            bxs, scs = bxs
+            if all_scores is None:
+                # frame 0 defaults to 1.0 (running.py's score init)
+                all_scores = np.ones((T - 1, N), np.float64)
+            all_scores[lo - 1: hi - 1] = np.asarray(scs)
         all_boxes[lo - 1: hi - 1] = np.asarray(bxs)
     elapsed = _time.time() - t_start
 
@@ -269,6 +359,11 @@ def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,
         out[1:] = all_boxes[: n - 1, j]
         np.savetxt(os.path.join(results_dir, f"{s.name}.txt"), out,
                    delimiter="\t", fmt="%d")
+        if all_scores is not None:
+            scores = np.ones((n,), np.float64)
+            scores[1:] = all_scores[: n - 1, j]
+            np.savetxt(os.path.join(results_dir, f"{s.name}_score.txt"),
+                       scores, fmt="%f")
         per = elapsed * (n / total_frames)
         np.savetxt(os.path.join(results_dir, f"{s.name}_time.txt"),
                    np.full((n,), per / n), fmt="%f")

@@ -421,18 +421,19 @@ class RGBTOnlineTrackerJit:
         self._track_jit = {}
         self._scan_jit = {}
 
+    def _init_state(self, variables, img_v, img_i, box):
+        tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+                                self.template_size)
+        return OnlineTrackState(
+            template_v=tv, template_i=ti,
+            online_template_v=tv, online_template_i=ti,
+            max_template_v=tv, max_template_i=ti,
+            max_pred_score=jnp.float32(-1.0),
+            forget_id=jnp.int32(0),
+            state=box.astype(jnp.float32), frame_id=jnp.int32(0))
+
     def _make_init(self, shape):
-        def init_fn(variables, img_v, img_i, box):
-            tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
-                                    self.template_size)
-            return OnlineTrackState(
-                template_v=tv, template_i=ti,
-                online_template_v=tv, online_template_i=ti,
-                max_template_v=tv, max_template_i=ti,
-                max_pred_score=jnp.float32(-1.0),
-                forget_id=jnp.int32(0),
-                state=box.astype(jnp.float32), frame_id=jnp.int32(0))
-        return jax.jit(init_fn)
+        return jax.jit(self._init_state)
 
     def _step(self, shape, variables, st: OnlineTrackState, img_v, img_i):
         H, W = shape
@@ -563,22 +564,26 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
     tokens only, and the cache is rebuilt inside the jitted step exactly at
     the interval-gated commits (bit-identical score/box outputs)."""
 
-    def _make_init(self, shape):
-        def init_fn(variables, img_v, img_i, box):
-            tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
-                                    self.template_size)
-            t_vi = jnp.concatenate([tv, ti], axis=0)
-            cache = self.model.apply(variables, t_vi, t_vi,
-                                     method=type(self.model).set_online)
-            return OnlineCachedTrackState(
-                template_v=tv, template_i=ti,
-                online_template_v=tv, online_template_i=ti, cache=cache,
-                max_template_v=tv, max_template_i=ti,
-                max_pred_score=jnp.float32(-1.0),
-                state=box.astype(jnp.float32), frame_id=jnp.int32(0))
-        return jax.jit(init_fn)
+    def _init_state(self, variables, img_v, img_i, box):
+        tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+                                self.template_size)
+        t_vi = jnp.concatenate([tv, ti], axis=0)
+        cache = self.model.apply(variables, t_vi, t_vi,
+                                 method=type(self.model).set_online)
+        return OnlineCachedTrackState(
+            template_v=tv, template_i=ti,
+            online_template_v=tv, online_template_i=ti, cache=cache,
+            max_template_v=tv, max_template_i=ti,
+            max_pred_score=jnp.float32(-1.0),
+            state=box.astype(jnp.float32), frame_id=jnp.int32(0))
 
-    def _step(self, shape, variables, st: OnlineCachedTrackState, img_v, img_i):
+    def _step_search(self, shape, variables, st: OnlineCachedTrackState,
+                     img_v, img_i):
+        """Everything except the set_online cache rebuild: search-only
+        forward + score head, candidate selection, the interval-gated
+        template COMMIT (elementwise where — vmap-safe), and the candidacy
+        reset. The rebuild cond is composed on top by _step and hoisted out
+        of the vmap by the batched lockstep tracker."""
         H, W = shape
         frame_id = st.frame_id + 1
         sv, si, rf = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
@@ -606,24 +611,34 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
         do_update = (frame_id % self.update_interval) == 0
         otv = jnp.where(do_update, max_tv, st.online_template_v)
         oti = jnp.where(do_update, max_ti, st.online_template_i)
-
-        def rebuilt():
-            t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
-            ot_vi = jnp.concatenate([otv, oti], axis=0)
-            return self.model.apply(variables, t_vi, ot_vi,
-                                    method=type(self.model).set_online)
-
-        cache = jax.lax.cond(do_update, rebuilt, lambda: st.cache)
         max_tv = jnp.where(do_update, st.template_v, max_tv)
         max_ti = jnp.where(do_update, st.template_i, max_ti)
         max_score = jnp.where(do_update, jnp.float32(-1.0), max_score)
 
         new_st = OnlineCachedTrackState(
             template_v=st.template_v, template_i=st.template_i,
-            online_template_v=otv, online_template_i=oti, cache=cache,
+            online_template_v=otv, online_template_i=oti, cache=st.cache,
             max_template_v=max_tv, max_template_i=max_ti,
             max_pred_score=max_score, state=new_state, frame_id=frame_id)
         return new_st, new_state, pred_score
+
+    def _rebuild_cache(self, variables, st: OnlineCachedTrackState):
+        """set_online over the base template + the already-committed online
+        template crops carried in the state."""
+        t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
+        ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i],
+                                axis=0)
+        return self.model.apply(variables, t_vi, ot_vi,
+                                method=type(self.model).set_online)
+
+    def _step(self, shape, variables, st: OnlineCachedTrackState, img_v, img_i):
+        new_st, new_state, pred_score = self._step_search(shape, variables,
+                                                          st, img_v, img_i)
+        do_update = (new_st.frame_id % self.update_interval) == 0
+        cache = jax.lax.cond(do_update,
+                             lambda: self._rebuild_cache(variables, new_st),
+                             lambda: new_st.cache)
+        return new_st.replace(cache=cache), new_state, pred_score
 
 
 

@@ -133,6 +133,91 @@ def test_cached_batched_matches_full_batched(model_vars):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
 
 
+@pytest.fixture(scope="module")
+def online_model_vars():
+    spec = RGBTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                    num_heads=2, head_dim=64, fusion_layers=1,
+                    ce_loc=None, ce_keep_ratio=None, nlayer_head=2)
+    model = MixFormerRGBT(spec=spec, with_score=True)
+    t = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, a, b, c: model.init(
+        r, a, b, c, run_score_head=True))(jax.random.PRNGKey(0), t, t, s)
+    return model, variables
+
+
+@pytest.mark.parametrize("cached", [False, True])
+def test_online_batched_matches_sequential(online_model_vars, cached):
+    """Batched online lockstep (full and cached) == sequential
+    RGBTOnline[Cached]TrackerJit, boxes AND scores, across score-gated
+    commits and a ragged tail."""
+    from multi_modal_tracking_tpu.tracking.batched import (
+        BatchedRGBTOnlineCachedTrackerJit, BatchedRGBTOnlineTrackerJit)
+    from multi_modal_tracking_tpu.tracking.tracker import (
+        RGBTOnlineCachedTrackerJit, RGBTOnlineTrackerJit)
+    model, variables = online_model_vars
+    kw = dict(model=model, variables=variables, template_factor=2.0,
+              template_size=32, search_factor=4.0, search_size=64,
+              update_interval=3, max_score_decay=0.98)
+    single_cls = RGBTOnlineCachedTrackerJit if cached else RGBTOnlineTrackerJit
+    batched_cls = (BatchedRGBTOnlineCachedTrackerJit if cached
+                   else BatchedRGBTOnlineTrackerJit)
+    boxes0 = np.asarray([[40.0, 30, 30, 24], [50.0, 20, 24, 30]], np.float32)
+    lengths = [8, 5]
+    seqs = [_seq_frames(lengths[j], seed=20 + j) for j in range(2)]
+
+    seq_out = []
+    for j in range(2):
+        tr = single_cls(**kw)
+        tr.initialize([seqs[j][0][0], seqs[j][1][0]], {"init_bbox": boxes0[j]})
+        outs = [tr.track([seqs[j][0][k], seqs[j][1][k]])
+                for k in range(1, lengths[j])]
+        seq_out.append((np.asarray([o["target_bbox"] for o in outs]),
+                        np.asarray([o["pred_score"] for o in outs])))
+
+    bt = batched_cls(**kw, scan_chunk=4)
+    bt.initialize(np.stack([s[0][0] for s in seqs]),
+                  np.stack([s[1][0] for s in seqs]), boxes0)
+    T = max(lengths) - 1
+    fv = np.zeros((T, 2, 96, 128, 3), np.uint8)
+    fi = np.zeros_like(fv)
+    ok = np.zeros((T, 2), np.bool_)
+    for j in range(2):
+        for t in range(T):
+            k = min(t + 1, lengths[j] - 1)
+            fv[t, j] = seqs[j][0][k]
+            fi[t, j] = seqs[j][1][k]
+            ok[t, j] = t + 1 < lengths[j]
+    got_boxes, got_scores = bt.track_block(fv, fi, ok)
+    assert got_boxes.shape == (T, 2, 4) and got_scores.shape == (T, 2)
+    for j in range(2):
+        n = lengths[j] - 1
+        np.testing.assert_allclose(got_boxes[:n, j], seq_out[j][0],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(got_scores[:n, j], seq_out[j][1],
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_run_sequences_batched_online_writes_scores(tmp_path, online_model_vars):
+    """Online lockstep eval writes the {name}_score.txt files (running.py's
+    score layout: frame 0 defaults to 1.0)."""
+    from multi_modal_tracking_tpu.eval.datasets import get_dataset
+    from multi_modal_tracking_tpu.tracking.batched import (
+        BatchedRGBTOnlineCachedTrackerJit)
+    model, variables = online_model_vars
+    ds = get_dataset("synthetic_rgbt")
+    tracker = BatchedRGBTOnlineCachedTrackerJit(
+        model=model, variables=variables, template_size=32, search_size=64,
+        update_interval=3, scan_chunk=8)
+    stats = run_sequences_batched(list(ds), tracker, str(tmp_path / "res"))
+    assert len(stats) == len(ds)
+    for seq in ds:
+        sc = np.loadtxt(tmp_path / "res" / f"{seq.name}_score.txt")
+        assert sc.shape == (len(seq.frames),)
+        assert sc[0] == 1.0 and np.isfinite(sc).all()
+        assert (sc >= 0).all() and (sc <= 1).all()
+
+
 def test_run_sequences_batched_writes_results(tmp_path, model_vars):
     model, variables = model_vars
     from multi_modal_tracking_tpu.eval.datasets import get_dataset

@@ -84,17 +84,24 @@ def main():
                                           mode=mode)) if args.threads else None
         import jax
         from multi_modal_tracking_tpu.tracking.tracker import (
-            RGBTCachedTrackerJit, RGBTTrackerJit)
-        if args.batch_sequences > 1 and isinstance(tracker, RGBTTrackerJit):
+            RGBTCachedTrackerJit, RGBTOnlineCachedTrackerJit,
+            RGBTOnlineTrackerJit, RGBTTrackerJit)
+        if args.batch_sequences > 1 and isinstance(
+                tracker, (RGBTTrackerJit, RGBTOnlineTrackerJit)):
             from multi_modal_tracking_tpu.eval.running import _load_frame
             from multi_modal_tracking_tpu.tracking.batched import (
-                BatchedRGBTCachedTrackerJit, BatchedRGBTTrackerJit,
+                BatchedRGBTCachedTrackerJit, BatchedRGBTOnlineCachedTrackerJit,
+                BatchedRGBTOnlineTrackerJit, BatchedRGBTTrackerJit,
                 run_sequences_batched)
-            # the cached-template fast path carries over to lockstep batching
-            batched_cls = (BatchedRGBTCachedTrackerJit
-                           if isinstance(tracker, RGBTCachedTrackerJit)
-                           else BatchedRGBTTrackerJit)
-            bt = batched_cls(
+            # per-family lockstep twin; the cached-template fast path
+            # carries over to batching
+            batched_cls = {
+                RGBTTrackerJit: BatchedRGBTTrackerJit,
+                RGBTCachedTrackerJit: BatchedRGBTCachedTrackerJit,
+                RGBTOnlineTrackerJit: BatchedRGBTOnlineTrackerJit,
+                RGBTOnlineCachedTrackerJit: BatchedRGBTOnlineCachedTrackerJit,
+            }[type(tracker)]
+            kw = dict(
                 model=tracker.model, variables=tracker.variables,
                 template_factor=tracker.template_factor,
                 template_size=tracker.template_size,
@@ -102,6 +109,9 @@ def main():
                 search_size=tracker.search_size,
                 update_interval=tracker.update_interval,
                 ce_keep_rate=tracker.ce_keep_rate, scan_chunk=args.chunk)
+            if isinstance(tracker, RGBTOnlineTrackerJit):
+                kw["max_score_decay"] = tracker.max_score_decay
+            bt = batched_cls(**kw)
             groups = {}
             for seq in dataset:
                 groups.setdefault(_load_frame(seq, 0)[0].shape[:2], []).append(seq)
