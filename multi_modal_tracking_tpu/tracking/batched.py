@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from multi_modal_tracking_tpu.tracking.tracker import (
-    RGBTCachedTrackerJit, RGBTOnlineCachedTrackerJit, RGBTOnlineTrackerJit,
+    OnlineTrackerJit, RGBCachedTrackerJit, RGBTCachedTrackerJit,
+    RGBTOnlineCachedTrackerJit, RGBTOnlineTrackerJit, RGBTrackerJit,
     RGBTTrackerJit, _put)
 
 
@@ -112,14 +113,16 @@ class BatchedRGBTTrackerJit:
     # --------------------------------------------------------------- host API
     def initialize(self, frames_v: np.ndarray, frames_i: np.ndarray,
                    boxes: np.ndarray):
-        """frames_*: (N, H, W, 3) uint8 frame-0 stack; boxes: (N, 4) xywh."""
+        """frames_*: (N, H, W, 3) uint8 frame-0 stack; boxes: (N, 4) xywh.
+        For unimodal sequences pass the SAME array as both modalities — it
+        is uploaded once and the mode transform decides what it feeds."""
         shape = frames_v.shape[1:3]
         if shape not in self._init_jit:
             self._init_jit[shape] = self._make_init(shape)
+        dv = self._put_batch(frames_v, 0)
+        di = dv if frames_i is frames_v else self._put_batch(frames_i, 0)
         self._state = self._init_jit[shape](
-            self.variables, self._put_batch(frames_v, 0),
-            self._put_batch(frames_i, 0),
-            self._put_batch(boxes, 0, np.float32))
+            self.variables, dv, di, self._put_batch(boxes, 0, np.float32))
         self._shape = shape
 
     def track_block(self, frames_v: np.ndarray, frames_i: np.ndarray,
@@ -136,21 +139,25 @@ class BatchedRGBTTrackerJit:
             valid = np.ones((T, N), np.bool_)
         outs = []
         st = self._state
+        unimodal = frames_i is frames_v        # upload the shared stack once
         for lo in range(0, T, K):
             hi = min(lo + K, T)
             whole = lo == 0 and hi == T
             bv = frames_v if whole else frames_v[lo:hi]
-            bi = frames_i if whole else frames_i[lo:hi]
+            bi = bv if unimodal else (frames_i if whole else frames_i[lo:hi])
             ok = valid[lo:hi]
             n = hi - lo
             if n < K:
                 pad = K - n
                 xp = jnp if isinstance(frames_v, jax.Array) else np
                 bv = xp.concatenate([bv, xp.repeat(bv[-1:], pad, axis=0)])
-                bi = xp.concatenate([bi, xp.repeat(bi[-1:], pad, axis=0)])
+                bi = bv if unimodal else \
+                    xp.concatenate([bi, xp.repeat(bi[-1:], pad, axis=0)])
                 ok = np.concatenate([ok, np.zeros((pad, N), np.bool_)])
-            st, bxs = fn(self.variables, st, self._put_batch(bv, 1),
-                         self._put_batch(bi, 1), self._put_batch(ok, 1))
+            dbv = self._put_batch(bv, 1)
+            dbi = dbv if bi is bv else self._put_batch(bi, 1)
+            st, bxs = fn(self.variables, st, dbv, dbi,
+                         self._put_batch(ok, 1))
             # bxs is (T, N, 4) boxes, or a pytree of per-frame outputs (the
             # online trackers yield (boxes, scores))
             outs.append(jax.tree.map(lambda a: a[:n], bxs) if n < K else bxs)
@@ -290,6 +297,143 @@ class BatchedRGBTOnlineCachedTrackerJit(BatchedRGBTOnlineTrackerJit):
         return jax.jit(track_fn)
 
 
+@dataclasses.dataclass
+class BatchedRGBTrackerJit(BatchedRGBTTrackerJit):
+    """Unimodal lockstep tracking (RGB / TIR / Prompt input modes) — the
+    batching lever for the big unimodal sweeps (LaSOT / GOT-10k /
+    TrackingNet, SURVEY §2.3) where the reference spends a process-pool of
+    GPUs (running.py:134-141). Pass the same frame stack as both modalities
+    for RGB sequences (uploaded once); TIR/Prompt read the second stack."""
+
+    # unimodal family defaults (RGBTrackerJit/OnlineTrackerJit use 4.5,
+    # not the RGBT family's 5.0)
+    search_factor: float = 4.5
+    mode: str = "RGB"
+    prompt_lambda: float = 0.5
+    _single_cls = RGBTrackerJit
+
+    def _single_kwargs(self):
+        return dict(
+            model=self.model, variables=self.variables,
+            template_factor=self.template_factor, template_size=self.template_size,
+            search_factor=self.search_factor, search_size=self.search_size,
+            update_interval=self.update_interval,
+            mode=self.mode, prompt_lambda=self.prompt_lambda)
+
+    def _make_scan(self, shape, chunk: int):
+        single = self._single
+
+        def track_fn(variables, st, frames_v, frames_i, valid):
+            def body(st, fr):
+                fv, fi, ok = fr
+
+                def one(st1, f1v, f1i, ok1):
+                    new_st, box = single._step(shape, variables, st1,
+                                               single._frame(f1v, f1i))
+                    new_st = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(ok1, a, b), new_st, st1)
+                    return new_st, box
+                return jax.vmap(one)(st, fv, fi, ok)
+
+            st, boxes = jax.lax.scan(body, st, (frames_v, frames_i, valid))
+            return st, boxes
+        return jax.jit(track_fn)
+
+
+@dataclasses.dataclass
+class BatchedRGBCachedTrackerJit(BatchedRGBTrackerJit):
+    """Unimodal lockstep through the set_online/forward_test k/v cache
+    (scalar-cadence rebuild hoisted out of the vmap, same argument as
+    BatchedRGBTCachedTrackerJit)."""
+
+    _single_cls = RGBCachedTrackerJit
+
+    def _make_scan(self, shape, chunk: int):
+        single = self._single
+        interval = self.update_interval
+
+        def track_fn(variables, st, frames_v, frames_i, valid):
+            def body(st, fr):
+                fv, fi, ok = fr
+
+                def one(st1, f1v, f1i, ok1):
+                    new_st, box = single._step_search(shape, variables, st1,
+                                                      single._frame(f1v, f1i))
+                    new_st = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(ok1, a, b), new_st, st1)
+                    return new_st, box
+                new_st, boxes = jax.vmap(one)(st, fv, fi, ok)
+
+                def rebuild(s):
+                    def one_up(st1, f1v, f1i, ok1):
+                        cache = single._rebuild_cache(variables, st1,
+                                                      single._frame(f1v, f1i))
+                        cache = jax.tree_util.tree_map(
+                            lambda a, b: jnp.where(ok1, a, b), cache, st1.cache)
+                        return st1.replace(cache=cache)
+                    return jax.vmap(one_up)(s, fv, fi, ok)
+
+                do_update = (jnp.max(new_st.frame_id) % interval) == 0
+                new_st = jax.lax.cond(do_update, rebuild, lambda s: s, new_st)
+                return new_st, boxes
+
+            st, boxes = jax.lax.scan(body, st, (frames_v, frames_i, valid))
+            return st, boxes
+        return jax.jit(track_fn)
+
+
+@dataclasses.dataclass
+class BatchedOnlineTrackerJit(BatchedRGBTrackerJit):
+    """Unimodal online lockstep (multi-template ring + score-gated
+    candidacy, CvT/ViT/ConvMAE online models). The per-sequence ring commit
+    (dynamic_update_slice at forget_id) vmaps to a scatter; only the
+    set_online cache refresh hoists to the scalar cadence. The lockstep
+    carry is the (state, cache) pair; track_block returns (boxes, scores)."""
+
+    online_size: int = 3
+    max_score_decay: float = 1.0
+    _single_cls = OnlineTrackerJit
+
+    def _single_kwargs(self):
+        return dict(super()._single_kwargs(), online_size=self.online_size,
+                    max_score_decay=self.max_score_decay)
+
+    def _make_scan(self, shape, chunk: int):
+        single = self._single
+        interval = self.update_interval
+
+        def track_fn(variables, carry, frames_v, frames_i, valid):
+            def body(carry, fr):
+                st, cache = carry
+                fv, fi, ok = fr
+
+                def one(st1, c1, f1v, f1i, ok1):
+                    new_st, box, score = single._step_search(
+                        shape, variables, st1, c1, single._frame(f1v, f1i))
+                    new_st = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(ok1, a, b), new_st, st1)
+                    return new_st, (box, score)
+                new_st, outs = jax.vmap(one)(st, cache, fv, fi, ok)
+
+                def refresh(args):
+                    s, c = args
+
+                    def one_up(st1, c1, ok1):
+                        nc = single._refresh_cache(variables, st1)
+                        return jax.tree_util.tree_map(
+                            lambda a, b: jnp.where(ok1, a, b), nc, c1)
+                    return jax.vmap(one_up)(s, c, ok)
+
+                do_update = (jnp.max(new_st.frame_id) % interval) == 0
+                cache = jax.lax.cond(do_update, refresh, lambda a: a[1],
+                                     (new_st, cache))
+                return (new_st, cache), outs
+
+            carry, outs = jax.lax.scan(body, carry, (frames_v, frames_i, valid))
+            return carry, outs
+        return jax.jit(track_fn)
+
+
 def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,
                           results_dir: str, chunk: Optional[int] = None,
                           skip_if_done: bool = True) -> List[dict]:
@@ -316,8 +460,9 @@ def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,
     T = max(lengths)
 
     f0 = [_load_frame(s, 0) for s in todo]
-    frames0_v = np.stack([f[0] for f in f0])
-    frames0_i = np.stack([f[1] for f in f0])
+    rgbt = isinstance(f0[0], list)        # unimodal _load_frame -> bare array
+    frames0_v = np.stack([(f[0] if rgbt else f) for f in f0])
+    frames0_i = np.stack([f[1] for f in f0]) if rgbt else frames0_v
     boxes0 = np.stack([np.asarray(s.init_info()["init_bbox"], np.float32).reshape(-1)[-4:]
                        for s in todo])
     t_start = _time.time()
@@ -330,14 +475,15 @@ def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,
     for lo in range(1, T, K):
         hi = min(lo + K, T)
         blk_v = np.empty((hi - lo, N, *frames0_v.shape[1:]), frames0_v.dtype)
-        blk_i = np.empty_like(blk_v)
+        blk_i = np.empty_like(blk_v) if rgbt else blk_v   # shared: 1 upload
         ok = np.zeros((hi - lo, N), np.bool_)
         for j, s in enumerate(todo):
             for t in range(lo, hi):
                 k = min(t, lengths[j] - 1)
                 fr = _load_frame(s, k)
-                blk_v[t - lo, j] = fr[0]
-                blk_i[t - lo, j] = fr[1]
+                blk_v[t - lo, j] = fr[0] if rgbt else fr
+                if rgbt:
+                    blk_i[t - lo, j] = fr[1]
                 ok[t - lo, j] = t < lengths[j]
         pending.append((lo, hi, tracker.track_block(blk_v, blk_i, ok, fetch=False)))
     for lo, hi, bxs in pending:

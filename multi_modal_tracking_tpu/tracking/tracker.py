@@ -698,13 +698,21 @@ class OnlineTrackerJit:
             state=box.astype(jnp.float32), frame_id=jnp.int32(0))
         return st, cache
 
+    def _init_state(self, variables, img_v, img_i, box):
+        """Uniform (img_v, img_i) entry (returns the (state, cache) pair);
+        used by _make_init and vmapped by the batched lockstep tracker."""
+        return self._init_step(variables, self._frame(img_v, img_i), box)
+
     def _make_init(self, shape):
         # mode transform inside the jit (one device program per frame)
-        def init_fn(variables, img_v, img_i, box):
-            return self._init_step(variables, self._frame(img_v, img_i), box)
-        return jax.jit(init_fn)
+        return jax.jit(self._init_state)
 
-    def _step(self, shape, variables, st: OnlineTrackState, cache, img):
+    def _step_search(self, shape, variables, st: OnlineTrackState, cache, img):
+        """Everything except the set_online cache refresh: cached forward +
+        score head, candidate selection, the interval-gated ring COMMIT
+        (elementwise selects — vmap-safe) and candidacy reset. The refresh
+        cond is composed on top by _step and hoisted out of the vmap by the
+        batched lockstep tracker."""
         H, W = shape
         frame_id = st.frame_id + 1
         s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
@@ -739,11 +747,6 @@ class OnlineTrackerJit:
         forget_id = jnp.where(do_update,
                               (st.forget_id + 1) % self.online_size,
                               st.forget_id)
-
-        def refresh():
-            return self._set_online(variables, st.template_v, ring)
-
-        cache = jax.lax.cond(do_update, refresh, lambda: cache)
         max_t = jnp.where(do_update, st.template_v, max_t)
         max_score = jnp.where(do_update, jnp.float32(-1.0), max_score)
 
@@ -753,6 +756,20 @@ class OnlineTrackerJit:
             max_template_v=max_t, max_template_i=max_t,
             max_pred_score=max_score, forget_id=forget_id,
             state=new_state, frame_id=frame_id)
+        return new_st, new_state, pred_score
+
+    def _refresh_cache(self, variables, st: OnlineTrackState):
+        """set_online over the base template + the already-committed ring."""
+        return self._set_online(variables, st.template_v,
+                                st.online_template_v)
+
+    def _step(self, shape, variables, st: OnlineTrackState, cache, img):
+        new_st, new_state, pred_score = self._step_search(shape, variables,
+                                                          st, cache, img)
+        do_update = (new_st.frame_id % self.update_interval) == 0
+        cache = jax.lax.cond(do_update,
+                             lambda: self._refresh_cache(variables, new_st),
+                             lambda: cache)
         return new_st, cache, new_state, pred_score
 
     def _make_track(self, shape):
@@ -870,12 +887,15 @@ class RGBTrackerJit:
                           online_template_i=t, state=box.astype(jnp.float32),
                           frame_id=jnp.int32(0))
 
+    def _init_state(self, variables, img_v, img_i, box):
+        """Uniform (img_v, img_i) entry for the batched lockstep trackers;
+        the RGB/TIR/Prompt mode transform happens inside."""
+        return self._init_step(variables, self._frame(img_v, img_i), box)
+
     def _make_init(self, shape):
         # the RGB/TIR/Prompt mode transform traces INSIDE the jit: the whole
         # per-frame pipeline stays one device program (CLAUDE.md invariant)
-        def init_fn(variables, img_v, img_i, box):
-            return self._init_step(variables, self._frame(img_v, img_i), box)
-        return jax.jit(init_fn)
+        return jax.jit(self._init_state)
 
     def _step(self, shape, variables, st: TrackState, img):
         H, W = shape
@@ -979,7 +999,9 @@ class RGBCachedTrackerJit(RGBTrackerJit):
                                 state=box.astype(jnp.float32),
                                 frame_id=jnp.int32(0))
 
-    def _step(self, shape, variables, st: CachedTrackState, img):
+    def _step_search(self, shape, variables, st: CachedTrackState, img):
+        """Search-only step against the frozen cache (rebuild composed on
+        top by _step; hoisted out of the vmap by the batched tracker)."""
         H, W = shape
         frame_id = st.frame_id + 1
         s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
@@ -989,16 +1011,22 @@ class RGBCachedTrackerJit(RGBTrackerJit):
         pred = pred * (self.search_size / rf)
         new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
                              H, W, margin=10)
-
-        def rebuilt():
-            ot, _ = _prep_rgb(img, new_state, self.template_factor,
-                              self.template_size)
-            return self.model.apply(variables, st.template_v, ot,
-                                    method=type(self.model).set_online)
-
-        do_update = (frame_id % self.update_interval) == 0
-        cache = jax.lax.cond(do_update, rebuilt, lambda: st.cache)
         new_st = CachedTrackState(template_v=st.template_v,
-                                  template_i=st.template_i, cache=cache,
+                                  template_i=st.template_i, cache=st.cache,
                                   state=new_state, frame_id=frame_id)
         return new_st, new_state
+
+    def _rebuild_cache(self, variables, st: CachedTrackState, img):
+        ot, _ = _prep_rgb(img, st.state, self.template_factor,
+                          self.template_size)
+        return self.model.apply(variables, st.template_v, ot,
+                                method=type(self.model).set_online)
+
+    def _step(self, shape, variables, st: CachedTrackState, img):
+        new_st, new_state = self._step_search(shape, variables, st, img)
+        do_update = (new_st.frame_id % self.update_interval) == 0
+        cache = jax.lax.cond(
+            do_update,
+            lambda: self._rebuild_cache(variables, new_st, img),
+            lambda: new_st.cache)
+        return new_st.replace(cache=cache), new_state

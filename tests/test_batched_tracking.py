@@ -218,6 +218,89 @@ def test_run_sequences_batched_online_writes_scores(tmp_path, online_model_vars)
         assert (sc >= 0).all() and (sc <= 1).all()
 
 
+@pytest.fixture(scope="module")
+def uni_model_vars():
+    from multi_modal_tracking_tpu.models.mixformer import MixFormer, ViTSpec
+    spec = ViTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                   num_heads=2, head_dim=64, nlayer_head=2)
+    model = MixFormer(spec=spec, with_score=True)
+    t = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, a, b, c: model.init(
+        r, a, b, c, run_score_head=True))(jax.random.PRNGKey(0), t, t, s)
+    return model, variables
+
+
+@pytest.mark.parametrize("cls_pair", ["full", "cached", "online"])
+def test_unimodal_batched_matches_sequential(uni_model_vars, cls_pair):
+    """Unimodal lockstep (full / cached / ring-buffer online, TIR mode so
+    the JET transform runs in-scan) == sequential single-sequence tracking
+    across ragged lengths and update-interval crossings."""
+    from multi_modal_tracking_tpu.tracking.batched import (
+        BatchedOnlineTrackerJit, BatchedRGBCachedTrackerJit,
+        BatchedRGBTrackerJit)
+    from multi_modal_tracking_tpu.tracking.tracker import (
+        OnlineTrackerJit, RGBCachedTrackerJit, RGBTrackerJit)
+    model, variables = uni_model_vars
+    kw = dict(model=model, variables=variables, template_size=32,
+              search_size=64, update_interval=3, mode="TIR")
+    if cls_pair == "online":
+        kw.update(online_size=2, max_score_decay=0.98)
+    single_cls, batched_cls = {
+        "full": (RGBTrackerJit, BatchedRGBTrackerJit),
+        "cached": (RGBCachedTrackerJit, BatchedRGBCachedTrackerJit),
+        "online": (OnlineTrackerJit, BatchedOnlineTrackerJit),
+    }[cls_pair]
+    boxes0 = np.asarray([[40.0, 30, 30, 24], [50.0, 20, 24, 30]], np.float32)
+    lengths = [8, 5]
+    seqs = [_seq_frames(lengths[j], seed=30 + j)[0] for j in range(2)]
+
+    seq_out = []
+    for j in range(2):
+        tr = single_cls(**kw)
+        tr.initialize(seqs[j][0], {"init_bbox": boxes0[j]})
+        outs = [tr.track(seqs[j][k]) for k in range(1, lengths[j])]
+        seq_out.append((np.asarray([o["target_bbox"] for o in outs]),
+                        np.asarray([o.get("pred_score", 1.0) for o in outs])))
+
+    bt = batched_cls(**kw, scan_chunk=4)
+    f0 = np.stack([s[0] for s in seqs])
+    bt.initialize(f0, f0, boxes0)          # same array: unimodal single upload
+    T = max(lengths) - 1
+    fv = np.zeros((T, 2, 96, 128, 3), np.uint8)
+    ok = np.zeros((T, 2), np.bool_)
+    for j in range(2):
+        for t in range(T):
+            fv[t, j] = seqs[j][min(t + 1, lengths[j] - 1)]
+            ok[t, j] = t + 1 < lengths[j]
+    got = bt.track_block(fv, fv, ok)
+    got_boxes, got_scores = got if isinstance(got, tuple) else (got, None)
+    for j in range(2):
+        n = lengths[j] - 1
+        np.testing.assert_allclose(got_boxes[:n, j], seq_out[j][0],
+                                   rtol=1e-4, atol=1e-3)
+        if got_scores is not None:
+            np.testing.assert_allclose(got_scores[:n, j], seq_out[j][1],
+                                       rtol=1e-4, atol=1e-3)
+
+
+def test_run_sequences_batched_unimodal(tmp_path, uni_model_vars):
+    """run_sequences_batched over a unimodal (single-frame-array) dataset."""
+    from multi_modal_tracking_tpu.eval.datasets import get_dataset
+    from multi_modal_tracking_tpu.tracking.batched import BatchedRGBCachedTrackerJit
+    model, variables = uni_model_vars
+    ds = get_dataset("synthetic_rgb")
+    tracker = BatchedRGBCachedTrackerJit(
+        model=model, variables=variables, template_size=32, search_size=64,
+        update_interval=3, scan_chunk=8)
+    stats = run_sequences_batched(list(ds), tracker, str(tmp_path / "res"))
+    assert len(stats) == len(ds)
+    for seq in ds:
+        b = np.loadtxt(tmp_path / "res" / f"{seq.name}.txt")
+        assert b.shape == (len(seq.frames), 4)
+        assert np.isfinite(b).all()
+
+
 def test_run_sequences_batched_writes_results(tmp_path, model_vars):
     model, variables = model_vars
     from multi_modal_tracking_tpu.eval.datasets import get_dataset

@@ -84,15 +84,18 @@ def main():
                                           mode=mode)) if args.threads else None
         import jax
         from multi_modal_tracking_tpu.tracking.tracker import (
-            RGBTCachedTrackerJit, RGBTOnlineCachedTrackerJit,
-            RGBTOnlineTrackerJit, RGBTTrackerJit)
-        if args.batch_sequences > 1 and isinstance(
-                tracker, (RGBTTrackerJit, RGBTOnlineTrackerJit)):
+            OnlineTrackerJit, RGBCachedTrackerJit, RGBTCachedTrackerJit,
+            RGBTOnlineCachedTrackerJit, RGBTOnlineTrackerJit, RGBTrackerJit,
+            RGBTTrackerJit)
+        _batchable = (RGBTTrackerJit, RGBTOnlineTrackerJit, RGBTrackerJit,
+                      OnlineTrackerJit)
+        if args.batch_sequences > 1 and isinstance(tracker, _batchable):
             from multi_modal_tracking_tpu.eval.running import _load_frame
             from multi_modal_tracking_tpu.tracking.batched import (
+                BatchedOnlineTrackerJit, BatchedRGBCachedTrackerJit,
                 BatchedRGBTCachedTrackerJit, BatchedRGBTOnlineCachedTrackerJit,
-                BatchedRGBTOnlineTrackerJit, BatchedRGBTTrackerJit,
-                run_sequences_batched)
+                BatchedRGBTOnlineTrackerJit, BatchedRGBTrackerJit,
+                BatchedRGBTTrackerJit, run_sequences_batched)
             # per-family lockstep twin; the cached-template fast path
             # carries over to batching
             batched_cls = {
@@ -100,6 +103,9 @@ def main():
                 RGBTCachedTrackerJit: BatchedRGBTCachedTrackerJit,
                 RGBTOnlineTrackerJit: BatchedRGBTOnlineTrackerJit,
                 RGBTOnlineCachedTrackerJit: BatchedRGBTOnlineCachedTrackerJit,
+                RGBTrackerJit: BatchedRGBTrackerJit,
+                RGBCachedTrackerJit: BatchedRGBCachedTrackerJit,
+                OnlineTrackerJit: BatchedOnlineTrackerJit,
             }[type(tracker)]
             kw = dict(
                 model=tracker.model, variables=tracker.variables,
@@ -108,13 +114,23 @@ def main():
                 search_factor=tracker.search_factor,
                 search_size=tracker.search_size,
                 update_interval=tracker.update_interval,
-                ce_keep_rate=tracker.ce_keep_rate, scan_chunk=args.chunk)
-            if isinstance(tracker, RGBTOnlineTrackerJit):
-                kw["max_score_decay"] = tracker.max_score_decay
+                scan_chunk=args.chunk)
+            if isinstance(tracker, (RGBTrackerJit, OnlineTrackerJit)):
+                kw.update(mode=tracker.mode,
+                          prompt_lambda=tracker.prompt_lambda)
+                if isinstance(tracker, OnlineTrackerJit):
+                    kw.update(online_size=tracker.online_size,
+                              max_score_decay=tracker.max_score_decay)
+            else:
+                kw["ce_keep_rate"] = tracker.ce_keep_rate
+                if isinstance(tracker, RGBTOnlineTrackerJit):
+                    kw["max_score_decay"] = tracker.max_score_decay
             bt = batched_cls(**kw)
             groups = {}
             for seq in dataset:
-                groups.setdefault(_load_frame(seq, 0)[0].shape[:2], []).append(seq)
+                fr = _load_frame(seq, 0)     # RGBT: [v, i]; unimodal: array
+                frame0 = fr[0] if isinstance(fr, list) else fr
+                groups.setdefault(frame0.shape[:2], []).append(seq)
             for shape, seqs in groups.items():
                 for lo in range(0, len(seqs), args.batch_sequences):
                     run_sequences_batched(seqs[lo: lo + args.batch_sequences], bt,
