@@ -316,8 +316,12 @@ def test_run_sequences_batched_writes_results(tmp_path, model_vars):
         assert np.isfinite(b).all()
 
 
-def test_batched_mesh_sharded_matches_unsharded(model_vars):
-    """Sequence batch sharded over an 8-device data mesh == single device."""
+@pytest.mark.parametrize("cls", [BatchedRGBTTrackerJit,
+                                 BatchedRGBTCachedTrackerJit])
+def test_batched_mesh_sharded_matches_unsharded(model_vars, cls):
+    """Sequence batch sharded over an 8-device data mesh == single device
+    (both the full-forward and the cached-template lockstep: set_online
+    under vmap must partition cleanly under GSPMD)."""
     from jax.sharding import Mesh
     model, variables = model_vars
     kw = dict(model=model, variables=variables, template_size=32,
@@ -328,12 +332,12 @@ def test_batched_mesh_sharded_matches_unsharded(model_vars):
     fi = rng.integers(0, 255, (T, N, 96, 128, 3), np.uint8)
     boxes0 = np.stack([[30.0 + i, 30, 24, 24] for i in range(N)]).astype(np.float32)
 
-    plain = BatchedRGBTTrackerJit(**kw)
+    plain = cls(**kw)
     plain.initialize(fv[0], fi[0], boxes0)
     ref = plain.track_block(fv, fi)
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
-    sharded = BatchedRGBTTrackerJit(**kw, mesh=mesh)
+    sharded = cls(**kw, mesh=mesh)
     sharded.initialize(fv[0], fi[0], boxes0)
     out = sharded.track_block(fv, fi)
     # per-sequence state is sharded over devices
