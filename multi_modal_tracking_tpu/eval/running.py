@@ -49,15 +49,21 @@ def _imread(path):
 
 
 def _read_depth_as_rgb(path):
-    """uint16 depth png -> normalised JET pseudo-RGB
-    (lib/test/evaluation/depth_utils.py:4-60 'colormap' mode)."""
+    """uint16 depth png -> median*3-clipped, min-max-normalised REPLICATED
+    GRAYSCALE (depth_utils.py get_rgbd_frame dtype='rgb3d' + depth_clip=True
+    — the exact mode the reference's DepthTrack eval and VOT-RGBD loop use,
+    tracker_rgbt.py:218 / vot_rgbd_test/tracker_class.py:169). The JET
+    pseudo-colouring then happens downstream in the tracker's TIR pipeline,
+    exactly like replicated-grayscale TIR frames (the reference comments
+    this in get_rgbd_frame: the colormap is applied 'in the transformer').
+    Same semantics as train.data.datasets.rgbt.normalized_depth_pair."""
     import cv2
-    dp = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
-    dp = np.nan_to_num(dp.astype(np.float32))
-    dp = np.clip(dp, 0, np.quantile(dp, 0.99) if dp.max() > 0 else 1.0)
-    dp = (255.0 * dp / max(float(dp.max()), 1e-6)).astype(np.uint8)
-    jet = cv2.applyColorMap(dp, cv2.COLORMAP_JET)
-    return cv2.cvtColor(jet, cv2.COLOR_BGR2RGB)
+    dp = cv2.imread(path, -1)
+    max_depth = min(np.median(dp) * 3, 10000)
+    dp = np.minimum(dp, max_depth)
+    dp = cv2.normalize(dp, None, alpha=0, beta=255, norm_type=cv2.NORM_MINMAX)
+    dp = np.asarray(dp, dtype=np.uint8)
+    return cv2.merge((dp, dp, dp))
 
 
 def _load_frame(seq, k):

@@ -9,7 +9,8 @@ Parity targets:
   run_vot_exp (:136-191): initialize from the first frame's region, then
   report (rect, confidence) per frame.
   lib/test/evaluation/depth_utils.py get_rgbd_frame (:4-60): depth png ->
-  normalised JET pseudo-RGB.
+  median*3-clipped min-max-normalised replicated grayscale (dtype='rgb3d',
+  depth_clip=True — JET is applied downstream in the tracker).
 """
 from __future__ import annotations
 
@@ -101,9 +102,11 @@ def run_vot_exp(script: str, training_yaml: Optional[str] = None,
                 update_interval: int = 25, server=None, tracker=None):
     """VOT experiment loop (tracker_class.py run_vot_exp :136-191).
 
-    Reads frame paths from the toolkit, feeds [color, depth-as-JET] (or
-    color/ir) pairs to the score-gated online tracker, reports rect +
-    confidence every frame.
+    Reads frame paths from the toolkit, feeds [color, clipped-normalised
+    depth grayscale] (or color/ir) pairs to the score-gated online tracker
+    — the tracker's TIR pipeline applies the JET colormap, matching the
+    reference's rgb3d + in-tracker-colormap chain (tracker_class.py:169) —
+    and reports rect + confidence every frame.
     """
     from multi_modal_tracking_tpu.eval.evaltracker import create_tracker
     from multi_modal_tracking_tpu.eval.params import get_parameters

@@ -199,3 +199,41 @@ def test_create_tracker_flagship_uses_cached_path():
     tracker = create_tracker(_tiny_params("asymmetric_shared_ce"),
                              dtype=jnp.float32)
     assert isinstance(tracker, RGBTCachedTrackerJit)
+
+
+def test_read_depth_as_rgb_reference_semantics(tmp_path):
+    """Eval-side depth loading == the reference's get_rgbd_frame
+    (dtype='rgb3d', depth_clip=True — tracker_rgbt.py:218): median*3 clip,
+    min-max normalize to uint8, replicated grayscale. Must also equal the
+    train-side normalized_depth_pair helper (one definition of the input)."""
+    import cv2
+    from multi_modal_tracking_tpu.eval.running import _read_depth_as_rgb
+    from multi_modal_tracking_tpu.train.data.datasets.rgbt import (
+        normalized_depth_pair)
+
+    rng = np.random.default_rng(0)
+    dp = rng.integers(500, 3000, (40, 50), np.uint16)
+    dp[3, 4] = 60000          # far outlier: must clip at median*3, not max
+    p = str(tmp_path / "d.png")
+    cv2.imwrite(p, dp)
+    cp = str(tmp_path / "c.png")
+    cv2.imwrite(cp, rng.integers(0, 255, (40, 50, 3), np.uint8))
+
+    got = _read_depth_as_rgb(p)
+    assert got.shape == (40, 50, 3) and got.dtype == np.uint8
+    # replicated grayscale
+    assert np.array_equal(got[..., 0], got[..., 1])
+    assert np.array_equal(got[..., 0], got[..., 2])
+    # reference steps, written out literally (depth_utils.py:20-60)
+    ref = cv2.imread(p, -1)
+    max_depth = min(np.median(ref) * 3, 10000)
+    ref = np.minimum(ref, max_depth)
+    ref = cv2.normalize(ref, None, alpha=0, beta=255,
+                        norm_type=cv2.NORM_MINMAX)
+    ref = np.asarray(ref, np.uint8)
+    np.testing.assert_array_equal(got[..., 0], ref)
+    # the outlier saturates to 255 together with everything >= the clip
+    assert got[3, 4, 0] == 255
+    # train/eval agree
+    _, train_dp = normalized_depth_pair(cp, p)
+    np.testing.assert_array_equal(got, train_dp)
