@@ -72,8 +72,12 @@ class RGBTSequence(Sequence):
         self.depth_input = depth_input   # frames_i are raw depth maps
 
     def init_info(self) -> dict:
-        # Init from the RGB ground truth (lib/test/tracker/asymmetric_shared_ce.py:54-67)
-        return {"init_bbox": list(map(float, self.ground_truth_rect[0, 0]))}
+        # The [RGB gt; TIR gt] PAIR, like the reference's data.py init_info:
+        # trackers select by mode — RGBT/RGB/Prompt take row 0, TIR mode
+        # takes row 1 (lib/test/evaluation/tracker.py:119-122,
+        # lib/test/tracker/asymmetric_shared_ce.py:54-67).
+        return {"init_bbox": [list(map(float, r))
+                              for r in self.ground_truth_rect[0]]}
 
 
 class SequenceList(list):

@@ -172,7 +172,12 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
     frame0 = _load_frame(seq, 0)
     t0 = time.time()
     tracker.initialize(frame0, seq.init_info())
-    boxes[0] = np.asarray(seq.init_info()["init_bbox"])
+    # frame-0 output box = the init box the tracker's mode selected (the
+    # reference stores init_info["init_bbox"] after mode selection,
+    # tracker.py:119-122 + _track_sequence init_default)
+    from multi_modal_tracking_tpu.tracking.tracker import _select_init_box
+    boxes[0] = np.asarray(_select_init_box(seq.init_info()["init_bbox"],
+                                           getattr(tracker, "mode", "RGB")))
     times[0] = time.time() - t0
 
     scores = None

@@ -309,7 +309,7 @@ class BatchedRGBTrackerJit(BatchedRGBTTrackerJit):
     # not the RGBT family's 5.0)
     search_factor: float = 4.5
     mode: str = "RGB"
-    prompt_lambda: float = 0.5
+    prompt_lambda: float = 0.05   # reference tracker.py:160
     _single_cls = RGBTrackerJit
 
     def _single_kwargs(self):
@@ -463,8 +463,12 @@ def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,
     rgbt = isinstance(f0[0], list)        # unimodal _load_frame -> bare array
     frames0_v = np.stack([(f[0] if rgbt else f) for f in f0])
     frames0_i = np.stack([f[1] for f in f0]) if rgbt else frames0_v
-    boxes0 = np.stack([np.asarray(s.init_info()["init_bbox"], np.float32).reshape(-1)[-4:]
-                       for s in todo])
+    from multi_modal_tracking_tpu.tracking.tracker import _select_init_box
+    mode = getattr(tracker, "mode", "RGB")
+    boxes0 = np.stack([
+        np.asarray(_select_init_box(s.init_info()["init_bbox"], mode),
+                   np.float32).reshape(-1)[-4:]
+        for s in todo])
     t_start = _time.time()
     tracker.initialize(frames0_v, frames0_i, boxes0)
 

@@ -82,6 +82,16 @@ class OnlineTrackState:
     frame_id: jax.Array          # () int32
 
 
+def _select_init_box(box, mode: str = "RGB"):
+    """RGBT GT pairs -> the tracked mode's box: the bimodal trackers and
+    RGB/Prompt unimodal modes take the RGB row, TIR mode the TIR row
+    (lib/test/evaluation/tracker.py:119-122; the bimodal trackers init from
+    the RGB gt, asymmetric_shared_ce.py:54-67). Flat boxes pass through."""
+    if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
+        return box[1] if mode == "TIR" else box[0]
+    return box
+
+
 def _prep_rgb(img, box, factor, out_sz):
     crop, rf = crop_resize(img, box, factor, out_sz)
     return normalize_imagenet(crop)[None], rf
@@ -279,9 +289,7 @@ class RGBTTrackerJit:
         if shape not in self._init_jit:
             self._init_jit[shape] = self._make_init(shape)
             self._track_jit[shape] = self._make_track(shape)
-        box = info["init_bbox"]
-        if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
-            box = box[0]    # RGBT gt pair: use the RGB box (reference :67)
+        box = _select_init_box(info["init_bbox"])   # RGBT pair -> RGB row
         self._state = self._init_jit[shape](
             self.variables, _put(img_v), _put(img_i), _put(box, np.float32))
         self._shape = shape
@@ -526,9 +534,7 @@ class RGBTOnlineTrackerJit:
         if shape not in self._init_jit:
             self._init_jit[shape] = self._make_init(shape)
             self._track_jit[shape] = self._make_track(shape)
-        box = info["init_bbox"]
-        if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
-            box = box[0]
+        box = _select_init_box(info["init_bbox"])   # RGBT pair -> RGB row
         self._state = self._init_jit[shape](
             self.variables, _put(img_v), _put(img_i), _put(box, np.float32))
         self._shape = shape
@@ -666,7 +672,9 @@ class OnlineTrackerJit:
     online_size: int = 3
     max_score_decay: float = 1.0
     mode: str = "RGB"            # RGB | TIR | Prompt
-    prompt_lambda: float = 0.5
+    #: reference Prompt blend is hardcoded 0.95*RGB + 0.05*JET(TIR)
+    #: (lib/test/evaluation/tracker.py:160)
+    prompt_lambda: float = 0.05
     scan_chunk: int = 32
 
     def __post_init__(self):
@@ -830,9 +838,7 @@ class OnlineTrackerJit:
             self._track_jit[shape] = self._make_track(shape)
         dv = _put(img)
         di = dv if img_i is img else _put(img_i)
-        box = info["init_bbox"]
-        if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
-            box = box[0]
+        box = _select_init_box(info["init_bbox"], self.mode)
         self._state, self._cache = self._init_jit[shape](
             self.variables, dv, di, _put(box, np.float32))
         self._shape = shape
@@ -864,7 +870,9 @@ class RGBTrackerJit:
     search_size: int = 288
     update_interval: int = 200
     mode: str = "RGB"            # RGB | TIR | Prompt
-    prompt_lambda: float = 0.5
+    #: reference Prompt blend is hardcoded 0.95*RGB + 0.05*JET(TIR)
+    #: (lib/test/evaluation/tracker.py:160)
+    prompt_lambda: float = 0.05
 
     scan_chunk: int = 32
 
@@ -964,9 +972,7 @@ class RGBTrackerJit:
             self._track_jit[shape] = self._make_track(shape)
         dv = _put(img)
         di = dv if img_i is img else _put(img_i)
-        box = info["init_bbox"]
-        if isinstance(box, (list, tuple)) and isinstance(box[0], (list, tuple, np.ndarray)):
-            box = box[0]
+        box = _select_init_box(info["init_bbox"], self.mode)
         self._state = self._init_jit[shape](self.variables, dv, di,
                                             _put(box, np.float32))
         self._shape = shape

@@ -120,7 +120,10 @@ def test_run_dataset_device_round_robin(tmp_path, dataset):
         def initialize(self, image, info):
             from multi_modal_tracking_tpu.tracking.tracker import _put
             seen.append(_put(np.zeros(1)).devices())
-            self._box = list(map(float, info["init_bbox"]))
+            from multi_modal_tracking_tpu.tracking.tracker import \
+                _select_init_box
+            self._box = list(map(float,
+                                 _select_init_box(info["init_bbox"])))
 
         def track(self, image, info=None):
             return {"target_bbox": self._box}

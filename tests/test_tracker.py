@@ -197,3 +197,64 @@ def test_rgb_cached_tracker_matches_full():
         bf = full.track(fr)["target_bbox"]
         bc = cached.track(fr)["target_bbox"]
         np.testing.assert_allclose(bc, bf, rtol=1e-4, atol=1e-3)
+
+
+def test_select_init_box_mode_semantics():
+    """RGBT GT pairs: RGB/Prompt/bimodal take the RGB row, TIR the TIR row
+    (reference tracker.py:119-122); flat boxes pass through."""
+    from multi_modal_tracking_tpu.tracking.tracker import _select_init_box
+    pair = [[10.0, 20.0, 30.0, 40.0], [12.0, 22.0, 28.0, 38.0]]
+    assert _select_init_box(pair) == pair[0]
+    assert _select_init_box(pair, "RGB") == pair[0]
+    assert _select_init_box(pair, "Prompt") == pair[0]
+    assert _select_init_box(pair, "TIR") == pair[1]
+    flat = [1.0, 2.0, 3.0, 4.0]
+    assert _select_init_box(flat, "TIR") == flat
+    arr_pair = np.asarray(pair)
+    np.testing.assert_array_equal(
+        _select_init_box(list(arr_pair), "TIR"), arr_pair[1])
+
+
+def test_tir_mode_initializes_from_tir_gt_row():
+    """A unimodal TIR tracker fed an RGBT gt pair must crop its template at
+    the TIR box, not the RGB box."""
+    from multi_modal_tracking_tpu.models.mixformer import MixFormer, ViTSpec
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTrackerJit
+    spec = ViTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                   num_heads=2, head_dim=64)
+    model = MixFormer(spec=spec)
+    t = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    pair = [[40.0, 30.0, 30.0, 24.0], [60.0, 50.0, 20.0, 20.0]]
+
+    def make():
+        return RGBTrackerJit(model=model, variables=variables,
+                             template_size=32, search_size=64, mode="TIR")
+    tr = make()
+    tr.initialize([frame, frame], {"init_bbox": pair})
+    tir_direct = make()
+    tir_direct.initialize([frame, frame], {"init_bbox": pair[1]})
+    np.testing.assert_array_equal(np.asarray(tr._state.state),
+                                  np.asarray(tir_direct._state.state))
+    np.testing.assert_allclose(np.asarray(tr._state.template_v),
+                               np.asarray(tir_direct._state.template_v))
+    # and the RGB-mode tracker still anchors on the RGB row
+    rgb = RGBTrackerJit(model=model, variables=variables, template_size=32,
+                        search_size=64, mode="RGB")
+    rgb.initialize([frame, frame], {"init_bbox": pair})
+    np.testing.assert_array_equal(np.asarray(rgb._state.state),
+                                  np.asarray(pair[0], np.float32))
+
+
+def test_prompt_lambda_default_is_reference_blend():
+    """The reference hardcodes 0.95*RGB + 0.05*JET(TIR)
+    (lib/test/evaluation/tracker.py:160)."""
+    from multi_modal_tracking_tpu.tracking.batched import BatchedRGBTrackerJit
+    from multi_modal_tracking_tpu.tracking.tracker import (OnlineTrackerJit,
+                                                           RGBTrackerJit)
+    assert RGBTrackerJit.prompt_lambda == 0.05
+    assert OnlineTrackerJit.prompt_lambda == 0.05
+    assert BatchedRGBTrackerJit.prompt_lambda == 0.05
