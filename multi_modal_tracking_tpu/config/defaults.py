@@ -118,10 +118,15 @@ def _cvt(online: bool) -> CfgNode:
     c = _unimodal_vit()
     c.MODEL.VIT_TYPE = "cvt_21"
     c.MODEL.HIDDEN_DIM = 384
+    # Reference defaults differ between the two CvT scripts: the base script
+    # ships CvT-13 depths [1, 2, 10] (lib/config/mixformer_cvt/config.py:28)
+    # while the online script ships CvT-21 [1, 4, 16]
+    # (lib/config/mixformer_cvt_online/config.py:28). Both use 320 search.
     c.MODEL.BACKBONE.update(dict(
         INIT="trunc_norm", NUM_STAGES=3,
         PATCH_SIZE=[7, 3, 3], PATCH_STRIDE=[4, 2, 2], PATCH_PADDING=[2, 1, 1],
-        DIM_EMBED=[64, 192, 384], NUM_HEADS=[1, 3, 6], DEPTH=[1, 4, 16],
+        DIM_EMBED=[64, 192, 384], NUM_HEADS=[1, 3, 6],
+        DEPTH=[1, 4, 16] if online else [1, 2, 10],
         MLP_RATIO=[4.0, 4.0, 4.0], ATTN_DROP_RATE=[0.0, 0.0, 0.0],
         DROP_RATE=[0.0, 0.0, 0.0], DROP_PATH_RATE=[0.0, 0.0, 0.1],
         QKV_BIAS=[True, True, True], CLS_TOKEN=[False, False, True],
@@ -131,10 +136,16 @@ def _cvt(online: bool) -> CfgNode:
         STRIDE_Q=[1, 1, 1], FREEZE_BN=True,
     ))
     c.MODEL.PRETRAINED_STAGE1 = True
+    c.TRAIN.EPOCH = 500
+    c.DATA.SEARCH.SIZE = 320
+    c.TEST.SEARCH_SIZE = 320
     if online:
         _with_score(c)
         c.TRAIN.HINGE_WEIGHT = 100
-        c.TRAIN.EPOCH = 500
+        # stage-2 SPM training is the online script's default
+        # (lib/config/mixformer_cvt_online/config.py:49,73)
+        c.TRAIN.TRAIN_SCORE = True
+        c.DATA.SAMPLER_MODE = "trident_pro"
     return c
 
 
@@ -154,7 +165,14 @@ def get_default_config(script: str) -> CfgNode:
         del c.MODEL["RGBT_PRETRAINED_PATH"]
         return _with_score(c)
     if script == "mixformer_vit":
-        return _unimodal_vit()
+        c = _unimodal_vit()
+        # vestigial key the reference keeps in this script's defaults
+        # (lib/config/mixformer_vit/config.py:30) — kept so strict YAML
+        # overlays accept it.  Its DATA.SAMPLER_MODE default is the typo
+        # 'casual' (raises "Illegal frame sample mode" in the reference
+        # sampler); we repair it to 'causal'.
+        c.MODEL.FUSION_LAYERS = 6
+        return c
     if script == "mixformer_vit_online":
         c = _unimodal_vit()
         c.MODEL.PRETRAINED_STAGE1 = False

@@ -43,8 +43,13 @@ def test_cvt_from_cfg_builds():
     cfg = get_default_config("mixformer_cvt")
     model = build_mixformer_cvt(cfg)
     assert model.spec.dim_embed == (64, 192, 384)
-    assert model.spec.depth == (1, 4, 16)
+    # reference base-script default is CvT-13 depths; online is CvT-21
+    assert model.spec.depth == (1, 2, 10)
+    assert cfg.DATA.SEARCH.SIZE == 320 and cfg.TEST.SEARCH_SIZE == 320
     assert int(np.prod(model.spec.patch_stride)) == 16
+    ocfg = get_default_config("mixformer_cvt_online")
+    assert tuple(ocfg.MODEL.BACKBONE.DEPTH) == (1, 4, 16)
+    assert ocfg.DATA.SAMPLER_MODE == "trident_pro" and ocfg.TRAIN.TRAIN_SCORE
 
 
 def test_online_path_matches_joint_forward(model_and_vars):
