@@ -3,8 +3,15 @@
 Parity target: lib/test/parameter/<script>.py (e.g.
 asymmetric_shared_ce.py:7-39) + lib/test/utils/params.py TrackerParams —
 load the script's default config, overlay the *training* experiment YAML,
-then overlay the *tracking* YAML (experiments/tracking.yaml: search factor,
-per-dataset update intervals), resolve the checkpoint path.
+then (RGBT scripts only — see _TRACKING_OVERLAY_SCRIPTS) overlay the
+*tracking* YAML (experiments/tracking.yaml: search factor, per-dataset
+update intervals), resolve the checkpoint path.
+
+Deliberate repairs vs the reference parameter files:
+- mixformer_convmae(_online).py import the mixformer_vit config trees
+  (lib/test/parameter/mixformer_convmae.py:4) — we use the convmae tree.
+- mixformer_cvt.py ignores its search_area_scale argument and hardcodes a
+  checkpoint name (:21-24) — we honour both, like the other eleven files.
 """
 from __future__ import annotations
 
@@ -38,8 +45,20 @@ def _experiments_dir() -> str:
         os.path.abspath(__file__)))), "experiments")
 
 
+#: scripts whose reference parameter files overlay experiments/tracking.yaml
+#: (lib/test/parameter/asymmetric_shared_ce.py:14-15 takes a
+#: tracking_yaml_name; the unimodal files — e.g. mixformer_vit.py:6 — take a
+#: single yaml_name and never apply the tracking overlay, so their
+#: TEST.SEARCH_FACTOR/SEARCH_SIZE come from the training YAML alone).
+_TRACKING_OVERLAY_SCRIPTS = frozenset({
+    "asymmetric_shared", "asymmetric_shared_ce", "asymmetric_shared_online",
+    "mixformer_vit_rgbt", "mixformer_vit_rgbt_shared",
+    "mixformer_vit_rgbt_unibackbone",
+})
+
+
 def get_parameters(script: str, training_yaml: Optional[str] = None,
-                   tracking_yaml: Optional[str] = "tracking",
+                   tracking_yaml: Optional[str] = "auto",
                    checkpoint: Optional[str] = None,
                    search_area_scale: Optional[float] = None) -> TrackerParams:
     params = TrackerParams()
@@ -48,6 +67,8 @@ def get_parameters(script: str, training_yaml: Optional[str] = None,
     if training_yaml:
         path = os.path.join(exp, script, f"{training_yaml}.yaml")
         cfg.update_from_file(path)
+    if tracking_yaml == "auto":
+        tracking_yaml = "tracking" if script in _TRACKING_OVERLAY_SCRIPTS else None
     if tracking_yaml:
         path = os.path.join(exp, f"{tracking_yaml}.yaml")
         if os.path.isfile(path):

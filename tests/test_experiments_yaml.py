@@ -45,6 +45,23 @@ def test_tracking_overlays():
     assert pv.cfg.TEST.TEMPLATE_SCALE_JITTER == 0.15
 
 
+def test_tracking_overlay_auto_matches_reference_parameter_files():
+    """Reference unimodal parameter files never overlay tracking.yaml
+    (lib/test/parameter/mixformer_cvt.py:12 loads only the training YAML);
+    the RGBT ones do (asymmetric_shared_ce.py:14-15). 'auto' reproduces
+    that split."""
+    from multi_modal_tracking_tpu.eval.params import get_parameters
+    # RGBT: tracking.yaml wins (SEARCH_FACTOR 4.5 over the default 5.0)
+    p = get_parameters("asymmetric_shared_ce", "baseline")
+    assert p.search_factor == 4.5
+    # unimodal CvT: keeps the script's own 320/5.0 (no overlay)
+    p = get_parameters("mixformer_cvt")
+    assert p.search_size == 320 and p.search_factor == 5.0
+    # explicit overlay still available
+    p = get_parameters("mixformer_cvt", tracking_yaml="tracking")
+    assert p.search_size == 288 and p.search_factor == 4.5
+
+
 def test_unknown_key_rejected(tmp_path):
     from multi_modal_tracking_tpu.config import get_default_config
     bad = tmp_path / "bad.yaml"

@@ -25,7 +25,10 @@ def main():
     p.add_argument("script", type=str, help="model script name (e.g. asymmetric_shared_ce)")
     p.add_argument("config", type=str, nargs="?", default=None,
                    help="training yaml name under experiments/<script>/")
-    p.add_argument("--tracking_yaml", type=str, default="tracking")
+    p.add_argument("--tracking_yaml", type=str, default="auto",
+                   help="tracking-time overlay YAML; 'auto' applies "
+                        "experiments/tracking.yaml for RGBT scripts only "
+                        "(reference parameter-file semantics)")
     p.add_argument("--dataset_name", type=str, default="synthetic_rgbt")
     p.add_argument("--type", type=str, default=None,
                    choices=[None, "RGB", "TIR", "Prompt", "RGBT"],
