@@ -141,9 +141,14 @@ class DepthTrackDataset(BaseDataset):
     def __init__(self):
         super().__init__()
         self.base_path = self.env_settings.depthtrack_dir
+        # reference layout: <root>/test/<group>/<seq> (depthtrackdataset.py:12)
         self.sequence_path_list = sorted(
-            p for p in glob.glob(os.path.join(self.base_path, "*"))
+            p for p in glob.glob(os.path.join(self.base_path, "test", "*", "*"))
             if os.path.isdir(p))
+        if not self.sequence_path_list:    # tolerate flat layouts
+            self.sequence_path_list = sorted(
+                p for p in glob.glob(os.path.join(self.base_path, "*"))
+                if os.path.isdir(p))
 
     def get_sequence_list(self):
         return SequenceList([self._construct_sequence(s) for s in self.sequence_path_list])
@@ -152,6 +157,9 @@ class DepthTrackDataset(BaseDataset):
         frames_v = sorted(glob.glob(os.path.join(video_path, "color", "*")))
         frames_i = sorted(glob.glob(os.path.join(video_path, "depth", "*")))
         gt = load_text(os.path.join(video_path, "groundtruth.txt"), delimiter=(",", None))
+        # occlusion frames are NaN rows in DepthTrack annotations
+        # (depthtrackdataset.py:20 nan_to_num)
+        gt = np.nan_to_num(gt)
         return RGBTSequence(os.path.basename(video_path),
                             list(zip(frames_v, frames_i)), "DepthTrack",
                             np.stack([gt, gt], axis=1), depth_input=True)

@@ -1,0 +1,220 @@
+"""Every eval dataset adapter executed against a miniature on-disk replica
+of its real layout (the eval-side twin of test_dataset_adapters.py).
+
+Parity targets: lib/test/evaluation/{lasher,rgbt234,gtot,vtuav,depthtrack,
+lasot,got10k,trackingnet,otb,uav,nfs,tc128,tnl2k}dataset.py — a typo in a
+path join or a gt-format quirk (GTOT x1y1x2y2, DepthTrack NaN rows, VTUAV
+space-delimited sparse gt) must fail here, not on first real use.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _touch(path):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"\xff")
+
+
+def _write(path, text):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+N = 4   # frames per miniature sequence
+
+
+def _gt_rows(delim=",", n=N, start=10.0):
+    return "\n".join(
+        delim.join(str(start + i + j) for j in range(4)) for i in range(n)) + "\n"
+
+
+@pytest.fixture()
+def data_root(tmp_path, monkeypatch):
+    root = tmp_path / "data"
+
+    # LasHeR: TestingSet/testingset/<seq>/{visible,infrared}/ + init.txt
+    for seq in ("seq_a", "seq_b"):
+        base = root / "lasher" / "TestingSet" / "testingset" / seq
+        for i in range(N):
+            _touch(str(base / "visible" / f"{i:05d}.jpg"))
+            _touch(str(base / "infrared" / f"{i:05d}.jpg"))
+        _write(str(base / "init.txt"), _gt_rows())
+
+    # RGBT234: <seq>/{visible,infrared}/ + visible.txt / infrared.txt
+    base = root / "rgbt234" / "car1"
+    for i in range(N):
+        _touch(str(base / "visible" / f"{i:05d}v.jpg"))
+        _touch(str(base / "infrared" / f"{i:05d}i.jpg"))
+    _write(str(base / "visible.txt"), _gt_rows())
+    _write(str(base / "infrared.txt"), _gt_rows(start=12.0))
+
+    # GTOT: gtot.txt listing + <seq>/{v,i}/ + groundTruth_{v,i}.txt (x1y1x2y2)
+    base = root / "gtot" / "Minibus"
+    for i in range(N):
+        _touch(str(base / "v" / f"{i:03d}.png"))
+        _touch(str(base / "i" / f"{i:03d}.png"))
+    xyxy = "\n".join(f"{10+i} {20+i} {30+i} {60+i}" for i in range(N)) + "\n"
+    _write(str(base / "groundTruth_v.txt"), xyxy)
+    _write(str(base / "groundTruth_i.txt"), xyxy)
+    _write(str(root / "gtot" / "gtot.txt"), "Minibus\n")
+
+    # VTUAV: test_data/test_{ST,LT}_xxx/<seq>/{rgb,ir}/ + rgb.txt/ir.txt (space)
+    for cls, seq in (("test_ST_car", "car_01"), ("test_LT_person", "person_01")):
+        base = root / "vtuav" / "test_data" / cls / seq
+        for i in range(N):
+            _touch(str(base / "rgb" / f"{i:06d}.jpg"))
+            _touch(str(base / "ir" / f"{i:06d}.jpg"))
+        _write(str(base / "rgb.txt"), _gt_rows(delim=" "))
+        _write(str(base / "ir.txt"), _gt_rows(delim=" "))
+
+    # DepthTrack: test/<group>/<seq>/{color,depth}/ + groundtruth.txt w/ NaNs
+    base = root / "depthtrack" / "test" / "adapter" / "ball_01"
+    for i in range(N):
+        _touch(str(base / "color" / f"{i:08d}.jpg"))
+        _touch(str(base / "depth" / f"{i:08d}.png"))
+    _write(str(base / "groundtruth.txt"),
+           "10,20,30,40\nnan,nan,nan,nan\n12,22,32,42\n13,23,33,43\n")
+
+    # LaSOT: <class>/<class-N>/img/%08d.jpg + gt + occlusion/oov
+    base = root / "lasot" / "airplane" / "airplane-1"
+    for i in range(1, N + 1):
+        _touch(str(base / "img" / f"{i:08d}.jpg"))
+    _write(str(base / "groundtruth.txt"), _gt_rows())
+    _write(str(base / "full_occlusion.txt"), "0,0,1,0\n")
+    _write(str(base / "out_of_view.txt"), "0,0,0,1\n")
+
+    # GOT-10k: test/list.txt + GOT-10k_Test_000001/*.jpg + groundtruth.txt
+    base = root / "got10k" / "test" / "GOT-10k_Test_000001"
+    for i in range(1, N + 1):
+        _touch(str(base / f"{i:08d}.jpg"))
+    _write(str(base / "groundtruth.txt"), _gt_rows(n=1))
+    _write(str(root / "got10k" / "test" / "list.txt"), "GOT-10k_Test_000001\n")
+
+    # TrackingNet: TEST/anno/<seq>.txt + TEST/frames/<seq>/<i>.jpg
+    base = root / "trackingnet" / "TEST"
+    _write(str(base / "anno" / "seq0.txt"), _gt_rows())
+    for i in range(N):
+        _touch(str(base / "frames" / "seq0" / f"{i}.jpg"))
+
+    # OTB: <seq>/img/*.jpg + groundtruth_rect.txt (tab-delimited quirk)
+    base = root / "otb" / "Basketball"
+    for i in range(1, N + 1):
+        _touch(str(base / "img" / f"{i:04d}.jpg"))
+    _write(str(base / "groundtruth_rect.txt"),
+           "\n".join(f"{10+i}\t{20+i}\t{30+i}\t{40+i}" for i in range(N)) + "\n")
+
+    # UAV123: data_seq/UAV123/<seq>/*.jpg + anno/UAV123/<seq>.txt
+    base = root / "uav"
+    for i in range(1, N + 1):
+        _touch(str(base / "data_seq" / "UAV123" / "bike1" / f"{i:06d}.jpg"))
+    _write(str(base / "anno" / "UAV123" / "bike1.txt"), _gt_rows())
+
+    # NFS + TC128 (with one CE-suffixed sequence) + TNL2k test/
+    for name, seq in (("nfs", "Gymnastics"), ("tc128", "Airport_ce"),
+                      ("tc128", "Skating"),):
+        base = root / name / seq
+        for i in range(1, N + 1):
+            _touch(str(base / "img" / f"{i:04d}.jpg"))
+        _write(str(base / "groundtruth_rect.txt"), _gt_rows())
+    base = root / "tnl2k" / "test" / "advSamp_video"
+    for i in range(1, N + 1):
+        _touch(str(base / "imgs" / f"{i:05d}.png"))
+    _write(str(base / "groundtruth.txt"), _gt_rows())
+
+    paths = {f"{k}_dir": str(root / k) for k in
+             ("lasher", "rgbt234", "gtot", "vtuav", "depthtrack", "lasot",
+              "got10k", "trackingnet", "otb", "uav", "nfs", "tc128", "tnl2k")}
+    pfile = tmp_path / "local_paths.json"
+    pfile.write_text(json.dumps(paths))
+    monkeypatch.setenv("MMT_LOCAL_PATHS", str(pfile))
+    return root
+
+
+def _load(name):
+    from multi_modal_tracking_tpu.eval.datasets import load_dataset
+    return load_dataset(name)
+
+
+def test_lasher_layout(data_root):
+    seqs = _load("lasher")
+    assert [s.name for s in seqs] == ["seq_a", "seq_b"]
+    s = seqs[0]
+    assert len(s.frames) == N and all(os.path.isfile(f[0]) for f in s.frames)
+    gt = np.asarray(s.ground_truth_rect)
+    assert gt.shape == (N, 2, 4) and gt[0, 0, 0] == 10.0
+    assert "visible" in s.frames[0][0] and "infrared" in s.frames[0][1]
+
+
+def test_rgbt234_layout(data_root):
+    s = _load("rgbt234")[0]
+    gt = np.asarray(s.ground_truth_rect)
+    assert gt.shape == (N, 2, 4)
+    assert gt[0, 0, 0] == 10.0 and gt[0, 1, 0] == 12.0   # per-modality gt
+
+
+def test_gtot_layout_converts_xyxy(data_root):
+    s = _load("gtot")[0]
+    assert s.name == "Minibus"
+    gt = np.asarray(s.ground_truth_rect)
+    # x1y1x2y2 (10,20,30,60) -> xywh (10,20,20,40)
+    assert gt[0, 0].tolist() == [10.0, 20.0, 20.0, 40.0]
+
+
+def test_vtuav_split_filtering(data_root):
+    # class dirs sorted: test_LT_person < test_ST_car
+    assert [s.name for s in _load("vtuav")] == ["person_01", "car_01"]
+    assert [s.name for s in _load("vtuav_short")] == ["car_01"]
+    assert [s.name for s in _load("vtuav_long")] == ["person_01"]
+    s = _load("vtuav_short")[0]
+    assert np.asarray(s.ground_truth_rect).shape == (N, 2, 4)
+
+
+def test_depthtrack_nested_layout_and_nan_scrub(data_root):
+    seqs = _load("depthtrack")
+    assert [s.name for s in seqs] == ["ball_01"]
+    s = seqs[0]
+    gt = np.asarray(s.ground_truth_rect)
+    assert np.isfinite(gt).all()                 # NaN occlusion rows scrubbed
+    assert gt[1].sum() == 0.0
+    assert s.depth_input and "depth" in s.frames[0][1]
+
+
+def test_lasot_layout_and_visibility(data_root):
+    s = _load("lasot")[0]
+    assert s.name == "airplane-1" and s.object_class == "airplane"
+    assert len(s.frames) == N and s.frames[0].endswith("00000001.jpg")
+    assert s.target_visible.tolist() == [1, 1, 0, 0]   # occ at 2, oov at 3
+
+
+def test_got10k_layout(data_root):
+    s = _load("got10k_test")[0]
+    assert s.name == "GOT-10k_Test_000001"
+    assert len(s.frames) == N
+    assert np.asarray(s.ground_truth_rect).shape == (1, 4)   # test: first only
+
+
+def test_trackingnet_layout(data_root):
+    s = _load("trackingnet")[0]
+    assert len(s.frames) == N and s.frames[1].endswith("1.jpg")
+    assert np.asarray(s.ground_truth_rect).shape == (N, 4)
+
+
+@pytest.mark.parametrize("name,seq0", [("otb", "Basketball"), ("uav", "bike1"),
+                                       ("nfs", "Gymnastics"),
+                                       ("tnl2k", "advSamp_video")])
+def test_simple_layouts(data_root, name, seq0):
+    seqs = _load(name)
+    assert seqs[0].name == seq0
+    assert len(seqs[0].frames) == N
+    gt = np.asarray(seqs[0].ground_truth_rect)
+    assert gt.shape == (N, 4) and gt[0, 0] == 10.0
+
+
+def test_tc128_ce_filter(data_root):
+    assert {s.name for s in _load("tc128")} == {"Airport_ce", "Skating"}
+    assert [s.name for s in _load("tc128ce")] == ["Airport_ce"]
