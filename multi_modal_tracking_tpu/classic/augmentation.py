@@ -17,7 +17,7 @@ reference's per-transform python loop.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax

@@ -26,7 +26,7 @@ so state dicts convert mechanically (utils/torch_convert.map_dimpnet_key).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ classic.augmentation recipe stands in for ECO's own zoo (pass
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax

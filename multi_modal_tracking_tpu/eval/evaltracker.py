@@ -9,7 +9,6 @@ multi_modal_tracking_tpu/tracking/tracker.py and only the model differs.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -140,6 +140,17 @@ def run_vot_exp(script: str, training_yaml: Optional[str] = None,
     handle.quit()
 
 
+def run_vot20_lt_exp(script: str, training_yaml: Optional[str] = None,
+                     checkpoint: Optional[str] = None, server=None,
+                     tracker=None):
+    """VOT2020-LT (long-term) experiment: color-only frames, rect +
+    confidence reported every frame so the toolkit can score re-detection
+    (lib/test/vot20/stark_vot20lt.py:19-40 — same loop as the RGBD entry
+    but channels='color' and the confidence is mandatory)."""
+    return run_vot_exp(script, training_yaml, checkpoint=checkpoint,
+                       channels="color", server=server, tracker=tracker)
+
+
 def run_vot20_mask_exp(script: str, training_yaml: Optional[str] = None,
                        checkpoint: Optional[str] = None,
                        refine_checkpoint: Optional[str] = None,

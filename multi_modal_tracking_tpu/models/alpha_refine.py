@@ -41,9 +41,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from multi_modal_tracking_tpu.models.cvt import FrozenBatchNorm
-from multi_modal_tracking_tpu.models.resnet import (RESNET_OUT_CHANNELS,
-                                                    Bottleneck, ResNet,
-                                                    resnet50, seg_features)
+from multi_modal_tracking_tpu.models.resnet import resnet50, seg_features
 from multi_modal_tracking_tpu.ops.prroi import prroi_pool
 
 

@@ -43,7 +43,6 @@ import flax.linen as nn
 from multi_modal_tracking_tpu.models.layers import Mlp, PatchEmbed, DropPath
 from multi_modal_tracking_tpu.models.vit import _heads, _merge, _attend
 from multi_modal_tracking_tpu.models.fusion import build_fusion
-from multi_modal_tracking_tpu.models.heads import build_box_head
 from multi_modal_tracking_tpu.models.score_decoder import ScoreDecoder
 from multi_modal_tracking_tpu.ops.boxes import box_xyxy_to_cxcywh
 from multi_modal_tracking_tpu.ops.pos_embed import get_2d_sincos_pos_embed

@@ -25,7 +25,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -34,7 +34,6 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from multi_modal_tracking_tpu.models.layers import DropPath
-from multi_modal_tracking_tpu.models.heads import build_box_head
 from multi_modal_tracking_tpu.models.score_decoder import ScoreDecoder
 from multi_modal_tracking_tpu.ops.boxes import box_xyxy_to_cxcywh
 

@@ -8,7 +8,7 @@ Conventions (TPU-native):
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ affine — free to fuse for XLA and identical to torch .eval() semantics.
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

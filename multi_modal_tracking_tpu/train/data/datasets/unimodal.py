@@ -11,8 +11,7 @@ from __future__ import annotations
 import glob
 import json
 import os
-from collections import OrderedDict
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -10,7 +10,7 @@ full and stride-16 resolution (:204-220). Unimodal twin: processing.py.
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import cv2
 import numpy as np

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import cv2
 import numpy as np

@@ -13,7 +13,7 @@ from __future__ import annotations
 import random
 import threading
 import traceback
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

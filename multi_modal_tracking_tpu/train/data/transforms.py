@@ -14,7 +14,7 @@ the models are NHWC.
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 

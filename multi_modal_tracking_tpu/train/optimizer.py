@@ -21,7 +21,6 @@ from __future__ import annotations
 import math
 from typing import Callable, Dict, Tuple
 
-import jax
 import optax
 from flax import traverse_util
 

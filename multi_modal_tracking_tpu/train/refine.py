@@ -13,15 +13,14 @@ annotations bootstrap rectangle masks (AR's box2seg initialisation).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
 
-from multi_modal_tracking_tpu.models.alpha_refine import (AlphaRefineNet,
-                                                          RefineSpec)
+from multi_modal_tracking_tpu.models.alpha_refine import AlphaRefineNet
 
 
 def box_to_mask(box_xywh: np.ndarray, h: int, w: int) -> np.ndarray:

@@ -23,7 +23,7 @@ unpickle .pth/.pth.tar files.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

@@ -106,6 +106,36 @@ def test_run_vot20_mask_exp_with_fake_server(tmp_path):
     assert server.quit_called
 
 
+def test_run_vot20_lt_exp_with_fake_server(tmp_path):
+    """LT entry: color-only frames, rect + confidence each frame
+    (stark_vot20lt.py semantics)."""
+    from multi_modal_tracking_tpu.eval.vot import run_vot20_lt_exp
+    from multi_modal_tracking_tpu.models.mixformer import MixFormer, ViTSpec
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTrackerJit
+
+    spec = ViTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                   num_heads=2, head_dim=64)
+    model = MixFormer(spec=spec)
+    t = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    tracker = RGBTrackerJit(model=model, variables=variables, template_size=32,
+                            search_size=64, update_interval=100, mode="RGB")
+
+    server = _FakeServer(str(tmp_path), n_frames=5)
+    # LT streams are color-only: single path per frame
+    for req in server._queue:
+        if isinstance(req.image, list):
+            req.image = req.image[0]
+    run_vot20_lt_exp("mixformer_vit", server=server, tracker=tracker)
+    assert len(server.reports) == 1 + 4
+    for region, props in server.reports[1:]:
+        assert isinstance(region, Rectangle)
+        conf = props.get("confidence") if isinstance(props, dict) else props
+        assert conf is not None and 0.0 <= float(conf) <= 1.0
+    assert server.quit_called
+
+
 def test_render_result_video(tmp_path, tiny_rgbt_tracker):
     from multi_modal_tracking_tpu.eval.data import RGBTSequence
     from multi_modal_tracking_tpu.eval.visualize import render_result_video
