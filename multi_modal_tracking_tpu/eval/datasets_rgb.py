@@ -145,6 +145,24 @@ def _glob_frames(seq_path):
     return []
 
 
+def _table_sequence(base_path, row, dataset_name, delimiter):
+    """Sequence from a benchmark-metadata row (otbdataset.py:23-36 logic:
+    %0{nz}d frame paths over [start+initOmit, end], gt rows from initOmit)."""
+    name, path, start, end, nz, ext, anno, cls, omit = row
+    frames = [os.path.join(base_path, path, f"{i:0{nz}d}.{ext}")
+              for i in range(start + omit, end + 1)]
+    gt = load_text(os.path.join(base_path, anno), delimiter=delimiter)
+    return Sequence(name, frames, dataset_name, gt[omit:],
+                    object_class=cls or None)
+
+
+def _table_mode(base_path, table):
+    """Use the benchmark table iff the layout matches it (first anno file
+    present); otherwise the adapter falls back to the generic glob layout."""
+    return bool(base_path) and os.path.isfile(
+        os.path.join(base_path, table[0][6]))
+
+
 class _SimpleSeqDataset(BaseDataset):
     """Shared layout: <base>/<seq>/(img/)frames + a groundtruth txt."""
     dataset_name = ""
@@ -169,53 +187,107 @@ class _SimpleSeqDataset(BaseDataset):
         return Sequence(name, frames[:n], self.dataset_name, gt[:n])
 
 
-class OTBDataset(_SimpleSeqDataset):
+class _TableOrGlobDataset(_SimpleSeqDataset):
+    """OTB/UAV123/NFS: the real benchmarks are defined by per-sequence
+    metadata tables (frame ranges, initOmit offsets, per-sequence annotation
+    files — several UAV123 'sequences' are SLICES of a shared image dir,
+    e.g. person4_1/person4_2, and OTB has multi-object gt like Jogging-1/-2,
+    which directory globbing cannot express). Table mode engages when the
+    layout matches (_benchmark_tables.py); otherwise the generic
+    <seq>/(img/)frames + groundtruth layout is used."""
+    table = ()
+    delimiter = (",", None)
+
+    def __init__(self, base_path):
+        self._table_mode = _table_mode(base_path, self.table)
+        if self._table_mode:
+            self.base_path = base_path
+            self.sequence_name_list = [r[0] for r in self.table]
+        else:
+            super().__init__(base_path)
+
+    def _construct_sequence(self, name):
+        if not self._table_mode:
+            return super()._construct_sequence(name)
+        row = next(r for r in self.table if r[0] == name)
+        return _table_sequence(self.base_path, row, self.dataset_name,
+                               self.delimiter)
+
+
+class OTBDataset(_TableOrGlobDataset):
     dataset_name = "otb"
 
     def __init__(self):
+        from multi_modal_tracking_tpu.eval._benchmark_tables import OTB_SEQUENCES
         from multi_modal_tracking_tpu.train.admin import env_settings
+        self.table = OTB_SEQUENCES
         super().__init__(env_settings().otb_dir)
 
 
-class UAVDataset(_SimpleSeqDataset):
+class UAVDataset(_TableOrGlobDataset):
     dataset_name = "uav"
+    delimiter = (",",)
 
     def __init__(self):
+        from multi_modal_tracking_tpu.eval._benchmark_tables import UAV123_SEQUENCES
         from multi_modal_tracking_tpu.train.admin import env_settings
-        base = env_settings().uav_dir
-        seq_base = os.path.join(base, "data_seq", "UAV123")
-        self.anno_base = os.path.join(base, "anno", "UAV123")
-        if not os.path.isdir(seq_base):
-            seq_base, self.anno_base = base, None
-        super().__init__(seq_base)
-
-    def _construct_sequence(self, name):
-        if self.anno_base is None:
-            return super()._construct_sequence(name)
-        gt = load_text(os.path.join(self.anno_base, name + ".txt"),
-                       delimiter=(",", None))
-        frames = _glob_frames(os.path.join(self.base_path, name))
-        n = min(len(frames), gt.shape[0])
-        return Sequence(name, frames[:n], "uav", gt[:n])
+        self.table = UAV123_SEQUENCES
+        super().__init__(env_settings().uav_dir)
 
 
-class NFSDataset(_SimpleSeqDataset):
+class NFSDataset(_TableOrGlobDataset):
+    """NFS 30fps split (the reference table indexes the 30fps annotations)."""
     dataset_name = "nfs"
+    delimiter = ("\t",)
 
     def __init__(self):
+        from multi_modal_tracking_tpu.eval._benchmark_tables import NFS_SEQUENCES
         from multi_modal_tracking_tpu.train.admin import env_settings
+        self.table = NFS_SEQUENCES
         super().__init__(env_settings().nfs_dir)
 
 
 class TC128Dataset(_SimpleSeqDataset):
+    """TC-128: <seq>/<seq>_gt.txt + <seq>_frames.txt (start,end) with
+    img/%04d.jpg frame paths (tc128dataset.py:14-31); falls back to the
+    generic layout when no *_gt.txt files are present. ce_only reproduces
+    TC128CEDataset's '_ce in annotation filename' filter."""
     dataset_name = "tc128"
 
     def __init__(self, ce_only: bool = False):
         from multi_modal_tracking_tpu.train.admin import env_settings
-        super().__init__(env_settings().tc128_dir)
-        if ce_only:   # tc128ce: only the 95 "CE" sequences (suffix _ce)
-            self.sequence_name_list = [n for n in self.sequence_name_list
-                                       if n.lower().endswith("ce") or "_ce" in n.lower()]
+        base = env_settings().tc128_dir
+        anno_files = sorted(glob.glob(os.path.join(base, "*", "*_gt.txt"))) \
+            if base else []
+        if ce_only:
+            # the reference filters '_ce in full path' (tc128cedataset.py:17);
+            # scope it to the sequence dir so base-path names can't match
+            anno_files = [f for f in anno_files
+                          if "_ce" in os.path.basename(os.path.dirname(f))]
+        self._anno_files = anno_files
+        if anno_files:
+            self.base_path = base
+            self.sequence_name_list = [os.path.basename(os.path.dirname(f))
+                                       for f in anno_files]
+        else:
+            super().__init__(base)
+            if ce_only:
+                self.sequence_name_list = [n for n in self.sequence_name_list
+                                           if "_ce" in n.lower() or
+                                           n.lower().endswith("ce")]
+
+    def _construct_sequence(self, name):
+        if not self._anno_files:
+            return super()._construct_sequence(name)
+        anno = next(f for f in self._anno_files
+                    if os.path.basename(os.path.dirname(f)) == name)
+        seq_dir = os.path.dirname(anno)
+        rng_file = glob.glob(os.path.join(seq_dir, "*_frames.txt"))[0]
+        start, end = np.loadtxt(rng_file, dtype=int, delimiter=",").reshape(-1)[:2]
+        frames = [os.path.join(seq_dir, "img", f"{i:04d}.jpg")
+                  for i in range(int(start), int(end) + 1)]
+        gt = load_text(anno, delimiter=(",", None)).reshape(-1, 4)
+        return Sequence(name, frames, "tc128", gt)
 
 
 class TNL2kDataset(_SimpleSeqDataset):

@@ -101,26 +101,29 @@ def data_root(tmp_path, monkeypatch):
     for i in range(N):
         _touch(str(base / "frames" / "seq0" / f"{i}.jpg"))
 
-    # OTB: <seq>/img/*.jpg + groundtruth_rect.txt (tab-delimited quirk)
-    base = root / "otb" / "Basketball"
-    for i in range(1, N + 1):
-        _touch(str(base / "img" / f"{i:04d}.jpg"))
-    _write(str(base / "groundtruth_rect.txt"),
-           "\n".join(f"{10+i}\t{20+i}\t{30+i}\t{40+i}" for i in range(N)) + "\n")
+    # OTB / UAV123 / NFS: real layouts are table-defined — generate every
+    # annotation file with the table's row count (frames are path lists the
+    # adapters never stat, so image placeholders aren't needed)
+    from multi_modal_tracking_tpu.eval._benchmark_tables import (
+        NFS_SEQUENCES, OTB_SEQUENCES, UAV123_SEQUENCES)
+    for dset, table, delim in (("otb", OTB_SEQUENCES, ","),
+                               ("uav", UAV123_SEQUENCES, ","),
+                               ("nfs", NFS_SEQUENCES, "\t")):
+        for (_, _, start, end, _, _, anno, _, _) in table:
+            # per-file distinct values so multi-object entries differ
+            _write(str(root / dset / anno),
+                   _gt_rows(delim=delim, n=end - start + 1,
+                            start=10.0 + sum(map(ord, anno)) % 7))
 
-    # UAV123: data_seq/UAV123/<seq>/*.jpg + anno/UAV123/<seq>.txt
-    base = root / "uav"
-    for i in range(1, N + 1):
-        _touch(str(base / "data_seq" / "UAV123" / "bike1" / f"{i:06d}.jpg"))
-    _write(str(base / "anno" / "UAV123" / "bike1.txt"), _gt_rows())
-
-    # NFS + TC128 (with one CE-suffixed sequence) + TNL2k test/
-    for name, seq in (("nfs", "Gymnastics"), ("tc128", "Airport_ce"),
-                      ("tc128", "Skating"),):
-        base = root / name / seq
-        for i in range(1, N + 1):
+    # TC128: <seq>/<seq>_gt.txt + <seq>_frames.txt + img/%04d.jpg
+    for seq, (s0, s1) in (("Airport_ce", (1, N)), ("Skating", (3, N + 4))):
+        base = root / "tc128" / seq
+        _write(str(base / f"{seq}_gt.txt"), _gt_rows(n=s1 - s0 + 1))
+        _write(str(base / f"{seq}_frames.txt"), f"{s0},{s1}\n")
+        for i in range(s0, s1 + 1):
             _touch(str(base / "img" / f"{i:04d}.jpg"))
-        _write(str(base / "groundtruth_rect.txt"), _gt_rows())
+
+    # TNL2k test/
     base = root / "tnl2k" / "test" / "advSamp_video"
     for i in range(1, N + 1):
         _touch(str(base / "imgs" / f"{i:05d}.png"))
@@ -204,17 +207,83 @@ def test_trackingnet_layout(data_root):
     assert np.asarray(s.ground_truth_rect).shape == (N, 4)
 
 
-@pytest.mark.parametrize("name,seq0", [("otb", "Basketball"), ("uav", "bike1"),
-                                       ("nfs", "Gymnastics"),
-                                       ("tnl2k", "advSamp_video")])
-def test_simple_layouts(data_root, name, seq0):
+def test_tnl2k_layout(data_root):
+    s = _load("tnl2k")[0]
+    assert s.name == "advSamp_video" and len(s.frames) == N
+    assert np.asarray(s.ground_truth_rect)[0, 0] == 10.0
+
+
+@pytest.mark.parametrize("name,n_seqs", [("otb", 100), ("uav", 123), ("nfs", 100)])
+def test_table_benchmarks_full_roster(data_root, name, n_seqs):
+    """Table mode: the full benchmark roster constructs, every sequence has
+    frames == gt rows - initOmit with table-derived paths."""
+    from multi_modal_tracking_tpu.eval._benchmark_tables import (
+        NFS_SEQUENCES, OTB_SEQUENCES, UAV123_SEQUENCES)
+    table = {"otb": OTB_SEQUENCES, "uav": UAV123_SEQUENCES,
+             "nfs": NFS_SEQUENCES}[name]
     seqs = _load(name)
-    assert seqs[0].name == seq0
-    assert len(seqs[0].frames) == N
-    gt = np.asarray(seqs[0].ground_truth_rect)
-    assert gt.shape == (N, 4) and gt[0, 0] == 10.0
+    assert len(seqs) == n_seqs
+    rows = {r[0]: r for r in table}
+    for s in seqs:
+        _, path, start, end, nz, ext, _, _, omit = rows[s.name]
+        assert len(s.frames) == end - start + 1 - omit
+        assert s.frames[0].endswith(f"{start + omit:0{nz}d}.{ext}")
+        assert os.path.join(*path.split("/")) in s.frames[0]
+        assert np.asarray(s.ground_truth_rect).shape == (len(s.frames), 4)
 
 
-def test_tc128_ce_filter(data_root):
-    assert {s.name for s in _load("tc128")} == {"Airport_ce", "Skating"}
+def test_otb_init_omit_and_multi_object(data_root):
+    seqs = {s.name: s for s in _load("otb")}
+    # Tiger1 init-omit 5: frames start at 6, gt rows sliced to match
+    t = seqs["Tiger1"]
+    assert t.frames[0].endswith("0006.jpg")
+    assert np.asarray(t.ground_truth_rect).shape[0] == len(t.frames)
+    # Jogging/Skating2 expose two objects over the same image directory
+    assert "Jogging_1" in seqs and "Jogging_2" in seqs
+    assert os.path.dirname(seqs["Jogging_1"].frames[0]) == \
+        os.path.dirname(seqs["Jogging_2"].frames[0])
+    assert not np.array_equal(np.asarray(seqs["Jogging_1"].ground_truth_rect),
+                              np.asarray(seqs["Jogging_2"].ground_truth_rect))
+
+
+def test_uav123_shared_dir_slices(data_root):
+    seqs = {s.name: s for s in _load("uav")}
+    # person4_1/person4_2 are frame-range slices of one image dir — the
+    # structural case directory-globbing cannot express
+    pairs = [(a, b) for a in seqs for b in seqs
+             if a < b and os.path.dirname(seqs[a].frames[0]) ==
+             os.path.dirname(seqs[b].frames[0])]
+    assert pairs, "expected shared-directory sliced sequences in UAV123"
+    a, b = pairs[0]
+    fa = {os.path.basename(f) for f in seqs[a].frames}
+    fb = {os.path.basename(f) for f in seqs[b].frames}
+    assert fa != fb
+
+
+def test_tc128_range_layout_and_ce_filter(data_root):
+    seqs = {s.name: s for s in _load("tc128")}
+    assert set(seqs) == {"Airport_ce", "Skating"}
+    sk = seqs["Skating"]                      # frame range 3..N+4
+    assert sk.frames[0].endswith(os.path.join("img", "0003.jpg"))
+    assert len(sk.frames) == N + 2
+    assert np.asarray(sk.ground_truth_rect).shape == (N + 2, 4)
     assert [s.name for s in _load("tc128ce")] == ["Airport_ce"]
+
+
+def test_simple_layout_fallback(tmp_path, monkeypatch):
+    """Without the table layout, OTB/UAV/NFS fall back to generic
+    <seq>/img + groundtruth_rect.txt globbing."""
+    root = tmp_path / "alt"
+    for name, seq in (("otb", "MySeq"), ("uav", "flight1"), ("nfs", "clip")):
+        base = root / name / seq
+        for i in range(1, N + 1):
+            _touch(str(base / "img" / f"{i:04d}.jpg"))
+        _write(str(base / "groundtruth_rect.txt"), _gt_rows())
+    pfile = tmp_path / "alt_paths.json"
+    pfile.write_text(json.dumps({f"{k}_dir": str(root / k)
+                                 for k in ("otb", "uav", "nfs")}))
+    monkeypatch.setenv("MMT_LOCAL_PATHS", str(pfile))
+    for name, seq in (("otb", "MySeq"), ("uav", "flight1"), ("nfs", "clip")):
+        seqs = _load(name)
+        assert [s.name for s in seqs] == [seq]
+        assert len(seqs[0].frames) == N
