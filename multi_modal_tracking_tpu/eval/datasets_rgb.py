@@ -24,7 +24,17 @@ class LaSOTDataset(BaseDataset):
 
     def __init__(self):
         super().__init__()
+        from multi_modal_tracking_tpu.eval._benchmark_tables import (
+            LASOT_TEST_SEQUENCES)
         self.base_path = self.env_settings.lasot_dir
+        # Protocol-II: the FIXED 280-sequence test roster (lasotdataset.py:44)
+        # — a full LaSOT download also holds the 1120 train sequences, which
+        # globbing would sweep into the evaluation
+        roster = [os.path.join(self.base_path, n.split("-")[0], n)
+                  for n in LASOT_TEST_SEQUENCES]
+        if os.path.isdir(roster[0]):
+            self.sequence_path_list = roster
+            return
         self.sequence_path_list = sorted(glob.glob(
             os.path.join(self.base_path, "*", "*-*")))
         if not self.sequence_path_list:

@@ -80,13 +80,17 @@ def data_root(tmp_path, monkeypatch):
     _write(str(base / "groundtruth.txt"),
            "10,20,30,40\nnan,nan,nan,nan\n12,22,32,42\n13,23,33,43\n")
 
-    # LaSOT: <class>/<class-N>/img/%08d.jpg + gt + occlusion/oov
-    base = root / "lasot" / "airplane" / "airplane-1"
+    # LaSOT: <class>/<class-N>/img/%08d.jpg + gt + occlusion/oov, the fixed
+    # 280-sequence Protocol-II roster
+    from multi_modal_tracking_tpu.eval._benchmark_tables import (
+        LASOT_TEST_SEQUENCES)
+    for seq in LASOT_TEST_SEQUENCES:
+        base = root / "lasot" / seq.split("-")[0] / seq
+        _write(str(base / "groundtruth.txt"), _gt_rows())
+        _write(str(base / "full_occlusion.txt"), "0,0,1,0\n")
+        _write(str(base / "out_of_view.txt"), "0,0,0,1\n")
     for i in range(1, N + 1):
-        _touch(str(base / "img" / f"{i:08d}.jpg"))
-    _write(str(base / "groundtruth.txt"), _gt_rows())
-    _write(str(base / "full_occlusion.txt"), "0,0,1,0\n")
-    _write(str(base / "out_of_view.txt"), "0,0,0,1\n")
+        _touch(str(root / "lasot" / "airplane" / "airplane-1" / "img" / f"{i:08d}.jpg"))
 
     # GOT-10k: test/list.txt + GOT-10k_Test_000001/*.jpg + groundtruth.txt
     base = root / "got10k" / "test" / "GOT-10k_Test_000001"
@@ -188,8 +192,10 @@ def test_depthtrack_nested_layout_and_nan_scrub(data_root):
 
 
 def test_lasot_layout_and_visibility(data_root):
-    s = _load("lasot")[0]
-    assert s.name == "airplane-1" and s.object_class == "airplane"
+    seqs = _load("lasot")
+    assert len(seqs) == 280                     # fixed Protocol-II roster
+    s = seqs["airplane-1"]
+    assert s.object_class == "airplane"
     assert len(s.frames) == N and s.frames[0].endswith("00000001.jpg")
     assert s.target_visible.tolist() == [1, 1, 0, 0]   # occ at 2, oov at 3
 
