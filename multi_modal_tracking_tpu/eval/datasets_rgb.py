@@ -112,6 +112,14 @@ class GOT10kDataset(BaseDataset):
         else:
             names = [os.path.basename(p) for p in sorted(
                 glob.glob(os.path.join(self.base_path, "GOT-10k_*")))]
+        if split == "ltrval":
+            # pytracking's held-out-from-train validation ids
+            # (got10kdataset.py:38-41 reads got10k_val_split.txt)
+            from multi_modal_tracking_tpu.train.data.datasets.unimodal import (
+                data_spec_path)
+            idx = np.loadtxt(data_spec_path("got10k_val_split.txt"),
+                             dtype=np.int64).reshape(-1)
+            names = [names[i] for i in idx if i < len(names)]
         self.sequence_name_list = names
 
     def get_sequence_list(self):

@@ -22,6 +22,13 @@ from multi_modal_tracking_tpu.train.data.datasets.base import (BaseImageDataset,
 from multi_modal_tracking_tpu.train.data.datasets.rgbt import read_boxes
 
 
+def data_spec_path(name: str) -> str:
+    """Vendored pytracking data-spec file (split index/name lists the
+    reference ships in lib/train/data_specs/)."""
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "data_specs", name)
+
+
 class LaSOT(BaseVideoDataset):
     def __init__(self, root=None, split: Optional[str] = "train",
                  image_loader=opencv_loader):
@@ -30,14 +37,24 @@ class LaSOT(BaseVideoDataset):
         seqs = sorted(glob.glob(os.path.join(root, "*", "*-*")))
         self.sequence_list = [s for s in seqs if os.path.isdir(s)]
         if split == "train":
-            # protocol-II train split: sequences not in the testing set file
-            # if present; else all.
-            test_file = os.path.join(root, "testing_set.txt")
-            if os.path.exists(test_file):
-                with open(test_file) as f:
-                    test = {l.strip() for l in f if l.strip()}
-                self.sequence_list = [s for s in self.sequence_list
-                                      if os.path.basename(s) not in test]
+            # protocol-II train split: the published 1120-name roster the
+            # reference vendors (lib/train/dataset/lasot.py:57-58); on-disk
+            # sequences not in it (test set) are dropped
+            with open(data_spec_path("lasot_train_split.txt")) as f:
+                train_names = {l.strip() for l in f if l.strip()}
+            in_split = [s for s in self.sequence_list
+                        if os.path.basename(s) in train_names]
+            if in_split:
+                self.sequence_list = in_split
+            else:
+                # fixture/partial layouts predating the roster: legacy rule —
+                # exclude sequences named by <root>/testing_set.txt
+                test_file = os.path.join(root, "testing_set.txt")
+                if os.path.exists(test_file):
+                    with open(test_file) as f:
+                        test = {l.strip() for l in f if l.strip()}
+                    self.sequence_list = [s for s in self.sequence_list
+                                          if os.path.basename(s) not in test]
 
     def get_num_sequences(self):
         return len(self.sequence_list)
@@ -67,12 +84,23 @@ class GOT10k(BaseVideoDataset):
         super().__init__("GOT10k", root, image_loader)
         with open(os.path.join(root, "list.txt")) as f:
             names = [l.strip() for l in f if l.strip()]
-        if split in ("vottrain", "votval", "train", "val"):
-            # optional split file <root>/<split>_split.txt with line indices
+        if split in ("vottrain", "votval", "train", "val", "train_full"):
+            # index files into list.txt — the published pytracking data specs
+            # the reference vendors (lib/train/dataset/got10k.py:49-58);
+            # a <root>/<split>_split.txt override wins when present
             sf = os.path.join(root, f"{split}_split.txt")
+            if not os.path.exists(sf):
+                spec = {"vottrain": "got10k_vot_train_split.txt",
+                        "votval": "got10k_vot_val_split.txt",
+                        "train": "got10k_train_split.txt",
+                        "val": "got10k_val_split.txt",
+                        "train_full": "got10k_train_full_split.txt"}[split]
+                sf = data_spec_path(spec)
             if os.path.exists(sf):
                 idx = np.loadtxt(sf, dtype=np.int64).reshape(-1)
-                names = [names[i] for i in idx]
+                # miniature fixture roots carry fewer sequences than the
+                # real 9335-entry list: keep in-range ids only
+                names = [names[i] for i in idx if i < len(names)]
         if seq_ids is not None:
             names = [names[i] for i in seq_ids]
         self.sequence_list = names
@@ -113,6 +141,18 @@ class TrackingNet(BaseVideoDataset):
                 continue
             for a in sorted(glob.glob(os.path.join(anno_dir, "*.txt"))):
                 self.sequence_list.append((s, os.path.splitext(os.path.basename(a))[0]))
+        # vendored seq->object-class map (lib/train/dataset/tracking_net.py:77-84)
+        self._class_map = None
+
+    def get_class_name(self, seq_id):
+        if self._class_map is None:
+            self._class_map = {}
+            with open(data_spec_path("trackingnet_classmap.txt")) as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) == 2:
+                        self._class_map[parts[0]] = parts[1]
+        return self._class_map.get(self.sequence_list[seq_id][1])
 
     def get_num_sequences(self):
         return len(self.sequence_list)

@@ -275,8 +275,10 @@ def test_tir_only_views(roots):
 # ----------------------------------------------------------- unimodal adapters
 
 def test_lasot_split_and_visibility(roots):
+    # vendored protocol-II roster: airplane-1 is a TEST sequence,
+    # airplane-2 is in the 1120-name train split
     ds = U.LaSOT(root=roots["lasot"], split="train")
-    assert [os.path.basename(s) for s in ds.sequence_list] == ["airplane-1"]
+    assert [os.path.basename(s) for s in ds.sequence_list] == ["airplane-2"]
     info = ds.get_sequence_info(0)
     assert info["bbox"].shape == (24, 4)
     np.testing.assert_array_equal(info["visible"], [True] * 23 + [False])
