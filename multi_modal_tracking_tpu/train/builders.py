@@ -41,7 +41,7 @@ def names2datasets(names: List[str], image_loader=None):
         "LASOT": lambda: U.LaSOT(**kw),
         "GOT10K_vottrain": lambda: U.GOT10k(split="vottrain", **kw),
         "GOT10K_votval": lambda: U.GOT10k(split="votval", **kw),
-        "GOT10K_train_full": lambda: U.GOT10k(split=None, **kw),
+        "GOT10K_train_full": lambda: U.GOT10k(split="train_full", **kw),
         "TRACKINGNET": lambda: U.TrackingNet(**kw),
         "COCO17": lambda: U.COCOSeq(**kw),
         "VID": lambda: U.ImagenetVID(**kw),
@@ -56,7 +56,7 @@ def names2datasets(names: List[str], image_loader=None):
         "LASOT_lmdb": lambda: L.LaSOTLmdb(),
         "GOT10K_vottrain_lmdb": lambda: L.GOT10kLmdb(split="vottrain"),
         "GOT10K_votval_lmdb": lambda: L.GOT10kLmdb(split="votval"),
-        "GOT10K_train_full_lmdb": lambda: L.GOT10kLmdb(split=None),
+        "GOT10K_train_full_lmdb": lambda: L.GOT10kLmdb(split="train_full"),
         "TRACKINGNET_lmdb": lambda: L.TrackingNetLmdb(),
         "COCO17_lmdb": lambda: L.COCOSeqLmdb(),
         "VID_lmdb": lambda: L.ImagenetVIDLmdb(),

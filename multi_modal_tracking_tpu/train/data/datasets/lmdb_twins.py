@@ -78,10 +78,21 @@ class GOT10kLmdb(BaseVideoDataset):
         names = [l for l in decode_str(root, "train/list.txt").split("\n")
                  if l.strip()]
         if split is not None:
+            # in-lmdb split entry wins; else the vendored data-spec index
+            # files (got10k_lmdb.py:44-51 reads data_specs/ on the filesystem)
             split_txt = decode_str(root, f"train/{split}_split.txt")
             if split_txt is not None:
                 idx = [int(v) for v in split_txt.split() if v.strip()]
-                names = [names[i] for i in idx]
+            else:
+                from multi_modal_tracking_tpu.train.data.datasets.unimodal import (
+                    data_spec_path)
+                spec = {"vottrain": "got10k_vot_train_split.txt",
+                        "votval": "got10k_vot_val_split.txt",
+                        "train": "got10k_train_split.txt",
+                        "val": "got10k_val_split.txt",
+                        "train_full": "got10k_train_full_split.txt"}[split]
+                idx = np.loadtxt(data_spec_path(spec), dtype=np.int64).reshape(-1)
+            names = [names[i] for i in idx if i < len(names)]
         if seq_ids is not None:
             names = [names[i] for i in seq_ids]
         self.sequence_list = names
