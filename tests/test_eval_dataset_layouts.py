@@ -99,6 +99,18 @@ def data_root(tmp_path, monkeypatch):
     _write(str(base / "groundtruth.txt"), _gt_rows(n=1))
     _write(str(root / "got10k" / "test" / "list.txt"), "GOT-10k_Test_000001\n")
 
+    # GOT-10k ltrval: full-size train list; gt only for the vendored val ids
+    from multi_modal_tracking_tpu.train.data.datasets.unimodal import (
+        data_spec_path)
+    train_names = [f"GOT-10k_Train_{i+1:06d}" for i in range(9335)]
+    _write(str(root / "got10k" / "train" / "list.txt"),
+           "\n".join(train_names) + "\n")
+    val_ids = np.loadtxt(data_spec_path("got10k_val_split.txt"),
+                         dtype=np.int64).reshape(-1)
+    for i in val_ids:
+        _write(str(root / "got10k" / "train" / train_names[i] / "groundtruth.txt"),
+               _gt_rows(n=1))
+
     # TrackingNet: TEST/anno/<seq>.txt + TEST/frames/<seq>/<i>.jpg
     base = root / "trackingnet" / "TEST"
     _write(str(base / "anno" / "seq0.txt"), _gt_rows())
@@ -205,6 +217,16 @@ def test_got10k_layout(data_root):
     assert s.name == "GOT-10k_Test_000001"
     assert len(s.frames) == N
     assert np.asarray(s.ground_truth_rect).shape == (1, 4)   # test: first only
+
+
+def test_got10k_ltrval_uses_vendored_val_ids(data_root):
+    from multi_modal_tracking_tpu.train.data.datasets.unimodal import (
+        data_spec_path)
+    val_ids = np.loadtxt(data_spec_path("got10k_val_split.txt"),
+                         dtype=np.int64).reshape(-1)
+    seqs = _load("got10k_ltrval")
+    assert len(seqs) == len(val_ids) == 1401
+    assert seqs[0].name == f"GOT-10k_Train_{val_ids[0]+1:06d}"
 
 
 def test_trackingnet_layout(data_root):
