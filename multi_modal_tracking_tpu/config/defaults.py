@@ -51,6 +51,9 @@ def _rgbt_base() -> CfgNode:
         VAL_EPOCH_INTERVAL=20,
         GRAD_CLIP_NORM=0.1,
         SCHEDULER=dict(TYPE="step", DECAY_RATE=0.1),
+        # TPU-native extension (no reference equivalent): ZeRO/FSDP sharding
+        # of params + optimizer state over the data mesh axis
+        FSDP=False,
     ))
     c.DATA = CfgNode(dict(
         SAMPLER_MODE="causal",

@@ -80,6 +80,49 @@ def param_shardings(params, mesh: Mesh, model_axis: str = "model"):
         lambda p, x: NamedSharding(mesh, spec_for(p, x)), params)
 
 
+def fsdp_shardings(tree, mesh: Mesh, axis: str = "data",
+                   min_size: int = 1024):
+    """ZeRO/FSDP-style shardings: every large parameter (and, applied to a
+    TrainState, its Adam moments — optax mirrors the param tree, so the same
+    path rules hit mu/nu) is sharded along the `axis` mesh dimension on its
+    largest divisible dim. Under GSPMD the train step then all-gathers each
+    weight just before use and reduce-scatters its gradient, so per-device
+    parameter + optimizer memory drops ~mesh.shape[axis]x while the step
+    stays numerically identical to replicated DP (tests/test_fsdp.py).
+
+    The reference has nothing like this (plain DDP replicates everything);
+    it's the TPU-native capability that unlocks models larger than one
+    chip's HBM. Small leaves (< min_size elements) and dims that don't
+    divide the axis stay replicated — sharding them would cost more in
+    collective latency than it saves."""
+    if axis not in mesh.axis_names:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+    n = mesh.shape[axis]
+
+    def spec_for(x):
+        if not hasattr(x, "ndim") or x.ndim == 0 or x.size < min_size or \
+                not jnp_issubdtype_inexact(x):
+            return P()
+        # largest dim divisible by the axis size, preferring trailing dims
+        # (kernel output dims — keeps gathered layouts contiguous)
+        for d in sorted(range(x.ndim), key=lambda d: (x.shape[d], d), reverse=True):
+            if x.shape[d] % n == 0:
+                spec = [None] * x.ndim
+                spec[d] = axis
+                return P(*spec)
+        return P()
+
+    return jax.tree.map(lambda x: NamedSharding(mesh, spec_for(x)), tree)
+
+
+def jnp_issubdtype_inexact(x) -> bool:
+    import jax.numpy as jnp
+    try:
+        return jnp.issubdtype(x.dtype, jnp.inexact)
+    except Exception:
+        return False
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim across the data axis."""
     return NamedSharding(mesh, P(axis))

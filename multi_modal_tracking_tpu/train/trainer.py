@@ -85,14 +85,26 @@ class Trainer:
                                  steps_per_epoch=self.steps_per_epoch)
         state = TrainState.create(variables, self.tx)
         self.mesh = create_mesh() if use_mesh else None
-        self.state = replicate(state, self.mesh) if self.mesh is not None else state
+        state_shardings = None
+        if self.mesh is not None and cfg.TRAIN.get("FSDP", False):
+            # ZeRO/FSDP: params + Adam moments sharded over the data axis
+            # (parallel/mesh.py fsdp_shardings) — per-device state memory
+            # drops ~n_devices x, numerics identical (tests/test_fsdp.py)
+            from multi_modal_tracking_tpu.parallel.mesh import fsdp_shardings
+            state_shardings = fsdp_shardings(state, self.mesh)
+            self.state = jax.device_put(state, state_shardings)
+        else:
+            self.state = (replicate(state, self.mesh)
+                          if self.mesh is not None else state)
+        self._state_shardings = state_shardings
 
         self.train_score = cfg.TRAIN.get("TRAIN_SCORE", False)
         self._step = make_train_step(
             self.model, self.tx, mesh=self.mesh, rgbt=self.rgbt,
             iou_weight=cfg.TRAIN.IOU_WEIGHT, l1_weight=cfg.TRAIN.L1_WEIGHT,
             train_score=self.train_score,
-            score_weight=cfg.TRAIN.get("SCORE_WEIGHT", 1.0))
+            score_weight=cfg.TRAIN.get("SCORE_WEIGHT", 1.0),
+            state_shardings=state_shardings)
         self._eval_step = make_eval_step(self.model, rgbt=self.rgbt,
                                          iou_weight=cfg.TRAIN.IOU_WEIGHT,
                                          l1_weight=cfg.TRAIN.L1_WEIGHT)
@@ -117,8 +129,12 @@ class Trainer:
             return False
         target = {"state": jax.device_get(self.state), "epoch": 0}
         restored = ckpt.load_checkpoint(path, target)
-        self.state = (replicate(restored["state"], self.mesh)
-                      if self.mesh is not None else restored["state"])
+        if self._state_shardings is not None:
+            self.state = jax.device_put(restored["state"], self._state_shardings)
+        elif self.mesh is not None:
+            self.state = replicate(restored["state"], self.mesh)
+        else:
+            self.state = restored["state"]
         self.epoch = int(restored["epoch"])
         print(f"resumed from {path} (epoch {self.epoch})")
         return True

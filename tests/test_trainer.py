@@ -44,8 +44,9 @@ def _tiny_trainer(cfg, tmp_path, **kw):
     build_mod.build_model = tiny_build
     trainer_mod.build_model = tiny_build
     try:
+        kw.setdefault("use_mesh", False)
         tr.__init__(cfg=cfg, script="asymmetric_shared_ce",
-                    save_dir=str(tmp_path), use_mesh=False, seed=0, **kw)
+                    save_dir=str(tmp_path), seed=0, **kw)
     finally:
         build_mod.build_model = orig
         trainer_mod.build_model = orig
