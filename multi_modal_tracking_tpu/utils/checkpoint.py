@@ -99,6 +99,39 @@ def load_variables(path: str, target_variables: Any) -> Any:
     return serialization.from_state_dict(target_variables, state_dict)
 
 
+def save_checkpoint_sharded(directory: str, name: str, epoch: int,
+                            state: Any) -> str:
+    """Orbax save of a (possibly FSDP-/TP-sharded) TrainState WITHOUT
+    gathering to one host: every process writes only the shards it owns, so
+    multi-host FSDP states larger than one host's RAM checkpoint fine.
+    Complements the msgpack path (save_checkpoint) — use that for small
+    replicated states; this for sharded/multi-host ones."""
+    import orbax.checkpoint as ocp
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(os.path.abspath(directory), f"{name}_ep{epoch:04d}.orbax")
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, state, force=True)
+    return path
+
+
+def load_checkpoint_sharded(path: str, target: Any, shardings: Any = None) -> Any:
+    """Orbax restore straight INTO the given shardings (each process reads
+    only its shards). `target` supplies structure/dtypes; `shardings` a
+    matching pytree of jax.sharding.Sharding (e.g. fsdp_shardings) — None
+    restores to host numpy."""
+    import jax
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    if shardings is None:
+        return ckptr.restore(path, item=target)
+    restore_args = jax.tree.map(
+        lambda x, s: ocp.ArrayRestoreArgs(sharding=s, global_shape=x.shape,
+                                          dtype=x.dtype)
+        if hasattr(x, "shape") else ocp.RestoreArgs(),
+        target, shardings)
+    return ckptr.restore(path, item=target, restore_args=restore_args)
+
+
 def cast_floating(variables: Any, dtype) -> Any:
     """Cast every floating-point leaf of a variables pytree to `dtype`.
 

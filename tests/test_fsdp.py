@@ -101,6 +101,34 @@ def test_trainer_fsdp_epoch_and_resume(tmp_path):
     assert leaf2.addressable_shards[0].data.size * n == leaf2.size
 
 
+def test_orbax_sharded_checkpoint_roundtrip(tiny_setup, tmp_path):  # noqa: F811
+    """FSDP state saved WITHOUT host gathering (orbax writes per-shard) and
+    restored straight into the shardings."""
+    pytest.importorskip("orbax.checkpoint")
+    from multi_modal_tracking_tpu.utils.checkpoint import (
+        load_checkpoint_sharded, save_checkpoint_sharded)
+    _, variables = tiny_setup
+    tx = optax.adamw(1e-3)
+    st = TrainState.create(jax.tree.map(lambda x: x.copy(), variables), tx)
+    mesh = create_mesh(8)
+    sh = fsdp_shardings(st, mesh, min_size=64)
+    st_sharded = jax.device_put(st, sh)
+    path = save_checkpoint_sharded(str(tmp_path), "Net", 7, st_sharded)
+    restored = load_checkpoint_sharded(path, st_sharded, shardings=sh)
+    # restored leaves carry the FSDP shardings and the exact values
+    flat_r = jax.tree_util.tree_flatten_with_path(restored.params)[0]
+    flat_0 = {tuple(str(k) for k in p): x for p, x in
+              jax.tree_util.tree_flatten_with_path(st.params)[0]}
+    n_sharded = 0
+    for p, x in flat_r:
+        key = tuple(str(k) for k in p)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(flat_0[key]))
+        if "data" in str(x.sharding.spec):
+            n_sharded += 1
+            assert x.addressable_shards[0].data.size * 8 == x.size
+    assert n_sharded > 0
+
+
 def test_fsdp_second_step_runs_donated(tiny_setup):  # noqa: F811
     """The donated sharded state round-trips through a second step."""
     model, variables = tiny_setup
