@@ -31,6 +31,9 @@ def main():
     p.add_argument("--batch", type=int, default=None, help="override TRAIN.BATCH_SIZE")
     p.add_argument("--resume", action="store_true", help="resume from latest ckpt")
     p.add_argument("--no_mesh", action="store_true", help="single-device (debug)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + optimizer state over the data axis "
+                        "(sets TRAIN.FSDP; see parallel/mesh.py fsdp_shardings)")
     p.add_argument("--no_fail_safe", action="store_true")
     p.add_argument("--coordinator", type=str, default=None,
                    help="multi-host: coordinator address host:port "
@@ -59,6 +62,8 @@ def main():
         cfg.TRAIN.EPOCH = args.epochs
     if args.batch:
         cfg.TRAIN.BATCH_SIZE = args.batch
+    if args.fsdp:
+        cfg.TRAIN.FSDP = True
 
     # Log the effective config + trainable params (train_script_mixformer.py:147-154)
     os.makedirs(args.save_dir, exist_ok=True)
