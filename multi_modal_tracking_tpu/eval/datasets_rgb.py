@@ -189,8 +189,10 @@ class _SimpleSeqDataset(BaseDataset):
     def __init__(self, base_path):
         super().__init__()
         self.base_path = base_path
+        # an unconfigured ('') path must yield an empty dataset, not a CWD glob
         self.sequence_name_list = [os.path.basename(p) for p in sorted(
-            glob.glob(os.path.join(self.base_path, "*"))) if os.path.isdir(p)]
+            glob.glob(os.path.join(self.base_path, "*"))) if os.path.isdir(p)] \
+            if base_path else []
 
     def get_sequence_list(self):
         return SequenceList([self._construct_sequence(n) for n in self.sequence_name_list])
