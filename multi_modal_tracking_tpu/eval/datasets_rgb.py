@@ -32,6 +32,9 @@ class LaSOTDataset(BaseDataset):
         # globbing would sweep into the evaluation
         roster = [os.path.join(self.base_path, n.split("-")[0], n)
                   for n in LASOT_TEST_SEQUENCES]
+        if not self.base_path:
+            self.sequence_path_list = []     # unconfigured: empty, no CWD glob
+            return
         if os.path.isdir(roster[0]):
             self.sequence_path_list = roster
             return

@@ -24,6 +24,9 @@ class LasHeRDataset(BaseDataset):
     def __init__(self):
         super().__init__()
         self.base_path = self.env_settings.lasher_dir
+        if not self.base_path:
+            self.sequence_path_list = []    # unconfigured: no CWD glob
+            return
         self.sequence_path_list = sorted(glob.glob(
             os.path.join(self.base_path, "TestingSet", "testingset", "*")))
         if not self.sequence_path_list:    # tolerate flat layouts
@@ -50,6 +53,9 @@ class RGBT234Dataset(BaseDataset):
     def __init__(self):
         super().__init__()
         self.base_path = self.env_settings.rgbt234_dir
+        if not self.base_path:
+            self.sequence_name_list = []
+            return
         self.sequence_name_list = [os.path.basename(p) for p in sorted(
             glob.glob(os.path.join(self.base_path, "*"))) if os.path.isdir(p)]
 
@@ -73,6 +79,9 @@ class GTOTDataset(BaseDataset):
     def __init__(self):
         super().__init__()
         self.base_path = self.env_settings.gtot_dir
+        if not self.base_path:
+            self.sequence_name_list = []
+            return
         list_file = os.path.join(self.base_path, "gtot.txt")
         if os.path.isfile(list_file):
             with open(list_file) as f:
@@ -108,6 +117,9 @@ class VTUAVDataset(BaseDataset):
         assert split in ("short", "long", "all")
         folder = {"short": "test_ST_*", "long": "test_LT_*", "all": "*"}[split]
         self.base_path = self.env_settings.vtuav_dir
+        if not self.base_path:
+            self.sequence_path_list = []
+            return
         sub = "train_data" if train_split else "test_data"
         class_dirs = sorted(glob.glob(os.path.join(self.base_path, sub, folder)))
         self.sequence_path_list = []
@@ -141,6 +153,9 @@ class DepthTrackDataset(BaseDataset):
     def __init__(self):
         super().__init__()
         self.base_path = self.env_settings.depthtrack_dir
+        if not self.base_path:
+            self.sequence_path_list = []
+            return
         # reference layout: <root>/test/<group>/<seq> (depthtrackdataset.py:12)
         self.sequence_path_list = sorted(
             p for p in glob.glob(os.path.join(self.base_path, "test", "*", "*"))
