@@ -51,9 +51,11 @@ def _rgbt_base() -> CfgNode:
         VAL_EPOCH_INTERVAL=20,
         GRAD_CLIP_NORM=0.1,
         SCHEDULER=dict(TYPE="step", DECAY_RATE=0.1),
-        # TPU-native extension (no reference equivalent): ZeRO/FSDP sharding
-        # of params + optimizer state over the data mesh axis
+        # TPU-native extensions (no reference equivalent): ZeRO/FSDP sharding
+        # of params + optimizer state over the data mesh axis; gradient
+        # checkpointing of the backbone blocks (activation HBM ~ 1/depth)
         FSDP=False,
+        REMAT=False,
     ))
     c.DATA = CfgNode(dict(
         SAMPLER_MODE="causal",

@@ -372,14 +372,28 @@ class AsymSharedViT(nn.Module):
     ce_loc: Optional[Tuple[int, ...]] = None
     ce_keep_ratio: Optional[Tuple[float, ...]] = None
     ce_template_range: str = "CTR_POINT"
+    #: gradient checkpointing: recompute each block's activations in the
+    #: backward pass instead of storing them — ~depth x less activation HBM
+    #: for ~1/3 extra forward FLOPs (the jax.checkpoint lever from the TPU
+    #: playbook; enables larger train batches). Numerics are exact.
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.patch_embed = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype)
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
+        block_cls = SharedBlock
+        if self.remat:
+            # static args of SharedBlock.__call__ (after self): n_mt(3),
+            # lens_keep(6), ce_rows(7), deterministic(8), return_scores(9)
+            # — flax's nn.remat counts self as argnum 0. Other methods
+            # (template_step/search_step: inference caches, no grads) are
+            # left untransformed; the lifted transform preserves param names
+            # so checkpoints are interchangeable with the plain model.
+            block_cls = nn.remat(SharedBlock, static_argnums=(3, 6, 7, 8, 9))
         self.blocks = [
-            SharedBlock(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
-                        drop_path=dpr[i], dtype=self.dtype, name=f"blocks_{i}")
+            block_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
+                      drop_path=dpr[i], dtype=self.dtype, name=f"blocks_{i}")
             for i in range(self.depth)
         ]
         self.grid_size_s = self.img_size_s // self.patch_size
@@ -443,9 +457,9 @@ class AsymSharedViT(nn.Module):
 
         for bi, blk in enumerate(self.blocks):
             want = return_attn_maps and (self.ce_loc is not None and bi in self.ce_loc)
+            # positional call: nn.remat static_argnums are positional-only
             out = blk(x_v, x_i, n_mt, gidx_v, gidx_i,
-                      lens_keep=keeps[bi], ce_rows=ce_rows,
-                      deterministic=deterministic, return_scores=want)
+                      keeps[bi], ce_rows, deterministic, want)
             if want:
                 x_v, x_i, gidx_v, gidx_i, (a_v, a_i, gv, gi) = out
                 attn_maps[bi] = jnp.stack([scatter_grid(a_v, gv),
@@ -546,6 +560,7 @@ class RGBTSpec:
     ce_template_range: str = "CTR_POINT"
     drop_path_rate: float = 0.1
     nlayer_head: int = 3
+    remat: bool = False
 
     @staticmethod
     def from_cfg(cfg) -> "RGBTSpec":
@@ -561,7 +576,8 @@ class RGBTSpec:
             ce_keep_ratio=tuple(bb.CE_KEEP_RATIO) if "CE_KEEP_RATIO" in bb else None,
             ce_template_range=_check_ce_range(bb.get("CE_TEMPLATE_RANGE",
                                                      "CTR_POINT")),
-            nlayer_head=cfg.MODEL.get("NLAYER_HEAD", 3))
+            nlayer_head=cfg.MODEL.get("NLAYER_HEAD", 3),
+            remat=cfg.TRAIN.get("REMAT", False))
 
 
 class MixFormerRGBT(nn.Module):
@@ -579,7 +595,7 @@ class MixFormerRGBT(nn.Module):
             drop_path_rate=sp.drop_path_rate,
             ce_loc=sp.ce_loc, ce_keep_ratio=sp.ce_keep_ratio,
             ce_template_range=sp.ce_template_range,
-            dtype=self.dtype)
+            remat=sp.remat, dtype=self.dtype)
         self.fusion_vi = build_fusion(sp.fusion_class, sp.embed_dim, 512,
                                       sp.fusion_layers, dtype=self.dtype)
         self.box_head = _build_head_from_spec(sp, axis_name=self.axis_name, dtype=self.dtype)

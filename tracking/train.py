@@ -34,6 +34,9 @@ def main():
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer state over the data axis "
                         "(sets TRAIN.FSDP; see parallel/mesh.py fsdp_shardings)")
+    p.add_argument("--remat", action="store_true",
+                   help="gradient-checkpoint the backbone blocks "
+                        "(sets TRAIN.REMAT; ~1/depth activation HBM)")
     p.add_argument("--no_fail_safe", action="store_true")
     p.add_argument("--coordinator", type=str, default=None,
                    help="multi-host: coordinator address host:port "
@@ -64,6 +67,8 @@ def main():
         cfg.TRAIN.BATCH_SIZE = args.batch
     if args.fsdp:
         cfg.TRAIN.FSDP = True
+    if args.remat:
+        cfg.TRAIN.REMAT = True
 
     # Log the effective config + trainable params (train_script_mixformer.py:147-154)
     os.makedirs(args.save_dir, exist_ok=True)
