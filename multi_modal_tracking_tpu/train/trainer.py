@@ -154,20 +154,65 @@ class Trainer:
         return bucketize_keep_rate(rate, n_search)
 
     # ------------------------------------------------------------- epoch loop
+    def _prepared_batches(self, loader):
+        """Host-side batch prep (model-input conversion + sharded device_put)
+        run one step AHEAD in a background thread, so the upload of batch
+        k+1 overlaps the device step on batch k."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        local_devs = (max(1, len(self.mesh.devices.flat) // jax.process_count())
+                      if self.mesh is not None else 1)
+
+        def produce():
+            try:
+                for batch in loader:
+                    inputs = batch_to_model_inputs(batch, rgbt=self.rgbt)
+                    bsz = inputs["gt_xywh"].shape[0]
+                    if self.mesh is not None:
+                        if bsz % local_devs != 0:
+                            continue          # drop ragged tail batch
+                        inputs = shard_host_batch(inputs, self.mesh)
+                    q.put((inputs, bsz))
+            except BaseException as e:          # surface loader errors
+                q.put(e)
+                return
+            q.put(None)
+
+        threading.Thread(target=produce, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def cycle_dataset(self, loader, train: bool):
         self.stats.new_epoch()
         keep_rate = self._keep_rate(self.epoch) if train else self._keep_rate(10 ** 9)
         n = len(loader)
-        for i, batch in enumerate(loader, start=1):
-            inputs = batch_to_model_inputs(batch, rgbt=self.rgbt)
-            bsz = inputs["gt_xywh"].shape[0]
-            if self.mesh is not None:
-                # bsz is this host's local batch; it must tile this host's
-                # slice of the mesh (global divisibility follows).
-                local_devs = max(1, len(self.mesh.devices.flat) // jax.process_count())
-                if bsz % local_devs != 0:
-                    continue          # drop ragged tail batch
-                inputs = shard_host_batch(inputs, self.mesh)
+        # Metrics are fetched in DEFERRED groups at print boundaries: jax
+        # dispatch is async, so not forcing a D2H sync per step lets upload,
+        # host prep and the device step pipeline. The NaN abort still fires
+        # (at most print_interval steps later than the reference's
+        # per-iteration check, actors/mixformer_rgbt.py:131 — same fail-safe
+        # outcome: the epoch restarts from the last checkpoint).
+        pending = []
+
+        def drain(upto_i):
+            for j, (m, b) in enumerate(pending, start=upto_i - len(pending) + 1):
+                m = jax.device_get(m)
+                if not np.isfinite(float(m["Loss/total"])):
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {self.epoch} it {j}")
+                self.stats.update(m, b)
+            pending.clear()
+
+        i = 0
+        for inputs, bsz in self._prepared_batches(loader):
+            i += 1
             if train:
                 self.rng, sub = jax.random.split(self.rng)
                 self.state, metrics = self._step(self.state, inputs, sub,
@@ -175,12 +220,11 @@ class Trainer:
             else:
                 metrics = self._eval_step(self.state.params, self.state.batch_stats,
                                           inputs)
-            if not np.isfinite(float(metrics["Loss/total"])):
-                raise FloatingPointError(
-                    f"non-finite loss at epoch {self.epoch} it {i}")
-            self.stats.update(jax.device_get(metrics), bsz)
+            pending.append((metrics, bsz))
             if i % self.stats.print_interval == 0 or i == n:
+                drain(i)
                 print(self.stats.line(loader.name, self.epoch, i, n))
+        drain(i)
         return self.stats.log_epoch(loader.name, self.epoch)
 
     def train_epoch(self):
