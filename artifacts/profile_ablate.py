@@ -1,0 +1,107 @@
+"""Ablation-timed decomposition of the flagship cached track step.
+
+profile_stages.py's isolated-stage bodies close over the 9 MB template
+cache, which inlines it as an HLO constant (the CLAUDE.md anti-pattern) and
+inflates those numbers. Here every measurement is the SAME full cached step
+(cache in the scan carry, box feeding the next crop) with one component
+swapped out, so deltas against the baseline attribute time per component:
+
+  base      flagship as benched (CE 3/6/9 @ config keep, 6 fusion layers)
+  nofus     fusion encoder depth 0 (adjust convs remain)
+  mlphead   corner towers -> 3-layer MLP head
+  ce_off    ce_keep_rate = 1.0 (no token pruning)
+  depth6    backbone depth 12 -> 6 (per-block cost = delta / 6)
+
+Each variant costs one remote scan compile (~2-4 min); full run ~15-25 min.
+Run:  env PYTHONPATH=/root/repo:/root/.axon_site VARIANTS=base,nofus \
+        python -u artifacts/profile_ablate.py
+"""
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+K = int(os.environ.get("K", "64"))
+VARIANTS = os.environ.get("VARIANTS", "base,nofus,mlphead,ce_off,depth6").split(",")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+    from multi_modal_tracking_tpu.config import get_default_config
+    from multi_modal_tracking_tpu.models.asymmetric_shared import (
+        RGBTSpec, build_mixformer_rgbt, MixFormerRGBT)
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTCachedTrackerJit
+    from multi_modal_tracking_tpu.utils.checkpoint import cast_floating
+
+    cfg = get_default_config("asymmetric_shared_ce")
+    base_spec = RGBTSpec.from_cfg(cfg)
+
+    rng = np.random.default_rng(0)
+    H, W = 512, 640
+    img_v = jnp.asarray(rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+    img_i = jnp.asarray(rng.integers(0, 255, (H, W), dtype=np.uint8))
+    box0 = jnp.asarray([280.0, 220.0, 80.0, 60.0], jnp.float32)
+
+    def build(spec, ce_keep_rate=None):
+        model = MixFormerRGBT(spec=spec, dtype=jnp.bfloat16)
+        t = jnp.zeros((2, 128, 128, 3), jnp.float32)
+        s = jnp.zeros((2, 288, 288, 3), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+        variables = cast_floating(variables, jnp.bfloat16)
+        tracker = RGBTCachedTrackerJit(
+            model=model, variables=variables,
+            template_factor=cfg.TEST.TEMPLATE_FACTOR,
+            template_size=cfg.TEST.TEMPLATE_SIZE,
+            search_factor=cfg.TEST.SEARCH_FACTOR,
+            search_size=cfg.TEST.SEARCH_SIZE,
+            update_interval=25, ce_keep_rate=ce_keep_rate, scan_chunk=K)
+        return tracker, variables
+
+    def timed(tracker, variables):
+        st0 = jax.jit(tracker._init_state)(variables, img_v, img_i, box0)
+
+        def scan_fn(variables, st0, box):
+            def body(carry, _):
+                st, _ = carry
+                new_st, bx = tracker._step((H, W), variables, st, img_v, img_i)
+                return (new_st, bx), ()
+            (st, bx), _ = jax.lax.scan(body, (st0, box), None, length=K)
+            return bx
+        fn = jax.jit(scan_fn)
+        out = fn(variables, st0, box0)
+        np.asarray(out)                            # compile + warm
+        draws = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(variables, st0, box0)
+            np.asarray(out)
+            draws.append((time.perf_counter() - t0) / K)
+        return min(draws)
+
+    results = {}
+    for name in VARIANTS:
+        ce = None
+        spec = base_spec
+        if name == "nofus":
+            spec = dataclasses.replace(base_spec, fusion_layers=0)
+        elif name == "mlphead":
+            spec = dataclasses.replace(base_spec, head_type="MLP")
+        elif name == "ce_off":
+            ce = 1.0
+        elif name == "depth6":
+            spec = dataclasses.replace(base_spec, depth=6,
+                                       ce_loc=(3,), ce_keep_ratio=(0.7,))
+        tracker, variables = build(spec, ce_keep_rate=ce)
+        dt = timed(tracker, variables)
+        results[name] = dt
+        base = results.get("base")
+        delta = f"   delta vs base {1e3*(dt-base):+7.3f} ms" if base and name != "base" else ""
+        print(f"{name:10s} {dt*1e3:8.3f} ms/step{delta}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,11 +7,20 @@ carry-chained data dependency (so XLA cannot hoist the body), ending in a
 real np.asarray fetch (bare block_until_ready can return early on this
 transport — CLAUDE.md). Prints ms/iter and achieved TFLOP/s per stage.
 
-Run on the real chip:  env PYTHONPATH=/root/repo:/root/.axon_site python artifacts/profile_stages.py
+Run on the real chip:  env PYTHONPATH=/root/repo:/root/.axon_site python -u artifacts/profile_stages.py
+Each stage needs a remote XLA compile (~30-90 s); COST=1 adds a second
+compile per stage for FLOP counts — leave it off for a quick pass.
 """
+import os
 import time
 
 import numpy as np
+
+COST = os.environ.get("COST", "0") == "1"
+K = int(os.environ.get("K", "64"))
+# comma list of stages to run (full,prep,track,bb,fus,head) — each needs its
+# own remote compile, so a 590 s budget fits about three.
+STAGES = set(os.environ.get("STAGES", "full,prep,track,bb,fus,head").split(","))
 
 
 def main():
@@ -50,8 +59,6 @@ def main():
             v, i, b, cfg.TEST.SEARCH_FACTOR, cfg.TEST.SEARCH_SIZE))(img_v, img_i, box)
     s_vi0 = jnp.concatenate([sv0, si0], axis=0)
 
-    K = 128
-
     def timed_scan(name, body, init_x, extra_flops=None):
         """body: x -> y with y feeding the next x (same pytree structure)."""
         def scan_fn(x0):
@@ -68,13 +75,14 @@ def main():
         np.asarray(jax.tree_util.tree_leaves(out)[0])
         dt = (time.perf_counter() - t0) / K
         flops = None
-        try:
-            one = jax.jit(body).lower(init_x).compile().cost_analysis()
-            if isinstance(one, list):
-                one = one[0] if one else {}
-            flops = float((one or {}).get("flops", float("nan")))
-        except Exception:
-            pass
+        if COST:
+            try:
+                one = jax.jit(body).lower(init_x).compile().cost_analysis()
+                if isinstance(one, list):
+                    one = one[0] if one else {}
+                flops = float((one or {}).get("flops", float("nan")))
+            except Exception:
+                pass
         tf = (flops / dt / 1e12) if flops and np.isfinite(flops) else float("nan")
         print(f"{name:28s} {dt*1e3:8.3f} ms/iter   "
               f"{(flops or float('nan'))/1e9:8.2f} GFLOP   {tf:6.1f} TFLOP/s")
@@ -85,7 +93,8 @@ def main():
         st_, _ = carry
         new_st, bx = tracker._step((H, W), variables, st_, img_v, img_i)
         return (new_st, bx)
-    t_full = timed_scan("full cached step", full_body, (st, box))
+    t_full = timed_scan("full cached step", full_body, (st, box)) \
+        if "full" in STAGES else float("nan")
 
     # ---- prep only ----
     from multi_modal_tracking_tpu.tracking.tracker import _prep_rgbt
@@ -93,14 +102,16 @@ def main():
         sv, si, rf = _prep_rgbt(img_v, img_i, b, cfg.TEST.SEARCH_FACTOR,
                                 cfg.TEST.SEARCH_SIZE)
         return b + sv.mean().astype(b.dtype) * 1e-9 + si.mean().astype(b.dtype) * 1e-9 + rf * 0
-    t_prep = timed_scan("prep (crop+JET+norm x2)", prep_body, box)
+    t_prep = timed_scan("prep (crop+JET+norm x2)", prep_body, box) \
+        if "prep" in STAGES else float("nan")
 
     # ---- backbone search-only forward ----
     def bb_body(x):
         out = model.apply(variables, st.cache, x,
                           method=type(model).forward_track)
         return x + out["pred_boxes"].mean().astype(x.dtype) * 1e-9
-    t_track_fwd = timed_scan("forward_track (bb+fus+head)", bb_body, s_vi0)
+    t_track_fwd = timed_scan("forward_track (bb+fus+head)", bb_body, s_vi0) \
+        if "track" in STAGES else float("nan")
 
     def bb_only(mdl, cache, s_vi):
         return mdl.backbone.forward_search(cache, s_vi, None, True)
@@ -108,7 +119,8 @@ def main():
     def bbo_body(x):
         s_out = model.apply(variables, st.cache, x, method=bb_only)
         return x + s_out.mean().astype(x.dtype) * 1e-9
-    t_bb = timed_scan("backbone search-only", bbo_body, s_vi0)
+    t_bb = timed_scan("backbone search-only", bbo_body, s_vi0) \
+        if "bb" in STAGES else float("nan")
 
     # ---- fusion only ----
     B = s_feat.shape[0] // 2
@@ -119,7 +131,8 @@ def main():
     def fus_body(x):
         f = model.apply(variables, x[:B], x[B:], method=fus_only)
         return x + f.mean().astype(x.dtype) * 1e-9
-    t_fus = timed_scan("fusion (6-layer deform enc)", fus_body, s_feat)
+    t_fus = timed_scan("fusion (6-layer deform enc)", fus_body, s_feat) \
+        if "fus" in STAGES else float("nan")
 
     # ---- head only ----
     def head_only(mdl, fused):
@@ -127,7 +140,8 @@ def main():
     def head_body(x):
         bx = model.apply(variables, x, method=head_only)
         return x + bx.mean().astype(x.dtype) * 1e-9
-    t_head = timed_scan("corner head", head_body, fused0)
+    t_head = timed_scan("corner head", head_body, fused0) \
+        if "head" in STAGES else float("nan")
 
     print(f"\nsum(prep+bb+fus+head) = {(t_prep+t_bb+t_fus+t_head)*1e3:.3f} ms "
           f"vs forward_track {t_track_fwd*1e3:.3f} + prep {t_prep*1e3:.3f} "
