@@ -8,7 +8,7 @@ swapped out, so deltas against the baseline attribute time per component:
 
   base      flagship as benched (CE 3/6/9 @ config keep, 6 fusion layers)
   nofus     fusion encoder depth 0 (adjust convs remain)
-  mlphead   corner towers -> 3-layer MLP head
+  smallhead corner towers at 8 channels instead of 384 (conv cost ~0)
   ce_off    ce_keep_rate = 1.0 (no token pruning)
   depth6    backbone depth 12 -> 6 (per-block cost = delta / 6)
 
@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 K = int(os.environ.get("K", "64"))
-VARIANTS = os.environ.get("VARIANTS", "base,nofus,mlphead,ce_off,depth6").split(",")
+VARIANTS = os.environ.get("VARIANTS", "base,nofus,smallhead,ce_off,depth6").split(",")
 
 
 def main():
@@ -88,8 +88,8 @@ def main():
         spec = base_spec
         if name == "nofus":
             spec = dataclasses.replace(base_spec, fusion_layers=0)
-        elif name == "mlphead":
-            spec = dataclasses.replace(base_spec, head_type="MLP")
+        elif name == "smallhead":
+            spec = dataclasses.replace(base_spec, head_dim=8)
         elif name == "ce_off":
             ce = 1.0
         elif name == "depth6":

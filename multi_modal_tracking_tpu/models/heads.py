@@ -151,7 +151,9 @@ class MLPHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        # `train` accepted (unused — no BN) for head-interface uniformity:
+        # every model family calls box_head(x, train=...).
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
             x = nn.Dense(self.out_dim if last else self.hidden_dim, dtype=self.dtype,
