@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-K = int(os.environ.get("K", "64"))
+K = int(os.environ.get("K", "256"))  # amortise the ~27 ms dispatch+fetch fixed cost
 VARIANTS = os.environ.get("VARIANTS", "base,nofus,smallhead,ce_off,depth6").split(",")
 
 

@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-K = int(os.environ.get("K", "128"))
+K = int(os.environ.get("K", "1024"))  # amortise the ~27 ms dispatch+fetch fixed cost
 VARIANTS = os.environ.get("VARIANTS", "base,xla,layers3,noffn").split(",")
 
 

@@ -17,7 +17,7 @@ from functools import partial
 
 import numpy as np
 
-K = int(os.environ.get("K", "128"))
+K = int(os.environ.get("K", "2048"))  # must amortise the ~27 ms dispatch+fetch fixed cost
 
 
 def main():
@@ -108,17 +108,12 @@ def main():
         return body
 
     which = os.environ.get(
-        "VARIANTS", "full,fullxla,nojet,croponly,matonly,high,default").split(",")
+        "VARIANTS", "full,nojet,croponly,matonly,high,default").split(",")
     table = {"full": full, "nojet": nojet, "croponly": croponly,
              "matonly": matonly, "high": make_prec("high"),
              "default": make_prec(None)}
     for name in which:
-        if name == "fullxla":
-            crop_ops.USE_PALLAS = False
-            timed("fullxla", full)
-            crop_ops.USE_PALLAS = None
-        else:
-            timed(name, table[name])
+        timed(name, table[name])
 
 
 if __name__ == "__main__":

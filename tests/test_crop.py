@@ -1,8 +1,4 @@
-"""Device crop vs the cv2 pipeline the reference uses (sample_target).
-
-Both lowerings are covered: the XLA einsum pair and the fused Pallas kernel
-(run in interpreter mode on CPU via ops.crop.FORCE_INTERPRET, like the
-attention/MSDA kernel tests)."""
+"""Device crop vs the cv2 pipeline the reference uses (sample_target)."""
 import math
 
 import cv2
@@ -11,19 +7,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from multi_modal_tracking_tpu.ops import crop as crop_ops
 from multi_modal_tracking_tpu.ops.crop import crop_resize
-
-
-@pytest.fixture(params=["xla", "pallas"])
-def crop_lowering(request):
-    """Force one crop lowering for the duration of a test."""
-    if request.param == "pallas":
-        crop_ops.FORCE_INTERPRET = True
-    try:
-        yield request.param
-    finally:
-        crop_ops.FORCE_INTERPRET = False
 
 
 def cv2_sample_target(im, target_bb, search_area_factor, output_sz):
@@ -57,7 +41,7 @@ CASES = [
 
 
 @pytest.mark.parametrize("H,W,box,factor,out_sz", CASES)
-def test_crop_matches_cv2(H, W, box, factor, out_sz, crop_lowering):
+def test_crop_matches_cv2(H, W, box, factor, out_sz):
     rng = np.random.default_rng(hash((H, W, box)) % 2**32)
     im = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
     ref, ref_rf = cv2_sample_target(im, box, factor, out_sz)
@@ -73,28 +57,9 @@ def test_crop_matches_cv2(H, W, box, factor, out_sz, crop_lowering):
     assert diff.mean() < 0.5
 
 
-def test_crop_zero_padding_region(crop_lowering):
+def test_crop_zero_padding_region():
     """Padding region must be exactly zero (BORDER_CONSTANT parity)."""
     im = np.full((50, 50, 3), 255, dtype=np.uint8)
     box = (-100.0, -100.0, 30.0, 30.0)  # window entirely above/left of image
     out, _ = crop_resize(jnp.asarray(im), jnp.asarray(box, dtype=jnp.float32), 2.0, 64)
     assert float(jnp.abs(out).max()) == 0.0
-
-
-def test_crop_pallas_matches_xla_lowering():
-    """The two lowerings agree to f32 accumulation noise, incl. under vmap
-    (the batched lockstep trackers vmap crop_resize through _prep_rgbt)."""
-    rng = np.random.default_rng(7)
-    ims = rng.integers(0, 256, size=(3, 240, 320, 4), dtype=np.uint8)
-    boxes = np.asarray([[100, 80, 60, 40], [10, 10, 30, 30],
-                        [-20, -10, 50, 40]], np.float32)
-    fn = lambda i, b: crop_resize(i, b, 4.5, 96)[0]
-    ref = jax.vmap(fn)(jnp.asarray(ims), jnp.asarray(boxes))
-    crop_ops.FORCE_INTERPRET = True
-    try:
-        out = jax.vmap(fn)(jnp.asarray(ims), jnp.asarray(boxes))
-        single = fn(jnp.asarray(ims[1]), jnp.asarray(boxes[1]))
-    finally:
-        crop_ops.FORCE_INTERPRET = False
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.02)
-    np.testing.assert_allclose(np.asarray(single), np.asarray(ref[1]), atol=0.02)
