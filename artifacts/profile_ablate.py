@@ -11,6 +11,9 @@ swapped out, so deltas against the baseline attribute time per component:
   smallhead corner towers at 8 channels instead of 384 (conv cost ~0)
   ce_off    ce_keep_rate = 1.0 (no token pruning)
   depth6    backbone depth 12 -> 6 (per-block cost = delta / 6)
+  fwdonly   forward_track alone on a fixed crop (model time, no glue)
+  glue      the full step with the model swapped for a constant box
+            (prep + decode + state/cache carry + cond'd set_online rebuild)
 
 Each variant costs one remote scan compile (~2-4 min); full run ~15-25 min.
 Run:  env PYTHONPATH=/root/repo:/root/.axon_site VARIANTS=base,nofus \
@@ -23,7 +26,8 @@ import time
 import numpy as np
 
 K = int(os.environ.get("K", "256"))  # amortise the ~27 ms dispatch+fetch fixed cost
-VARIANTS = os.environ.get("VARIANTS", "base,nofus,smallhead,ce_off,depth6").split(",")
+VARIANTS = os.environ.get(
+    "VARIANTS", "base,nofus,smallhead,ce_off,depth6,fwdonly,glue").split(",")
 
 
 def main():
@@ -34,7 +38,9 @@ def main():
     from multi_modal_tracking_tpu.config import get_default_config
     from multi_modal_tracking_tpu.models.asymmetric_shared import (
         RGBTSpec, build_mixformer_rgbt, MixFormerRGBT)
-    from multi_modal_tracking_tpu.tracking.tracker import RGBTCachedTrackerJit
+    from multi_modal_tracking_tpu.tracking.tracker import (
+        RGBTCachedTrackerJit, _map_box_back, _prep_rgbt)
+    from multi_modal_tracking_tpu.ops.boxes import clip_box
     from multi_modal_tracking_tpu.utils.checkpoint import cast_floating
 
     cfg = get_default_config("asymmetric_shared_ce")
@@ -82,6 +88,75 @@ def main():
             draws.append((time.perf_counter() - t0) / K)
         return min(draws)
 
+    def timed_fwdonly(tracker, variables):
+        """forward_track alone: fixed search crop, cache passed as argument
+        (NOT closed over — a closed-over cache inlines ~9 MB into the HLO)."""
+        st0 = jax.jit(tracker._init_state)(variables, img_v, img_i, box0)
+        s0 = jnp.zeros((2, tracker.search_size, tracker.search_size, 3),
+                       jnp.float32)
+
+        def scan_fn(variables, cache, s0):
+            def body(s, _):
+                out = tracker.model.apply(
+                    variables, cache, s,
+                    method=type(tracker.model).forward_track,
+                    ce_keep_rate=tracker.ce_keep_rate)
+                pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
+                return s + pred.mean() * 1e-9, ()
+            s, _ = jax.lax.scan(body, s0, None, length=K)
+            return s
+        fn = jax.jit(scan_fn)
+        out = fn(variables, st0.cache, s0)
+        np.asarray(out)
+        draws = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(variables, st0.cache, s0)
+            np.asarray(out)
+            draws.append((time.perf_counter() - t0) / K)
+        return min(draws)
+
+    def timed_glue(tracker, variables):
+        """The full step with the model forward swapped for a constant box:
+        prep + decode + state/cache scan carry + the cond'd set_online
+        rebuild every update_interval frames."""
+        st0 = jax.jit(tracker._init_state)(variables, img_v, img_i, box0)
+        const_box = jnp.asarray([0.45, 0.5, 0.18, 0.2], jnp.float32)
+
+        def scan_fn(variables, st0, box):
+            def body(carry, _):
+                st, _ = carry
+                frame_id = st.frame_id + 1
+                sv, si, rf = _prep_rgbt(img_v, img_i, st.state,
+                                        tracker.search_factor,
+                                        tracker.search_size)
+                pred = const_box + (sv.mean() + si.mean()).astype(
+                    jnp.float32) * 1e-12
+                pred = pred * (tracker.search_size / rf)
+                new_state = clip_box(
+                    _map_box_back(pred, st.state, tracker.search_size, rf),
+                    H, W, margin=10)
+                new_st = st.replace(state=new_state, frame_id=frame_id)
+                do_update = (frame_id % tracker.update_interval) == 0
+                cache = jax.lax.cond(
+                    do_update,
+                    lambda: tracker._rebuild_cache(variables, new_st,
+                                                   img_v, img_i),
+                    lambda: new_st.cache)
+                return (new_st.replace(cache=cache), new_state), ()
+            (st, bx), _ = jax.lax.scan(body, (st0, box), None, length=K)
+            return bx
+        fn = jax.jit(scan_fn)
+        out = fn(variables, st0, box0)
+        np.asarray(out)
+        draws = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(variables, st0, box0)
+            np.asarray(out)
+            draws.append((time.perf_counter() - t0) / K)
+        return min(draws)
+
     results = {}
     for name in VARIANTS:
         ce = None
@@ -96,7 +171,12 @@ def main():
             spec = dataclasses.replace(base_spec, depth=6,
                                        ce_loc=(3,), ce_keep_ratio=(0.7,))
         tracker, variables = build(spec, ce_keep_rate=ce)
-        dt = timed(tracker, variables)
+        if name == "fwdonly":
+            dt = timed_fwdonly(tracker, variables)
+        elif name == "glue":
+            dt = timed_glue(tracker, variables)
+        else:
+            dt = timed(tracker, variables)
         results[name] = dt
         base = results.get("base")
         delta = f"   delta vs base {1e3*(dt-base):+7.3f} ms" if base and name != "base" else ""
