@@ -27,14 +27,16 @@ class LaSOTDataset(BaseDataset):
         from multi_modal_tracking_tpu.eval._benchmark_tables import (
             LASOT_TEST_SEQUENCES)
         self.base_path = self.env_settings.lasot_dir
+        if not self.base_path:
+            self.sequence_path_list = []     # unconfigured: empty, no CWD glob
+            return                           # (guard BEFORE joins: a
+            # present-but-empty local.yaml key parses to None, and
+            # os.path.join(None, ...) would raise)
         # Protocol-II: the FIXED 280-sequence test roster (lasotdataset.py:44)
         # — a full LaSOT download also holds the 1120 train sequences, which
         # globbing would sweep into the evaluation
         roster = [os.path.join(self.base_path, n.split("-")[0], n)
                   for n in LASOT_TEST_SEQUENCES]
-        if not self.base_path:
-            self.sequence_path_list = []     # unconfigured: empty, no CWD glob
-            return
         if os.path.isdir(roster[0]):
             self.sequence_path_list = roster
             return
@@ -107,7 +109,10 @@ class GOT10kDataset(BaseDataset):
         self.split = split
         base = self.env_settings.got10k_dir
         sub = {"test": "test", "val": "val", "ltrval": "train"}[split]
-        self.base_path = os.path.join(base, sub)
+        self.base_path = os.path.join(base, sub) if base else ""
+        if not self.base_path:
+            self.sequence_name_list = []     # unconfigured: no CWD glob
+            return
         list_file = os.path.join(self.base_path, "list.txt")
         if os.path.isfile(list_file):
             with open(list_file) as f:
@@ -140,11 +145,13 @@ class TrackingNetDataset(BaseDataset):
 
     def __init__(self):
         super().__init__()
-        self.base_path = os.path.join(self.env_settings.trackingnet_dir, "TEST")
+        root = self.env_settings.trackingnet_dir
+        self.base_path = os.path.join(root, "TEST") if root else ""
         anno_dir = os.path.join(self.base_path, "anno")
         self.sequence_name_list = sorted(
             os.path.splitext(os.path.basename(p))[0]
-            for p in glob.glob(os.path.join(anno_dir, "*.txt")))
+            for p in glob.glob(os.path.join(anno_dir, "*.txt"))) \
+            if self.base_path else []
 
     def get_sequence_list(self):
         return SequenceList([self._construct_sequence(n) for n in self.sequence_name_list])
@@ -224,6 +231,9 @@ class _TableOrGlobDataset(_SimpleSeqDataset):
     def __init__(self, base_path):
         self._table_mode = _table_mode(base_path, self.table)
         if self._table_mode:
+            # BaseDataset.__init__ still applies (env_settings is an
+            # invariant every eval dataset object carries)
+            BaseDataset.__init__(self)
             self.base_path = base_path
             self.sequence_name_list = [r[0] for r in self.table]
         else:
@@ -289,6 +299,7 @@ class TC128Dataset(_SimpleSeqDataset):
                           if "_ce" in os.path.basename(os.path.dirname(f))]
         self._anno_files = anno_files
         if anno_files:
+            BaseDataset.__init__(self)   # env_settings invariant
             self.base_path = base
             self.sequence_name_list = [os.path.basename(os.path.dirname(f))
                                        for f in anno_files]

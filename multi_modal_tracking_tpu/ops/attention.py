@@ -206,9 +206,12 @@ mixed_attention_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def use_pallas_default(*arrays) -> bool:
-    """True when the fused kernel should run for THIS call: explicit
-    USE_PALLAS override if set; otherwise Pallas only for non-differentiated
-    forwards on a TPU backend.
+    """True when the fused kernel should run for THIS call: the explicit
+    USE_PALLAS override if set, otherwise False — there is NO automatic
+    dispatch (every measured production shape loses in-graph; see below).
+    The array arguments are accepted (callers pass q/k/v) so a future
+    shape-aware policy can slot in without touching call sites; they are
+    deliberately unused today.
 
     Measured on a v5e chip (2026-08-17, scan-chained ops, scalar-fetch
     timing), pallas vs XLA, ISOLATED op:
@@ -218,6 +221,10 @@ def use_pallas_default(*arrays) -> bool:
       fwd+bwd when the backward falls back to XLA recompute (N > 640):
                      B16xH16xN864 0.83x — a net LOSS vs plain XLA
       under vmap (batched tracker lockstep): bench regressed 470->434 f/s
+    IN-GRAPH cached forward_track (2026-08-18, K>=1024-chained scans):
+    B=1 Pallas 2.00 ms vs XLA 1.84 ms; lockstep B=16 37.0 vs 35.6 ms — the
+    device's measured ~57-62 TFLOP/s matmul ceiling (artifacts/
+    profile_peak.py), not attention-matrix HBM traffic, bounds both.
     IN-GRAPH (full flagship train step, B=16, 24-step draws, interleaved
     processes): XLA 118.3 ms vs Pallas 122.3 ms, consistent across draws —
     the isolated fwd+bwd win does NOT survive XLA's fusion context (the

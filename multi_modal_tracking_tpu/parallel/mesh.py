@@ -17,6 +17,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -101,7 +102,7 @@ def fsdp_shardings(tree, mesh: Mesh, axis: str = "data",
 
     def spec_for(x):
         if not hasattr(x, "ndim") or x.ndim == 0 or x.size < min_size or \
-                not jnp_issubdtype_inexact(x):
+                not _is_inexact(x):
             return P()
         # largest dim divisible by the axis size, preferring trailing dims
         # (kernel output dims — keeps gathered layouts contiguous)
@@ -115,12 +116,13 @@ def fsdp_shardings(tree, mesh: Mesh, axis: str = "data",
     return jax.tree.map(lambda x: NamedSharding(mesh, spec_for(x)), tree)
 
 
-def jnp_issubdtype_inexact(x) -> bool:
-    import jax.numpy as jnp
-    try:
-        return jnp.issubdtype(x.dtype, jnp.inexact)
-    except Exception:
-        return False
+def _is_inexact(x) -> bool:
+    """Float/complex leaves only: integer leaves (step counters, MultiSteps
+    counters) stay replicated. Leaves with no dtype (python scalars in an
+    opt_state) are replicated too. jnp.issubdtype (not np) so extended
+    dtypes like bfloat16 classify as inexact."""
+    dtype = getattr(x, "dtype", None)
+    return dtype is not None and jnp.issubdtype(dtype, jnp.inexact)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -50,7 +50,10 @@ def create_default_local_file(workspace_dir: str = ".", data_dir: str = "./data"
 class EnvSettings:
     def __init__(self, d: dict):
         for k in _DEFAULT_KEYS:
-            setattr(self, k, d.get(k, ""))
+            # `or ""` also normalises explicit nulls in the json (a None
+            # path would TypeError inside os.path.join instead of hitting
+            # the adapters' empty-roster guards)
+            setattr(self, k, d.get(k, "") or "")
 
     def require(self, key: str) -> str:
         v = getattr(self, key, "")

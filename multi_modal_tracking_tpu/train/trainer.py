@@ -117,6 +117,14 @@ class Trainer:
 
     # ------------------------------------------------------------ ckpt/resume
     def save_checkpoint(self):
+        if self._state_shardings is not None:
+            # FSDP: shards may live on other hosts, so a rank-0
+            # jax.device_get would fail (non-fully-addressable arrays) or
+            # OOM one host's RAM. Orbax writes shard-parallel — EVERY
+            # process participates (utils/checkpoint.py
+            # save_checkpoint_sharded); the epoch rides the dir name.
+            return ckpt.save_checkpoint_sharded(self.ckpt_dir, self.net_name,
+                                                self.epoch, self.state)
         if jax.process_index() != 0:      # rank-0 only (base_trainer.py:97)
             return None
         return ckpt.save_checkpoint(self.ckpt_dir, self.net_name, self.epoch,
@@ -124,14 +132,24 @@ class Trainer:
                                      "epoch": self.epoch})
 
     def load_checkpoint(self, path: Optional[str] = None) -> bool:
+        if self._state_shardings is not None:
+            path = path or ckpt.latest_checkpoint_sharded(self.ckpt_dir,
+                                                          self.net_name)
+            if not path or not os.path.isdir(path):
+                return False
+            # Restore straight INTO the FSDP shardings (each process reads
+            # only its shards; live state supplies structure/dtypes).
+            self.state = ckpt.load_checkpoint_sharded(
+                path, self.state, shardings=self._state_shardings)
+            self.epoch = ckpt.checkpoint_epoch(path)
+            print(f"resumed from {path} (epoch {self.epoch})")
+            return True
         path = path or ckpt.latest_checkpoint(self.ckpt_dir, self.net_name)
         if not path or not os.path.isfile(path):
             return False
         target = {"state": jax.device_get(self.state), "epoch": 0}
         restored = ckpt.load_checkpoint(path, target)
-        if self._state_shardings is not None:
-            self.state = jax.device_put(restored["state"], self._state_shardings)
-        elif self.mesh is not None:
+        if self.mesh is not None:
             self.state = replicate(restored["state"], self.mesh)
         else:
             self.state = restored["state"]
@@ -162,8 +180,21 @@ class Trainer:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()   # consumer abandoned the epoch (e.g. the
+        # deferred NaN abort raising out of cycle_dataset): without it the
+        # producer would block in q.put forever, leaking the thread and the
+        # prepared (device_put) batches it holds on every fail-safe restart.
         local_devs = (max(1, len(self.mesh.devices.flat) // jax.process_count())
                       if self.mesh is not None else 1)
+
+        def put_guarded(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
@@ -174,20 +205,31 @@ class Trainer:
                         if bsz % local_devs != 0:
                             continue          # drop ragged tail batch
                         inputs = shard_host_batch(inputs, self.mesh)
-                    q.put((inputs, bsz))
+                    if not put_guarded((inputs, bsz)):
+                        return
             except BaseException as e:          # surface loader errors
-                q.put(e)
+                put_guarded(e)
                 return
-            q.put(None)
+            put_guarded(None)
 
-        threading.Thread(target=produce, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            try:                    # unblock + free any queued batches
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=5.0)
 
     def cycle_dataset(self, loader, train: bool):
         self.stats.new_epoch()

@@ -58,8 +58,17 @@ def latest_checkpoint(directory: str, name: str) -> Optional[str]:
 
 
 def checkpoint_epoch(path: str) -> int:
-    m = re.search(r"_ep(\d+)\.msgpack$", path)
+    m = re.search(r"_ep(\d+)\.(?:msgpack|orbax)$", path.rstrip("/"))
     return int(m.group(1)) if m else -1
+
+
+def latest_checkpoint_sharded(directory: str, name: str) -> Optional[str]:
+    """Latest orbax (sharded) checkpoint dir written by
+    save_checkpoint_sharded, by epoch number."""
+    paths = glob.glob(os.path.join(directory, f"{name}_ep*.orbax"))
+    if not paths:
+        return None
+    return max(paths, key=checkpoint_epoch)
 
 
 def load_checkpoint(path: str, target: Any) -> Any:

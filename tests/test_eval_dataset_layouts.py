@@ -315,3 +315,24 @@ def test_simple_layout_fallback(tmp_path, monkeypatch):
         seqs = _load(name)
         assert [s.name for s in seqs] == [seq]
         assert len(seqs[0].frames) == N
+
+
+@pytest.mark.parametrize("style", ["nulls", "missing"])
+def test_unconfigured_paths_yield_empty_rosters(tmp_path, monkeypatch, style):
+    """Unset dataset paths — whether the local_paths file is absent or holds
+    explicit nulls — must yield EMPTY rosters for every registry adapter
+    (no CWD globbing, no TypeError from os.path.join(None, ...))."""
+    from multi_modal_tracking_tpu.eval.datasets import dataset_dict, load_dataset
+    from multi_modal_tracking_tpu.train.admin import _DEFAULT_KEYS
+    pfile = tmp_path / "none_paths.json"
+    if style == "nulls":
+        pfile.write_text(json.dumps({k: None for k in _DEFAULT_KEYS}))
+    monkeypatch.setenv("MMT_LOCAL_PATHS", str(pfile))
+    monkeypatch.chdir(tmp_path)          # a CWD glob would still find nothing
+    (tmp_path / "decoy" / "img").mkdir(parents=True)  # ...except this decoy
+    skip = {"lasot_lmdb",                # require()d lmdb path raises by design
+            "synthetic_rgbt", "synthetic_rgb"}   # generated, no disk paths
+    for name in dataset_dict:
+        if name in skip:
+            continue
+        assert len(load_dataset(name)) == 0, name
