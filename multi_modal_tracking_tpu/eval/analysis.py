@@ -67,7 +67,13 @@ def extract_results(trackers: List[TrackerResults], dataset, report_name: str = 
                 err_overlap, err_center, err_center_norm, valid_frame = \
                     calc_seq_err_robust(pred_bb, anno_bb, seq.dataset, target_visible)
 
-            avg_overlap_all[seq_id, trk_id] = err_overlap[valid_frame].mean()
+            # NaN when a sequence has zero valid frames — matches the
+            # reference exactly (extract_results.py:287 does the same
+            # empty-slice mean); curves below use the full length so they
+            # stay finite
+            avg_overlap_all[seq_id, trk_id] = (
+                err_overlap[valid_frame].mean() if valid_frame.any()
+                else np.nan)
             seq_length = int(valid_frame.sum()) if exclude_invalid_frames else anno_bb.shape[0]
             if seq_length <= 0:
                 raise ValueError("Seq length zero")
@@ -150,9 +156,12 @@ def generate_formatted_report(row_labels: Seq[str], scores: dict,
 
 
 def print_results(trackers: List[TrackerResults], dataset, report_name: str = "report",
-                  **kwargs) -> dict:
-    """Extract + print the metric table; returns the scores dict."""
-    eval_data = extract_results(trackers, dataset, report_name, **kwargs)
+                  eval_data: dict = None, **kwargs) -> dict:
+    """Extract + print the metric table; returns the scores dict.
+    Pass `eval_data` (a prior extract_results return) to skip re-reading
+    and re-scoring every result file."""
+    if eval_data is None:
+        eval_data = extract_results(trackers, dataset, report_name, **kwargs)
     scores = compute_scores(eval_data)
     print(f"\nReport: {report_name}, {int(eval_data['valid_sequence'].sum())} / "
           f"{len(eval_data['sequences'])} sequences")
@@ -161,9 +170,11 @@ def print_results(trackers: List[TrackerResults], dataset, report_name: str = "r
 
 
 def print_per_sequence_results(trackers: List[TrackerResults], dataset,
-                               report_name: str = "report", **kwargs):
+                               report_name: str = "report",
+                               eval_data: dict = None, **kwargs):
     """Per-sequence average-overlap table (plot_results.py:530+)."""
-    eval_data = extract_results(trackers, dataset, report_name, **kwargs)
+    if eval_data is None:
+        eval_data = extract_results(trackers, dataset, report_name, **kwargs)
     avg = eval_data["avg_overlap_all"] * 100.0
     names = eval_data["sequences"]
     width = max(len(n) for n in names) + 3
@@ -195,7 +206,8 @@ _PLOT_LABELS = {
 
 def plot_results(trackers: List[TrackerResults], dataset, report_name: str = "report",
                  plot_types=("success", "prec", "norm_prec"),
-                 result_plot_path: str = "plots", language: str = "en", **kwargs):
+                 result_plot_path: str = "plots", language: str = "en",
+                 eval_data: dict = None, **kwargs):
     """Success / precision / normalized-precision plots
     (plot_results.py:243-336; language="cn" reproduces plot_results_cn.py).
     Saved as pdf+png per plot type."""
@@ -203,8 +215,10 @@ def plot_results(trackers: List[TrackerResults], dataset, report_name: str = "re
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    eval_data = extract_results(trackers, dataset, report_name,
-                                result_plot_path=result_plot_path, **kwargs)
+    if eval_data is None:
+        eval_data = extract_results(trackers, dataset, report_name,
+                                    result_plot_path=result_plot_path,
+                                    **kwargs)
     scores = compute_scores(eval_data)
     os.makedirs(result_plot_path, exist_ok=True)
 

@@ -330,6 +330,8 @@ class TNL2kDataset(_SimpleSeqDataset):
 
     def __init__(self):
         from multi_modal_tracking_tpu.train.admin import env_settings
-        super().__init__(os.path.join(env_settings().tnl2k_dir, "test")
-                         if os.path.isdir(os.path.join(env_settings().tnl2k_dir, "test"))
-                         else env_settings().tnl2k_dir)
+        root = env_settings().tnl2k_dir
+        # unconfigured root must stay '' — os.path.join('', 'test') would be
+        # the CWD-relative 'test' and could glob arbitrary local files
+        sub = os.path.join(root, "test") if root else ""
+        super().__init__(sub if sub and os.path.isdir(sub) else root)

@@ -47,12 +47,12 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
         lead = 2 if is_rgbt_script(script) else 1
         t = jnp.zeros((lead, ts, ts, 3), jnp.float32)
         s = jnp.zeros((lead, ss, ss, 3), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
         if params.checkpoint:
             from multi_modal_tracking_tpu.utils.checkpoint import load_variables
-            variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
             variables = load_variables(params.checkpoint, variables)
-        else:
-            variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+        # no checkpoint -> the tracker runs randomly-initialised weights
+        # (fixture/smoke use); real evals always resolve params.checkpoint
 
     if dtype == jnp.bfloat16:
         # params get cast to the compute dtype at every use; pre-casting is
@@ -86,6 +86,12 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
                        max_score_decay=online_size_decay(cfg)[1], **common)
         cls = RGBTCachedTrackerJit if cached else RGBTTrackerJit
         return cls(ce_keep_rate=ce_rate, **common)
+    if mode == "RGBT":
+        # the bimodal default reaching a unimodal script means the caller
+        # didn't pick a modality: run the natural RGB path (the unimodal
+        # classes raise on anything outside RGB | TIR | Prompt, so a stray
+        # 'RGBT' can no longer silently fall through to the Prompt blend)
+        mode = "RGB"
     if online:
         size, decay = online_size_decay(cfg, dataset_name)
         return OnlineTrackerJit(mode=mode, online_size=size,

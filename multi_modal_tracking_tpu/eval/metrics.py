@@ -87,10 +87,16 @@ def calc_seq_err_robust(pred_bb: np.ndarray, anno_bb: np.ndarray, dataset: str,
     err_center_norm = calc_err_center(pred_bb, anno_bb, normalized=True)
     err_overlap = calc_iou_overlap(pred_bb, anno_bb)
 
+    # Reference quirk kept for metric parity (extract_results.py:90-95 with
+    # analysis thresholds `err <= t`): the -1.0 invalid markers count as
+    # precision/norm-precision HITS (uav pixel precision, every dataset's
+    # norm precision) while -1.0 overlap counts as a success MISS.
     err_center[~valid] = -1.0 if dataset == "uav" else np.inf
     err_center_norm[~valid] = -1.0
     err_overlap[~valid] = -1.0
-    if dataset == "lasot":
+    if dataset == "lasot" and target_visible is not None:
+        # the reference would ~None-crash here; real LaSOT sequences always
+        # carry visibility, so guarding changes nothing on the benchmark
         err_center_norm[~target_visible] = np.inf
         err_center[~target_visible] = np.inf
     if np.isnan(err_overlap).any():

@@ -16,7 +16,8 @@ def transform_got10k(results_dir: str, out_dir: str, tracker_name: str) -> str:
     """<results>/<seq>.txt + <seq>_time.txt -> GOT-10k server zip:
     one folder per sequence with <seq>_001.txt (comma boxes) + <seq>_time.txt."""
     seq_names = sorted(f[:-4] for f in os.listdir(results_dir)
-                       if f.endswith(".txt") and not f.endswith("_time.txt"))
+                       if f.endswith(".txt")
+                       and not f.endswith(("_time.txt", "_score.txt")))
     stage = os.path.join(out_dir, tracker_name)
     os.makedirs(stage, exist_ok=True)
     for name in seq_names:
@@ -37,7 +38,8 @@ def transform_trackingnet(results_dir: str, out_dir: str, tracker_name: str) -> 
     """<results>/<seq>.txt -> TrackingNet server zip: flat <seq>.txt with
     comma-separated boxes."""
     seq_names = sorted(f[:-4] for f in os.listdir(results_dir)
-                       if f.endswith(".txt") and not f.endswith("_time.txt"))
+                       if f.endswith(".txt")
+                       and not f.endswith(("_time.txt", "_score.txt")))
     stage = os.path.join(out_dir, tracker_name)
     os.makedirs(stage, exist_ok=True)
     for name in seq_names:

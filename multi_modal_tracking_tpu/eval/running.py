@@ -98,15 +98,19 @@ class _Prefetcher:
         self.t.start()
 
     def _work(self):
-        for lo in range(self.start, self.n, self.chunk):
-            hi = min(lo + self.chunk, self.n)
-            frames = [_load_frame(self.seq, k) for k in range(lo, hi)]
-            if isinstance(self.seq, RGBTSequence):
-                fv = np.stack([f[0] for f in frames])
-                fi = np.stack([f[1] for f in frames])
-                self.q.put((lo, hi, fv, fi))
-            else:
-                self.q.put((lo, hi, np.stack(frames), None))
+        try:
+            for lo in range(self.start, self.n, self.chunk):
+                hi = min(lo + self.chunk, self.n)
+                frames = [_load_frame(self.seq, k) for k in range(lo, hi)]
+                if isinstance(self.seq, RGBTSequence):
+                    fv = np.stack([f[0] for f in frames])
+                    fi = np.stack([f[1] for f in frames])
+                    self.q.put((lo, hi, fv, fi))
+                else:
+                    self.q.put((lo, hi, np.stack(frames), None))
+        except BaseException as e:      # surface decode/IO errors to the
+            self.q.put(e)               # consumer instead of hanging it on
+            return                      # a sentinel that never arrives
         self.q.put(None)
 
     def __iter__(self):
@@ -114,6 +118,8 @@ class _Prefetcher:
             item = self.q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -144,7 +144,6 @@ def dump_search_features(trackers: Dict[str, object], image, info: dict,
         tr.initialize(image, info)
         st = tr._state
         t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
-        s_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
         out = tr.model.apply(tr.variables, t_vi, t_vi, _search_crop(tr, image),
                              None, return_features=True)
         panels = [feature_panel(np.asarray(out[k][0], np.float32))

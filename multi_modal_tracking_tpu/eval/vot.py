@@ -124,7 +124,11 @@ def run_vot_exp(script: str, training_yaml: Optional[str] = None,
     handle = VOTClient(channels=channels, server=server)
     if tracker is None:
         params = get_parameters(script, training_yaml, checkpoint=checkpoint)
-        tracker = create_tracker(params, dataset_name="VOT22RGBD")
+        # unimodal scripts need an explicit RGB mode: the unimodal tracker's
+        # default 'RGBT' string would fall through to the Prompt blend
+        # (tracking/tracker.py _frame) and corrupt color-only runs like LT
+        mode = "RGBT" if channels in ("rgbd", "rgbt") else "RGB"
+        tracker = create_tracker(params, dataset_name="VOT22RGBD", mode=mode)
         tracker.update_interval = update_interval
 
     r = handle.region()

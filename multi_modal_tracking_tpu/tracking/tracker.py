@@ -678,6 +678,9 @@ class OnlineTrackerJit:
     scan_chunk: int = 32
 
     def __post_init__(self):
+        if self.mode not in ("RGB", "TIR", "Prompt"):
+            raise ValueError(f"unimodal tracker mode {self.mode!r} "
+                             "(expected RGB | TIR | Prompt)")
         self._init_jit = {}
         self._track_jit = {}
         self._scan_jit = {}
@@ -877,6 +880,9 @@ class RGBTrackerJit:
     scan_chunk: int = 32
 
     def __post_init__(self):
+        if self.mode not in ("RGB", "TIR", "Prompt"):
+            raise ValueError(f"unimodal tracker mode {self.mode!r} "
+                             "(expected RGB | TIR | Prompt)")
         self._init_jit = {}
         self._track_jit = {}
         self._scan_jit = {}

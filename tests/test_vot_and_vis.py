@@ -227,3 +227,44 @@ def test_dump_attention_maps_cached_tracker(tmp_path):
     tr.initialize([fv, fi], {"init_bbox": [40.0, 30.0, 30.0, 24.0]})
     paths = dump_attention_maps(tr, [fv, fi], str(tmp_path / "attn_cached"))
     assert len(paths) == 1 and os.path.getsize(paths[0]) > 0
+
+
+def test_run_vot_exp_builds_unimodal_tracker_in_rgb_mode(tmp_path, monkeypatch):
+    """Color-only VOT entries must build unimodal trackers with mode='RGB':
+    the bimodal default 'RGBT' used to reach OnlineTrackerJit and silently
+    fall through to the Prompt blend."""
+    from multi_modal_tracking_tpu.eval import vot as vot_mod
+
+    captured = {}
+
+    class _Stub:
+        update_interval = 25
+        def initialize(self, *a, **k): pass
+        def track(self, *a, **k):
+            return {"target_bbox": [0.0, 0.0, 1.0, 1.0], "pred_score": 1.0}
+
+    def fake_params(*a, **k):
+        return object()
+
+    def fake_create(params, dataset_name="", mode="RGBT", **k):
+        captured["mode"] = mode
+        return _Stub()
+
+    monkeypatch.setattr("multi_modal_tracking_tpu.eval.params.get_parameters",
+                        fake_params)
+    monkeypatch.setattr(
+        "multi_modal_tracking_tpu.eval.evaltracker.create_tracker", fake_create)
+
+    server = _FakeServer(str(tmp_path), n_frames=2)
+    for req in server._queue:
+        if isinstance(req.image, list):
+            req.image = req.image[0]
+    vot_mod.run_vot20_lt_exp("mixformer_vit", server=server)
+    assert captured["mode"] == "RGB"
+
+
+def test_unimodal_tracker_rejects_unknown_mode():
+    import pytest as _pytest
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTrackerJit
+    with _pytest.raises(ValueError, match="RGB | TIR | Prompt"):
+        RGBTrackerJit(model=None, variables=None, mode="RGBT")

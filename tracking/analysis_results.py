@@ -50,11 +50,17 @@ def main():
         raise SystemExit(f"no result dirs match {args.results_glob}")
 
     report = args.report_name or dataset_name
-    print_results(trackers, dataset, report)
+    # extract once; every report/plot below reuses the scored curves
+    from multi_modal_tracking_tpu.eval.analysis import extract_results
+    eval_data = extract_results(trackers, dataset, report)
+    print_results(trackers, dataset, report, eval_data=eval_data)
     if args.per_sequence:
-        print_per_sequence_results(trackers, dataset, report)
+        print_per_sequence_results(trackers, dataset, report,
+                                   eval_data=eval_data)
     if args.plot:
-        files = plot_results(trackers, dataset, report, result_plot_path=args.plot_dir)
+        files = plot_results(trackers, dataset, report,
+                             result_plot_path=args.plot_dir,
+                             eval_data=eval_data)
         print("plots:", *files, sep="\n  ")
 
 
