@@ -21,6 +21,9 @@ _DEFAULT_KEYS = [
     "llvip_dir", "m3fd_dir", "depthtrack_dir",
     "lasot_dir", "got10k_dir", "trackingnet_dir", "coco_dir", "imagenet_dir",
     "tnl2k_dir", "otb_dir", "nfs_dir", "uav_dir", "tc128_dir",
+    # lmdb twins (lib/train/dataset/*_lmdb.py adapters)
+    "lasot_lmdb_dir", "got10k_lmdb_dir", "trackingnet_lmdb_dir",
+    "coco_lmdb_dir", "imagenet_lmdb_dir",
 ]
 
 

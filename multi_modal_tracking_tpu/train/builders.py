@@ -91,10 +91,18 @@ def build_dataloaders(cfg, seed: int = 0):
             scale_jitter_factor={"template": cfg.DATA.TEMPLATE.SCALE_JITTER,
                                  "search": cfg.DATA.SEARCH.SCALE_JITTER},
             rng=rng)
+        # Multi-host: SAMPLE_PER_EPOCH is the GLOBAL per-epoch budget — each
+        # process draws its share (DistributedSampler divides by world size
+        # in the reference, base_functions.py:232). Without the split every
+        # host would run the full budget, multiplying optimizer steps per
+        # epoch by process_count and desynchronising the LR/CE epoch
+        # schedules from trainer.steps_per_epoch.
+        import jax
         sampler = TrackingSampler(
             datasets=names2datasets(split_cfg.DATASETS_NAME),
             p_datasets=split_cfg.DATASETS_RATIO,
-            samples_per_epoch=split_cfg.SAMPLE_PER_EPOCH,
+            samples_per_epoch=max(1, split_cfg.SAMPLE_PER_EPOCH
+                                  // jax.process_count()),
             max_gap=cfg.DATA.MAX_SAMPLE_INTERVAL,
             num_search_frames=1,
             num_template_frames=cfg.DATA.TEMPLATE.get("NUMBER", 1),
@@ -118,6 +126,13 @@ def build_dataloaders(cfg, seed: int = 0):
     if cfg.DATA.get("VAL") and cfg.DATA.VAL.DATASETS_NAME:
         try:
             val_loader = make(cfg.DATA.VAL, "val", False)
-        except Exception:
+        except ValueError:
+            # unknown dataset name = config typo, not a missing download
+            raise
+        except Exception as e:
+            # a val split pointing at data this machine doesn't have is
+            # common (reference behaves the same by erroring later); run
+            # without validation but say so
+            print(f"[build_dataloaders] val loader disabled: {e!r}")
             val_loader = None
     return train_loader, val_loader

@@ -178,6 +178,7 @@ class TNL2k(BaseVideoDataset):
         super().__init__("TNL2k", root, image_loader)
         self.sequence_list = sorted(
             s for s in glob.glob(os.path.join(root, "*")) if os.path.isdir(s))
+        self._frame_cache = {}
 
     def get_num_sequences(self):
         return len(self.sequence_list)
@@ -190,7 +191,13 @@ class TNL2k(BaseVideoDataset):
 
     def get_frames(self, seq_id, frame_ids, anno=None):
         seq = self.sequence_list[seq_id]
-        imgs = sorted(glob.glob(os.path.join(seq, "imgs", "*")))
+        # frame lists cached per sequence: TNL2k names frames irregularly so
+        # a sorted listing is needed, but once is enough (get_frames runs on
+        # the data-worker hot path twice per sample)
+        imgs = self._frame_cache.get(seq)
+        if imgs is None:
+            imgs = sorted(glob.glob(os.path.join(seq, "imgs", "*")))
+            self._frame_cache[seq] = imgs
         frames = [self.image_loader(imgs[f]) for f in frame_ids]
         if anno is None:
             anno = self.get_sequence_info(seq_id)

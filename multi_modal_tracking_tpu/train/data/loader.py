@@ -58,6 +58,18 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_guarded(item) -> bool:
+            # never block forever on an abandoned consumer (e.g. the NaN
+            # fail-safe abort): a plain q.put would pin this thread, the
+            # ThreadPoolExecutor scope, and prefetch+1 collated batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(self.n_batches):
@@ -71,8 +83,9 @@ class Loader:
                         import traceback
                         traceback.print_exc()
                         continue
-                    q.put(batch)
-            q.put(None)
+                    if not put_guarded(batch):
+                        return
+            put_guarded(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -84,6 +97,12 @@ class Loader:
                 yield batch
         finally:
             stop.set()
+            try:                    # unblock + free any queued batches
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
 
 
 def batch_to_model_inputs(batch: Dict[str, np.ndarray], rgbt: bool = True) -> Dict[str, np.ndarray]:
@@ -115,7 +134,10 @@ def batch_to_model_inputs(batch: Dict[str, np.ndarray], rgbt: bool = True) -> Di
         }
     if "label" in batch:
         out["labels"] = batch["label"]
-        from multi_modal_tracking_tpu.ops.boxes import box_xywh_to_xyxy
-        import jax.numpy as jnp
-        out["gt_xyxy"] = np.asarray(box_xywh_to_xyxy(jnp.asarray(out["gt_xywh"])))
+        # pure numpy: this runs in the host prefetch thread, where a jnp
+        # round-trip would cost a device dispatch + a D2H fetch per batch
+        # (and the first fetch permanently degrades uploads — CLAUDE.md)
+        xywh = np.asarray(out["gt_xywh"])
+        out["gt_xyxy"] = np.concatenate(
+            [xywh[..., :2], xywh[..., :2] + xywh[..., 2:]], axis=-1)
     return out

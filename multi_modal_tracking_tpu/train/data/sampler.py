@@ -219,20 +219,23 @@ class TrackingSampler:
                 if label == 1.0:
                     s_frames, s_anno, _ = dataset.get_frames(seq_id, s_ids, info)
                 else:
-                    if self.rng.random() < 0.5:
-                        neg_ids = self._sample_visible_ids(visible, 1, force_invisible=True)
-                        if neg_ids is not None:
-                            s_frames, s_anno, _ = dataset.get_frames(seq_id, neg_ids, info)
-                        else:
-                            s_frames, s_anno, _ = self._one_search()
-                            h, w = np.asarray(s_frames[0][0] if self.rgbt else s_frames[0]).shape[:2]
-                            s_anno = dict(s_anno)
-                            s_anno["bbox"] = [self._center_box(h, w)]
-                    else:
-                        s_frames, s_anno, _ = self._one_search()
-                        h, w = np.asarray(s_frames[0][0] if self.rgbt else s_frames[0]).shape[:2]
+                    # negatives, reference semantics (sampler_rgbt.py:159-171):
+                    # video -> prefer an invisible frame whose (garbage) anno
+                    # is REPLACED by the centred dummy box (template-frame
+                    # dims); no invisible frame / image dataset -> a random
+                    # other-sequence search with its REAL anno (the crop then
+                    # centres on a wrong object — that mismatch IS the
+                    # negative signal)
+                    neg_ids = self._sample_visible_ids(
+                        visible, 1, force_invisible=True) if is_video else None
+                    if neg_ids is not None:
+                        s_frames, s_anno, _ = dataset.get_frames(seq_id, neg_ids, info)
+                        h, w = np.asarray(t_frames[0][0] if self.rgbt
+                                          else t_frames[0]).shape[:2]
                         s_anno = dict(s_anno)
                         s_anno["bbox"] = [self._center_box(h, w)]
+                    else:
+                        s_frames, s_anno, _ = self._one_search()
                 data = {"template_images": t_frames, "template_anno": t_anno["bbox"],
                         "search_images": s_frames, "search_anno": s_anno["bbox"],
                         "dataset": dataset.get_name(), "label": np.float32(label)}

@@ -132,11 +132,19 @@ def make_epoch_schedule(cfg, steps_per_epoch: int):
         warm, total, base, mn = t.WARMUP_EPOCHS, t.EPOCH, t.LR, t.MIN_LR
 
         def fn(step):
-            e = epoch_of(step)
-            if e < warm:
-                return e / max(warm, 1)
-            cos = 0.5 * (1.0 + math.cos(math.pi * (e - warm) / max(total - warm, 1)))
-            return (mn + (base - mn) * cos) / base
+            # optax calls this with the TRACED opt-state count inside the
+            # jitted train step: jnp ops only (a python `if` would raise
+            # TracerBoolConversionError). Fractional epoch matches the
+            # reference's per-iteration MAE warmup (lr_shed.py:3-13, called
+            # with epoch + i/len(loader)) — integer epochs would hold LR at
+            # exactly 0 for the whole first epoch.
+            import jax.numpy as jnp
+            e = step / max(steps_per_epoch, 1)
+            warm_f = e / max(warm, 1)
+            cos = 0.5 * (1.0 + jnp.cos(
+                jnp.pi * (e - warm) / max(total - warm, 1)))
+            cos_f = (mn + (base - mn) * cos) / base
+            return jnp.where(e < warm, warm_f, cos_f)
     else:
         raise ValueError(f"Unsupported scheduler {sched_type}")
     return fn

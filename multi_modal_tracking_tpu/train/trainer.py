@@ -203,7 +203,15 @@ class Trainer:
                     bsz = inputs["gt_xywh"].shape[0]
                     if self.mesh is not None:
                         if bsz % local_devs != 0:
-                            continue          # drop ragged tail batch
+                            # the Loader yields FIXED-size batches, so an
+                            # indivisible size means every batch would be
+                            # dropped and the epoch would silently no-op —
+                            # fail loudly instead
+                            raise ValueError(
+                                f"local batch size {bsz} not divisible by "
+                                f"the {local_devs} local devices — pick "
+                                f"TRAIN.BATCH_SIZE a multiple of "
+                                f"devices x hosts")
                         inputs = shard_host_batch(inputs, self.mesh)
                     if not put_guarded((inputs, bsz)):
                         return
