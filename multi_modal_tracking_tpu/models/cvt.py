@@ -35,7 +35,8 @@ import flax.linen as nn
 
 from multi_modal_tracking_tpu.models.layers import DropPath
 from multi_modal_tracking_tpu.models.score_decoder import ScoreDecoder
-from multi_modal_tracking_tpu.ops.boxes import box_xyxy_to_cxcywh
+from multi_modal_tracking_tpu.ops.boxes import (box_cxcywh_to_xyxy,
+                                                 box_xyxy_to_cxcywh)
 
 
 def quick_gelu(x):
@@ -43,20 +44,8 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _heads(x, num_heads):
-    B, N, C = x.shape
-    return x.reshape(B, N, num_heads, C // num_heads).transpose(0, 2, 1, 3)
-
-
-def _merge(x):
-    B, H, N, D = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
-
-
-def _attend(q, k, v, scale):
-    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+# shared attention helpers — single definition for every model family
+from multi_modal_tracking_tpu.models.vit import _attend, _heads, _merge  # noqa: E402
 
 
 class FrozenBatchNorm(nn.Module):
@@ -422,7 +411,7 @@ class MixFormerCvT(nn.Module):
         out = self._head(s, train)
         if self.with_score and run_score_head:
             boxes = gt_bboxes if gt_bboxes is not None else \
-                jax.lax.stop_gradient(_cxcywh_to_xyxy_flat(out["pred_boxes"]))
+                jax.lax.stop_gradient(box_cxcywh_to_xyxy(out["pred_boxes"].reshape(-1, 4)))
             out["pred_scores"] = self.score_head(s, t, boxes)
         return out
 
@@ -442,7 +431,7 @@ class MixFormerCvT(nn.Module):
             s = stage.forward_test(s, mem)
         out = self._head(s, False)
         if self.with_score and run_score_head:
-            boxes = jax.lax.stop_gradient(_cxcywh_to_xyxy_flat(out["pred_boxes"]))
+            boxes = jax.lax.stop_gradient(box_cxcywh_to_xyxy(out["pred_boxes"].reshape(-1, 4)))
             out["pred_scores"] = self.score_head(s, cache["template"], boxes)
         return out
 
@@ -451,12 +440,6 @@ class MixFormerCvT(nn.Module):
         xyxy = self.box_head(s, train=train)
         coord = box_xyxy_to_cxcywh(xyxy).reshape(B, 1, 4)
         return {"pred_boxes": coord}
-
-
-def _cxcywh_to_xyxy_flat(boxes):
-    b = boxes.reshape(-1, 4)
-    cx, cy, w, h = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
-    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=1)
 
 
 def build_box_head_cvt(spec: CvTSpec, feat_sz: int, axis_name, dtype):

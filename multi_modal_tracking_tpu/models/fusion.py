@@ -324,7 +324,13 @@ class DeformConvFusion(nn.Module):
                       bias_init=nn.initializers.zeros,
                       dtype=self.dtype, name="fusion_offset")(x)
         o1, o2, mask = jnp.split(raw, 3, axis=-1)
-        offset = jnp.stack([o1, o2], axis=-1).reshape(*o1.shape[:-1], -1)
+        # reference semantics (fusion_utils.py:56-57 + the mmcv kernel):
+        # offset = cat(o1, o2) where the kernel reads each deform group's
+        # 2*kh*kw slice as per-tap interleaved (dy, dx) pairs — with dg=2,
+        # o1 IS group 0's interleaved pairs and o2 group 1's. Interleaving
+        # o1/o2 (treating them as all-dy/all-dx) would scramble converted
+        # fusion_offset weights across y/x and groups.
+        offset = jnp.concatenate([o1, o2], axis=-1)
         mask = jax.nn.sigmoid(mask)
         w = self.param("fusion_kernel", nn.initializers.he_normal(),
                        (k, k, cin, self.out_channels))

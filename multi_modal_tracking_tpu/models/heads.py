@@ -163,22 +163,3 @@ class MLPHead(nn.Module):
         return x
 
 
-def build_box_head(cfg, axis_name: Optional[str] = None, dtype=jnp.float32):
-    """Head factory mirroring reference build_box_head (head.py:235-258)."""
-    head_type = cfg.MODEL.HEAD_TYPE
-    if head_type == "MLP":
-        return MLPHead(cfg.MODEL.HIDDEN_DIM, 4, 3, dtype=dtype)
-    if "CORNER" in head_type:
-        channel = getattr(cfg.MODEL, "HEAD_DIM", 384)
-        freeze_bn = getattr(cfg.MODEL, "HEAD_FREEZE_BN", False)
-        if head_type == "CORNER":
-            stride = 16
-            return CornerPredictor(channel=channel, feat_sz=cfg.DATA.SEARCH.SIZE // stride,
-                                   stride=stride, freeze_bn=freeze_bn, axis_name=axis_name,
-                                   dtype=dtype)
-        if head_type == "CORNER_UP":
-            stride = 4
-            return PyramidCornerPredictor(channel=channel, feat_sz=cfg.DATA.SEARCH.SIZE // stride,
-                                          stride=stride, freeze_bn=freeze_bn, axis_name=axis_name,
-                                          dtype=dtype)
-    raise ValueError(f"HEAD TYPE {head_type} is not supported.")

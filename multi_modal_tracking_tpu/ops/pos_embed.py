@@ -27,13 +27,19 @@ def _sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
 
 
 def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False) -> np.ndarray:
-    """[grid_size**2, embed_dim] fixed sin-cos embedding (h-half then w-half)."""
+    """[grid_size**2, embed_dim] fixed sin-cos embedding, w-half THEN h-half.
+
+    Channel order matters for converted checkpoints: the reference's MAE
+    pos_utils does `grid = np.meshgrid(grid_w, grid_h)` then feeds grid[0]
+    (the W-coordinate array, despite the local name `emb_h`) into the FIRST
+    half (pos_utils.py:28,42-45). Backbone weights pretrained against that
+    layout would see transposed token geometry under an [h; w] order."""
     grid_h = np.arange(grid_size, dtype=np.float32)
     grid_w = np.arange(grid_size, dtype=np.float32)
     gw, gh = np.meshgrid(grid_w, grid_h)  # w varies fastest
-    emb_h = _sincos_1d(embed_dim // 2, gh)
-    emb_w = _sincos_1d(embed_dim // 2, gw)
-    emb = np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+    emb_first = _sincos_1d(embed_dim // 2, gw)   # reference grid[0] = w
+    emb_second = _sincos_1d(embed_dim // 2, gh)  # reference grid[1] = h
+    emb = np.concatenate([emb_first, emb_second], axis=1).astype(np.float32)
     if cls_token:
         emb = np.concatenate([np.zeros([1, embed_dim], dtype=np.float32), emb], axis=0)
     return emb

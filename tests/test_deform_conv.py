@@ -150,3 +150,40 @@ def test_bimodal2_predicts_per_modal_offsets():
             == 2 * p1["sampling_offsets"]["kernel"].shape[-1])
     assert (p2["attention_weights"]["kernel"].shape[-1]
             == 2 * p1["attention_weights"]["kernel"].shape[-1])
+
+
+def test_fusion_offset_chunk_layout_matches_mmcv(monkeypatch):
+    """RGBT_Fusion_2 semantics (fusion_utils.py:56-57): offset = cat(o1, o2)
+    — with deform_groups=2, o1 IS group 0's per-tap interleaved (dy, dx)
+    pairs and o2 group 1's. Interleaving o1/o2 channelwise (all-dy/all-dx)
+    would scramble converted fusion_offset weights."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from multi_modal_tracking_tpu.models import fusion as fusion_mod
+    from multi_modal_tracking_tpu.ops import deform_conv as dc
+
+    captured = {}
+    real = dc.modulated_deform_conv2d
+
+    def spy(x, offset, mask, weight, **kw):
+        captured["offset"] = offset
+        return real(x, offset, mask, weight, **kw)
+
+    monkeypatch.setattr(dc, "modulated_deform_conv2d", spy)
+
+    fus = fusion_mod.DeformConvFusion(out_channels=8, deform_groups=2)
+    x = jnp.ones((1, 4, 4, 4), jnp.float32)
+    variables = fus.init(jax.random.PRNGKey(0), x[..., :2], x[..., 2:],
+                         train=False)
+    # bias the offset conv so raw output = [0..53] per pixel (weights are
+    # zero-init, so raw == bias everywhere)
+    bias = jnp.arange(54, dtype=jnp.float32)
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    p = variables["params"]["fusion_offset"]
+    p["bias"] = bias
+    fus.apply(variables, x[..., :2], x[..., 2:], train=False,
+              mutable=["batch_stats"])
+    off = np.asarray(captured["offset"])[0, 0, 0]
+    # reference: cat(o1, o2) = channels [0..17] then [18..35] verbatim
+    np.testing.assert_array_equal(off, np.arange(36, dtype=np.float32))

@@ -182,3 +182,23 @@ def test_convmae_cache_losslessness():
     np.testing.assert_allclose(np.asarray(fast["pred_boxes"]),
                                np.asarray(full["pred_boxes"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pos_embed_matches_reference_layout():
+    """Non-circular spec test for the MAE sin-cos layout (pos_utils.py:28,
+    42-45): the FIRST embed_dim/2 channels encode the COLUMN (w) coordinate
+    — `np.meshgrid(grid_w, grid_h)` puts the w array in grid[0], which the
+    reference feeds first despite naming it emb_h. Converted backbones were
+    trained against that order; an [h; w] layout transposes token geometry."""
+    import numpy as np
+    from multi_modal_tracking_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+
+    dim, g = 8, 4
+    emb = get_2d_sincos_pos_embed(dim, g)           # (16, 8), row-major (h, w)
+    omega = 1.0 / 10000 ** (np.arange(dim // 4) / (dim / 4.0))
+    for tok in range(g * g):
+        r, c = divmod(tok, g)
+        first = np.concatenate([np.sin(c * omega), np.cos(c * omega)])
+        second = np.concatenate([np.sin(r * omega), np.cos(r * omega)])
+        np.testing.assert_allclose(emb[tok], np.concatenate([first, second]),
+                                   atol=1e-6)
