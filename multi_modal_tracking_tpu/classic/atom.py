@@ -38,6 +38,10 @@ from multi_modal_tracking_tpu.classic.dcf import (FLAG_HARD_NEGATIVE,
                                                   localize_advanced, max2d,
                                                   subpixel_peak)
 from multi_modal_tracking_tpu.classic.augmentation import InitAugmenter
+from multi_modal_tracking_tpu.classic.common import (FLAG_NAMES as _FLAG_NAMES,
+                                                     combine_nets as _combine,
+                                                     protected_ring_insert,
+                                                     split_nets as _split)
 from multi_modal_tracking_tpu.classic.dimpnet import AtomIoUNet
 from multi_modal_tracking_tpu.classic.optimization import solve_normal_equations
 from multi_modal_tracking_tpu.models.resnet import (imagenet_preprocess,
@@ -375,31 +379,16 @@ class ATOMTracker:
         center = jnp.where(found, center, state.center)
         target_sz = jnp.where(found, target_sz, state.target_sz)
 
-        # memory insert at ring pointer
+        # gated protected-ring memory insert (classic/common.py)
         lbl_center = jnp.asarray([h / 2.0, w / 2.0]) + \
             (center - state.center) * fs * self._scale
-        # the A augmented init samples are never overwritten (pytracking's
-        # update_memory keeps all num_init_samples protected for the whole
-        # sequence); the ring wraps into slots A..M-1
-        M = self.memory_size
-        A = min(self.augmenter.num_samples, M - 1)
-        ptr = jnp.where(state.mem_ptr < M, state.mem_ptr,
-                        A + (state.mem_ptr - M) % (M - A))
-        samples = jax.lax.dynamic_update_index_in_dim(state.samples, feat[0], ptr, 0)
-        labels = jax.lax.dynamic_update_index_in_dim(
-            state.labels, self._label(lbl_center), ptr, 0)
-        # exponential forgetting (atom.py update_memory): old weights decay,
-        # the new sample enters at lr (hard-negative lr when flagged), frame 0
-        # stays anchored
-        lr = jnp.where(flag == FLAG_HARD_NEGATIVE,
-                       self.hard_negative_learning_rate, self.learning_rate)
-        weights = (state.weights * (1.0 - lr)).at[ptr].set(lr)
-        weights = weights.at[0].max(0.25)
-        # the whole insert is skipped on not-found/uncertain frames
-        samples = jnp.where(update_ok, samples, state.samples)
-        labels = jnp.where(update_ok, labels, state.labels)
-        weights = jnp.where(update_ok, weights, state.weights)
-        mem_ptr = state.mem_ptr + update_ok.astype(jnp.int32)
+        (samples, labels), weights, mem_ptr = protected_ring_insert(
+            state.mem_ptr, update_ok, flag,
+            [(state.samples, feat[0]), (state.labels, self._label(lbl_center))],
+            state.weights, memory_size=self.memory_size,
+            n_protected=min(self.augmenter.num_samples, self.memory_size - 1),
+            learning_rate=self.learning_rate,
+            hard_negative_learning_rate=self.hard_negative_learning_rate)
         new_st = ATOMState(filt=state.filt, samples=samples, labels=labels,
                            weights=weights, mem_ptr=mem_ptr,
                            center=center, target_sz=target_sz)
@@ -439,23 +428,3 @@ class ATOMTracker:
                 "pred_score": float(conf), "flag": _FLAG_NAMES[flag]}
 
 
-_FLAG_NAMES = {FLAG_NORMAL: "normal", FLAG_NOT_FOUND: "not_found",
-               FLAG_UNCERTAIN: "uncertain",
-               FLAG_HARD_NEGATIVE: "hard_negative"}
-
-
-def _combine(parts):
-    """{'backbone': vars, ...} -> one {'params'|'batch_stats': {name: ...}}
-    tree for convert_dimpnet."""
-    out = {}
-    for name, v in parts.items():
-        for coll, tree in v.items():
-            out.setdefault(coll, {})[name] = tree
-    return out
-
-
-def _split(combined, names):
-    """Inverse of _combine."""
-    return {name: {coll: combined[coll][name]
-                   for coll in combined if name in combined[coll]}
-            for name in names}

@@ -31,9 +31,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from multi_modal_tracking_tpu.classic.atom import (refine_box_iounet,
-                                                   _combine, _split,
-                                                   _FLAG_NAMES)
+from multi_modal_tracking_tpu.classic.atom import refine_box_iounet
+from multi_modal_tracking_tpu.classic.common import (FLAG_NAMES as _FLAG_NAMES,
+                                                     combine_nets as _combine,
+                                                     protected_ring_insert,
+                                                     split_nets as _split)
 from multi_modal_tracking_tpu.classic.augmentation import InitAugmenter
 from multi_modal_tracking_tpu.classic.dcf import (FLAG_HARD_NEGATIVE,
                                                   FLAG_NORMAL, FLAG_NOT_FOUND,
@@ -290,24 +292,16 @@ class DiMPTracker:
         # boosted lr on hard negatives (dimp.py:137)
         new_box = self._target_box_crop(
             target_sz, px, (center - state.center) * fs)
-        M = self.memory_size
-        A = min(self.augmenter.num_samples, M - 1)
-        ptr = jnp.where(state.mem_ptr < M, state.mem_ptr,
-                        A + (state.mem_ptr - M) % (M - A))
-        samples = jax.lax.dynamic_update_index_in_dim(
-            state.samples, clf_feat[0], ptr, 0)
-        boxes = jax.lax.dynamic_update_index_in_dim(
-            state.boxes, new_box, ptr, 0)
-        lr = jnp.where(flag == FLAG_HARD_NEGATIVE,
-                       self.hard_negative_learning_rate, self.learning_rate)
-        weights = (state.weights * (1.0 - lr)).at[ptr].set(lr)
-        weights = weights.at[0].max(0.25)
-        samples = jnp.where(update_ok, samples, state.samples)
-        boxes = jnp.where(update_ok, boxes, state.boxes)
-        weights = jnp.where(update_ok, weights, state.weights)
+        (samples, boxes), weights, mem_ptr = protected_ring_insert(
+            state.mem_ptr, update_ok, flag,
+            [(state.samples, clf_feat[0]), (state.boxes, new_box)],
+            state.weights, memory_size=self.memory_size,
+            n_protected=min(self.augmenter.num_samples, self.memory_size - 1),
+            learning_rate=self.learning_rate,
+            hard_negative_learning_rate=self.hard_negative_learning_rate)
         new_st = DiMPState(filt=state.filt, samples=samples, boxes=boxes,
                            weights=weights,
-                           mem_ptr=state.mem_ptr + update_ok.astype(jnp.int32),
+                           mem_ptr=mem_ptr,
                            center=center, target_sz=target_sz)
         return new_st, conf, flag
 

@@ -379,7 +379,16 @@ class ECOTracker:
                       prev_ind=tuple(prev), yf=tuple(yfs),
                       center=center, target_sz=target_sz)
         if not self.update_projection:
-            st = self._learn_fn(st)
+            # fixed-projection init still gets the INIT CG budget
+            # (params.init_CG_iter = init_gn_iter * init_cg_per_gn = 100,
+            # eco/default.py:25), not the 5-iteration per-update budget —
+            # a zero-seeded filter after 5 CG steps is near-flat and drifts
+            init_cg = self.init_gn_iter * self.init_cg_per_gn
+            filt = tuple(
+                self._learn_bank(f, zf, w, yf, init_cg)
+                for f, zf, w, yf in zip(st.filter_f, st.samples_f,
+                                        st.weights, st.yf))
+            st = st._replace(filter_f=filt)
         return st
 
     def _track_step_fn(self, bb_vars, state: ECOState, image: jax.Array):

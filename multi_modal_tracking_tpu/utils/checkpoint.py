@@ -51,10 +51,11 @@ def save_checkpoint(directory: str, name: str, epoch: int, state: Any,
 
 
 def latest_checkpoint(directory: str, name: str) -> Optional[str]:
-    paths = glob.glob(os.path.join(directory, f"{name}_ep*.msgpack"))
+    paths = [p for p in glob.glob(os.path.join(directory, f"{name}_ep*.msgpack"))
+             if checkpoint_epoch(p) >= 0]     # ignore non-numeric suffixes
     if not paths:
         return None
-    return max(paths, key=lambda p: int(re.search(r"_ep(\d+)\.msgpack$", p).group(1)))
+    return max(paths, key=checkpoint_epoch)
 
 
 def checkpoint_epoch(path: str) -> int:

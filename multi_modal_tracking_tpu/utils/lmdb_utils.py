@@ -45,6 +45,8 @@ def decode_img(db_path: str, key: str) -> np.ndarray:
         raise KeyError(f"{key} not in {db_path}")
     arr = np.frombuffer(buf, np.uint8)
     img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+    if img is None:    # corrupt/non-image record: name the key, not
+        raise ValueError(f"undecodable image at {key!r} in {db_path}")
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 

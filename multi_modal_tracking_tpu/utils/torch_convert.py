@@ -702,9 +702,15 @@ def convert_state_dict(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
     converted_paths = {p for p in new_flat if new_flat[p] is not flat[p]}
     report["missing"] = sorted("/".join(p) for p in flat if p not in converted_paths)
 
-    if strict and (report["skipped"] or report["shape_mismatch"]):
-        raise ValueError(f"strict conversion failed: {report['skipped'][:10]} "
-                         f"{report['shape_mismatch'][:10]}")
+    if strict and (report["skipped"] or report["shape_mismatch"]
+                   or report["missing"]):
+        # missing counts too (load_state_dict(strict=True) parity): a
+        # truncated/partial checkpoint must not run silently on random
+        # weights for the unconverted modules
+        raise ValueError(f"strict conversion failed: "
+                         f"skipped={report['skipped'][:10]} "
+                         f"shape={report['shape_mismatch'][:10]} "
+                         f"missing={report['missing'][:10]}")
     if verbose:
         print(f"torch->flax: converted {len(report['converted'])} keys, "
               f"skipped {len(report['skipped'])}, "
