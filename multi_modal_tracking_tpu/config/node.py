@@ -36,7 +36,16 @@ class CfgNode(dict):
     def to_dict(self) -> Dict[str, Any]:
         out = {}
         for k, v in self.items():
-            out[k] = v.to_dict() if isinstance(v, CfgNode) else v
+            if isinstance(v, CfgNode):
+                out[k] = v.to_dict()
+            elif isinstance(v, list):
+                # copy list leaves so clone() isolates mutations (config
+                # trees are full of list values: CE_KEEP_RATIO, DEPTH,
+                # DATASETS_NAME, UPDATE_INTERVALS entries)
+                out[k] = [x.to_dict() if isinstance(x, CfgNode) else
+                          (list(x) if isinstance(x, list) else x) for x in v]
+            else:
+                out[k] = v
         return out
 
     def merge_strict(self, other: Dict[str, Any], path: str = ""):

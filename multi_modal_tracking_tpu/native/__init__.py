@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -28,7 +29,9 @@ def _build() -> bool:
         hdr = os.path.join(_NATIVE_DIR, "src", "jet_lut.h")
         if not os.path.isfile(hdr):
             out = subprocess.run(
-                ["python3", os.path.join(_NATIVE_DIR, "gen_jet_header.py")],
+                # sys.executable, not "python3": the generator imports this
+                # repo (+ numpy), which a venv's system python may lack
+                [sys.executable, os.path.join(_NATIVE_DIR, "gen_jet_header.py")],
                 capture_output=True, text=True, cwd=_NATIVE_DIR, check=True)
             with open(hdr, "w") as f:
                 f.write(out.stdout)

@@ -128,7 +128,16 @@ class BatchedRGBTTrackerJit:
     def track_block(self, frames_v: np.ndarray, frames_i: np.ndarray,
                     valid: Optional[np.ndarray] = None, fetch: bool = True):
         """frames_*: (T, N, H, W, 3); valid: (T, N) bool (False freezes that
-        sequence's state for the frame). Returns (T, N, 4) boxes."""
+        sequence's state for the frame). Returns (T, N, 4) boxes.
+
+        `valid` must be SUFFIX-style per sequence (True...True False...False
+        — i.e. only end-of-sequence padding, as run_sequences_batched
+        builds): the cached subclasses gate their template-cache rebuild on
+        the scalar max(frame_id) cadence, which equals every live
+        sequence's own frame_id precisely because lockstep sequences only
+        ever stop at their end. An intermittent False would desynchronise
+        that sequence's frame_id from the batch leader and silently change
+        its update cadence vs sequential tracking."""
         T, N = frames_v.shape[:2]
         K = self.scan_chunk
         key = (self._shape, K, N)
@@ -137,6 +146,12 @@ class BatchedRGBTTrackerJit:
         fn = self._scan_jit[key]
         if valid is None:
             valid = np.ones((T, N), np.bool_)
+        elif isinstance(valid, np.ndarray):
+            v = valid.astype(bool)
+            if np.any(v[1:] & ~v[:-1]):
+                raise ValueError(
+                    "track_block valid mask must be suffix-style per "
+                    "sequence (no True after a False) — see docstring")
         outs = []
         st = self._state
         unimodal = frames_i is frames_v        # upload the shared stack once
@@ -482,9 +497,14 @@ def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,
         blk_i = np.empty_like(blk_v) if rgbt else blk_v   # shared: 1 upload
         ok = np.zeros((hi - lo, N), np.bool_)
         for j, s in enumerate(todo):
-            for t in range(lo, hi):
-                k = min(t, lengths[j] - 1)
-                fr = _load_frame(s, k)
+            last = None           # finished sequences pad with their final
+            for t in range(lo, hi):   # frame: decode it ONCE per block, not
+                k = min(t, lengths[j] - 1)     # once per padded timestep
+                if t >= lengths[j] and last is not None:
+                    fr = last
+                else:
+                    fr = _load_frame(s, k)
+                last = fr
                 blk_v[t - lo, j] = fr[0] if rgbt else fr
                 if rgbt:
                     blk_i[t - lo, j] = fr[1]

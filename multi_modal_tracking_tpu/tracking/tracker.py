@@ -146,8 +146,13 @@ def _put(x, dtype=None):
     round-trip; a committed put streams the bytes once at full bandwidth.
     Already-device arrays pass through untouched (np.asarray on one would be
     a full D2H fetch)."""
-    if isinstance(x, jax.Array) and (dtype is None or x.dtype == dtype):
-        return x
+    if isinstance(x, jax.Array):
+        if dtype is None or x.dtype == dtype:
+            return x
+        # dtype mismatch: cast ON DEVICE — np.asarray here would be the
+        # exact D2H fetch this helper exists to prevent (first fetch
+        # permanently degrades uploads ~20x on this transport)
+        return x.astype(dtype)
     arr = np.asarray(x, dtype) if dtype is not None else np.asarray(x)
     dev = getattr(_put_device, "dev", None)
     return jax.device_put(arr, dev if dev is not None else jax.devices()[0])
