@@ -597,7 +597,8 @@ class MixFormerRGBT(nn.Module):
             ce_template_range=sp.ce_template_range,
             remat=sp.remat, dtype=self.dtype)
         self.fusion_vi = build_fusion(sp.fusion_class, sp.embed_dim, 512,
-                                      sp.fusion_layers, dtype=self.dtype)
+                                      sp.fusion_layers, dtype=self.dtype,
+                                      axis_name=self.axis_name)
         self.box_head = _build_head_from_spec(sp, axis_name=self.axis_name, dtype=self.dtype)
         if self.with_score:
             self.score_branch = ScoreDecoder(num_heads=sp.num_heads, hidden_dim=sp.embed_dim,
@@ -668,10 +669,17 @@ class MixFormerRGBT(nn.Module):
 
 
 def _build_head_from_spec(sp: RGBTSpec, axis_name=None, dtype=jnp.float32):
-    from multi_modal_tracking_tpu.models.heads import (CornerPredictor, MLPHead,
+    from multi_modal_tracking_tpu.models.heads import (CornerPredictor,
                                                        PyramidCornerPredictor)
     if sp.head_type == "MLP":
-        return MLPHead(sp.embed_dim, 4, 3, dtype=dtype)
+        # The reference builds an MLP box head (head.py:236-239) but its
+        # forward_box_head raises KeyError for any non-CORNER head type
+        # (mixformer_cvt/mixformer.py:763) — no config uses it and there is
+        # no defined way to decode a box from it. Fail loudly at build time
+        # instead of reproducing the reference's latent forward-time crash.
+        raise NotImplementedError(
+            "HEAD_TYPE 'MLP' has no runnable forward path in the reference "
+            "(mixformer.py:763 raises KeyError); use CORNER or CORNER_UP")
     if sp.head_type == "CORNER":
         return CornerPredictor(channel=sp.head_dim, feat_sz=sp.search_size // 16, stride=16,
                                freeze_bn=sp.head_freeze_bn, axis_name=axis_name, dtype=dtype)

@@ -50,22 +50,28 @@ from multi_modal_tracking_tpu.models.vit import _attend, _heads, _merge  # noqa:
 
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with frozen statistics and affine (mixformer_cvt/utils.py
-    FrozenBatchNorm2d): a constant per-channel affine at run time."""
+    FrozenBatchNorm2d): a constant per-channel affine at run time.
+
+    All four leaves live in batch_stats, NOT params: the reference registers
+    weight/bias/running_mean/running_var as buffers, so a frozen BN's affine
+    must never receive gradients or AdamW weight decay during fine-tuning."""
     features: int
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        scale = self.variable("batch_stats", "scale",
+                              lambda: jnp.ones((self.features,), jnp.float32))
+        bias = self.variable("batch_stats", "bias",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
         mean = self.variable("batch_stats", "mean",
                              lambda: jnp.zeros((self.features,), jnp.float32))
         var = self.variable("batch_stats", "var",
                             lambda: jnp.ones((self.features,), jnp.float32))
-        w = (scale * jax.lax.rsqrt(var.value + self.epsilon)).astype(x.dtype)
-        b = (bias - mean.value * scale * jax.lax.rsqrt(var.value + self.epsilon)
-             ).astype(x.dtype)
+        inv = scale.value * jax.lax.rsqrt(var.value + self.epsilon)
+        w = inv.astype(x.dtype)
+        b = (bias.value - mean.value * inv).astype(x.dtype)
         return x * w + b
 
 

@@ -21,7 +21,7 @@ pure-XLA `ms_deform_attn` op.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -290,18 +290,28 @@ class AttentionFusionBimodal(nn.Module):
 class ConvFusion(nn.Module):
     """RGBT_Fusion_1 (fusion_utils.py:8-23): cat -> 3x3 conv-BN-ReLU x2."""
     out_channels: int = 768
+    axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+
+    def _bn(self, name, train):
+        # torch BatchNorm2d parity: momentum 0.1 (flax 0.9), eps 1e-5;
+        # axis_name syncs batch stats across the data mesh (SyncBN,
+        # train_script_mixformer.py:105) like every other BN here.
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5,
+                            axis_name=self.axis_name if train else None,
+                            dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x_v, x_i, deterministic=True, train: bool = False):
         x = jnp.concatenate([x_v, x_i], axis=-1)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                     name="fusion")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="fusion_bn")(x)
+        x = self._bn("fusion_bn", train)(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                     name="fusion2")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="fusion2_bn")(x)
+        x = self._bn("fusion2_bn", train)(x)
         return nn.relu(x)
 
 
@@ -311,7 +321,10 @@ class DeformConvFusion(nn.Module):
     2-deform-group modulated deformable conv, then conv-BN-ReLU."""
     out_channels: int = 768
     deform_groups: int = 2
+    axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+
+    _bn = ConvFusion._bn
 
     @nn.compact
     def __call__(self, x_v, x_i, deterministic=True, train: bool = False):
@@ -336,20 +349,21 @@ class DeformConvFusion(nn.Module):
                        (k, k, cin, self.out_channels))
         x = modulated_deform_conv2d(x, offset, mask, w,
                                     deform_groups=dg, padding=1)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="fusion_bn")(x)
+        x = self._bn("fusion_bn", train)(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="fusion2")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="fusion2_bn")(x)
+        x = self._bn("fusion2_bn", train)(x)
         return nn.relu(x)
 
 
 class CatConvFusion(nn.Module):
     """RGBT_Fusion_Cat ablation (fusion_utils.py:86-110): 3 conv-BN-ReLU."""
     channels: int = 768
+    axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+
+    _bn = ConvFusion._bn
 
     @nn.compact
     def __call__(self, x_v, x_i, deterministic=True, train: bool = False):
@@ -357,8 +371,7 @@ class CatConvFusion(nn.Module):
         for idx, ch in enumerate([2 * self.channels, self.channels, self.channels]):
             x = nn.Conv(ch, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                         name=f"fusion{idx + 1}")(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                             name=f"fusion{idx + 1}_bn")(x)
+            x = self._bn(f"fusion{idx + 1}_bn", train)(x)
             x = nn.relu(x)
         return x
 
@@ -366,7 +379,8 @@ class CatConvFusion(nn.Module):
 # cfg.MODEL.FUSION_CLASS name -> constructor kwargs (mirrors the reference's
 # globals()[FUSION_CLASS] dispatch, asymmetric_shared.py:418).
 def build_fusion(fusion_class: str, channels: int, d_model: int, num_encoder_layers: int,
-                 dtype=jnp.float32, name: str = "fusion_vi"):
+                 dtype=jnp.float32, name: str = "fusion_vi",
+                 axis_name: Optional[str] = None):
     table = {
         "Attention_Fusion_1": dict(ln_specific=False, mode="raw_sum", attn_type="bimodal"),
         "Attention_Fusion_512": dict(ln_specific=False, mode="cat", attn_type="normal"),
@@ -381,15 +395,17 @@ def build_fusion(fusion_class: str, channels: int, d_model: int, num_encoder_lay
                                       num_encoder_layers=num_encoder_layers,
                                       dtype=dtype, name=name, **table[fusion_class])
     if fusion_class == "RGBT_Fusion_1":
-        return ConvFusion(out_channels=channels, dtype=dtype, name=name)
+        return ConvFusion(out_channels=channels, axis_name=axis_name,
+                          dtype=dtype, name=name)
     if fusion_class == "RGBT_Fusion_2":
         return DeformConvFusion(out_channels=channels, deform_groups=2,
-                                dtype=dtype, name=name)
+                                axis_name=axis_name, dtype=dtype, name=name)
     if fusion_class == "RGBT_Fusion_3":
         # Pack variant (fusion_utils.py:65-83): same modulated deformable
         # conv with internally predicted offsets, deform_groups=1.
         return DeformConvFusion(out_channels=channels, deform_groups=1,
-                                dtype=dtype, name=name)
+                                axis_name=axis_name, dtype=dtype, name=name)
     if fusion_class == "RGBT_Fusion_Cat":
-        return CatConvFusion(channels=channels, dtype=dtype, name=name)
+        return CatConvFusion(channels=channels, axis_name=axis_name,
+                             dtype=dtype, name=name)
     raise ValueError(f"Unknown FUSION_CLASS {fusion_class}")

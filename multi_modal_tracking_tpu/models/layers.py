@@ -84,14 +84,18 @@ class ConvBNRelu(nn.Module):
         x = nn.Conv(self.features, kernel_size=(k, k), padding=k // 2, use_bias=True,
                     dtype=self.dtype, name="conv")(x)
         if self.frozen:
-            scale = self.param("bn_scale", nn.initializers.ones, (self.features,))
-            bias = self.param("bn_bias", nn.initializers.zeros, (self.features,))
+            # buffers, not params (reference FrozenBatchNorm2d): the affine
+            # must not be trained or weight-decayed while "frozen"
+            scale = self.variable("batch_stats", "bn_scale",
+                                  lambda: jnp.ones((self.features,), jnp.float32))
+            bias = self.variable("batch_stats", "bn_bias",
+                                 lambda: jnp.zeros((self.features,), jnp.float32))
             mean = self.variable("batch_stats", "bn_mean",
                                  lambda: jnp.zeros((self.features,), jnp.float32))
             var = self.variable("batch_stats", "bn_var",
                                 lambda: jnp.ones((self.features,), jnp.float32))
-            inv = scale * jax.lax.rsqrt(var.value + 1e-5)
-            x = x * inv.astype(x.dtype) + (bias - mean.value * inv).astype(x.dtype)
+            inv = scale.value * jax.lax.rsqrt(var.value + 1e-5)
+            x = x * inv.astype(x.dtype) + (bias.value - mean.value * inv).astype(x.dtype)
         else:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              axis_name=self.axis_name if train else None,

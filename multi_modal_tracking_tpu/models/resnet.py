@@ -121,13 +121,8 @@ class ResNet(nn.Module):
 # torchvision/pytracking input statistics: every published ResNet checkpoint
 # was trained on (x/255 - mean)/std inputs (pytracking
 # features/deep.py NetWithBackbone.preprocess_image, ltr Normalize transform)
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
-
-
-def imagenet_preprocess(x255: jax.Array) -> jax.Array:
-    """(..., H, W, 3) uint8-range floats -> ImageNet-normalised floats."""
-    return (x255.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+# — the same stats the tracking loop uses; single definition in ops/crop.py.
+from multi_modal_tracking_tpu.ops.crop import normalize_imagenet as imagenet_preprocess  # noqa: E402,F401
 
 
 def resnet18(dtype=jnp.float32) -> ResNet:

@@ -66,8 +66,9 @@ class MixedAttention(nn.Module):
     def __call__(self, x: jax.Array, n_mt: int) -> jax.Array:
         """x: (B, n_mt + n_s, C); templates attend within templates only.
 
-        Dispatches to the fused Pallas kernel on TPU (ops/attention.py) —
-        mask+softmax+both matmuls in VMEM, no N^2 HBM round-trip."""
+        ops/attention.py runs the XLA two-call decomposition by default; the
+        fused Pallas kernel exists but is explicit opt-in only (measured
+        slower at flagship shapes — see use_pallas_default there)."""
         from multi_modal_tracking_tpu.ops.attention import mixed_attention
         B, N, C = x.shape
         q, k, v = self._qkv(x)

@@ -156,7 +156,8 @@ class MixFormerViTRGBT(nn.Module):
         else:
             raise ValueError(self.spec.variant)
         self.fusion_vi = build_fusion(sp.fusion_class, sp.embed_dim, 512,
-                                      sp.fusion_layers, dtype=self.dtype)
+                                      sp.fusion_layers, dtype=self.dtype,
+                                      axis_name=self.axis_name)
         self.box_head = _build_head_from_spec(sp, axis_name=self.axis_name,
                                               dtype=self.dtype)
         if self.with_score:

@@ -50,7 +50,11 @@ def apply_jet(img: jax.Array) -> jax.Array:
     where the gather lowering could not fuse and serialised on TPU.
     """
     if img.ndim >= 3 and img.shape[-1] == 3:
-        xi = img.astype(jnp.int32)
+        # Round float channels to the nearest integer BEFORE cv2's BGR2GRAY
+        # fixed-point combine (the uint8 frame the reference feeds holds
+        # rounded values; truncation here would disagree with the 1-channel
+        # branch by a full JET step on interpolated inputs like 100.7).
+        xi = jnp.round(img.astype(jnp.float32)).astype(jnp.int32)
         idx = (9798 * xi[..., 2] + 19235 * xi[..., 1] + 3735 * xi[..., 0] + 16384) >> 15
     else:
         idx = jnp.round(img.astype(jnp.float32)).astype(jnp.int32)

@@ -110,16 +110,22 @@ def _convbn_leaf(tower: str, stage: str, sub: str, leaf: str, frozen_bn: bool):
     if sub == "0":                      # conv
         tf = _conv if leaf == "weight" else None
         return ("params", (tower, stage, "conv", "kernel" if leaf == "weight" else "bias"), tf)
-    # BN (sequential index 1)
-    if frozen_bn:
-        name = {"weight": "bn_scale", "bias": "bn_bias",
-                "running_mean": "bn_mean", "running_var": "bn_var"}[leaf]
-        coll = "params" if leaf in ("weight", "bias") else "batch_stats"
-        return (coll, (tower, stage, name), None)
+    # BN (sequential index 1). Candidate list covers both flax layouts —
+    # frozen (ConvBNRelu: bn_{scale,bias,mean,var} buffers at the stage
+    # level, ALL in batch_stats since the reference keeps them as
+    # non-trainable buffers) and regular (nn.BatchNorm "bn" submodule) —
+    # and convert_state_dict picks whichever exists in the target model,
+    # so the frozen_bn flag is only a tie-break hint, never load-bearing.
+    del frozen_bn
     if leaf in ("weight", "bias"):
-        return ("params", (tower, stage, "bn", "scale" if leaf == "weight" else "bias"), None)
-    return ("batch_stats", (tower, stage, "bn",
-                            "mean" if leaf == "running_mean" else "var"), None)
+        name = "bn_scale" if leaf == "weight" else "bn_bias"
+        sub = "scale" if leaf == "weight" else "bias"
+        return [("batch_stats", (tower, stage, name), None),
+                ("params", (tower, stage, "bn", sub), None)]
+    name = "bn_mean" if leaf == "running_mean" else "bn_var"
+    sub = "mean" if leaf == "running_mean" else "var"
+    return [("batch_stats", (tower, stage, name), None),
+            ("batch_stats", (tower, stage, "bn", sub), None)]
 
 
 def _map_head_key(rest: str, frozen_bn: bool):
@@ -366,24 +372,28 @@ def map_torch_key(key: str, frozen_head_bn: bool = False):
                 # flax MixFormerCvT holds stage{i} at the top level (no
                 # backbone submodule); the ViT/ConvMAE families nest under
                 # `backbone`. Offer both paths; the first that exists wins.
-                return [(r[0], (bb,) + r[1], r[2]), (r[0], r[1], r[2])]
+                cands = r if isinstance(r, list) else [r]
+                return ([(c, (bb,) + p, t) for c, p, t in cands]
+                        + [(c, p, t) for c, p, t in cands])
             return None
     if key.startswith("box_head."):
         r = _map_head_key(key[len("box_head."):], frozen_head_bn)
+        if isinstance(r, list):
+            return [(c, ("box_head",) + p, t) for c, p, t in r]
         if r:
-            return (r[0], ("box_head",) + r[1], r[2])
+            return _prefix_map(("box_head",), r)
         return None
     if key.startswith("fusion_vi."):
         r = _map_fusion_key(key[len("fusion_vi."):])
         if isinstance(r, list):
             return [(c[0], ("fusion_vi",) + c[1], c[2]) for c in r]
         if r:
-            return (r[0], ("fusion_vi",) + r[1], r[2])
+            return _prefix_map(("fusion_vi",), r)
         return None
     if key.startswith("score_branch."):
         r = _map_score_key(key[len("score_branch."):])
         if r:
-            return (r[0], ("score_branch",) + r[1], r[2])
+            return _prefix_map(("score_branch",), r)
         return None
     return None
 
@@ -397,12 +407,28 @@ def _squeeze_1x1(v):  # (O, I, 1, 1) conv used as a Dense -> kernel (I, O)
 
 
 def _bn_leaf(prefix: tuple, leaf: str):
-    """FrozenBatchNorm leaves: weight/bias -> params scale/bias,
-    running_mean/var -> batch_stats mean/var."""
+    """BatchNorm leaves. weight/bias get candidates for both flax layouts —
+    FrozenBatchNorm keeps scale/bias in batch_stats (reference
+    FrozenBatchNorm2d registers them as buffers, never trained), regular
+    nn.BatchNorm keeps them in params — and convert_state_dict's existence
+    check picks whichever the target model actually has. running_mean/var
+    are batch_stats mean/var in both layouts."""
+    name = {"weight": "scale", "bias": "bias",
+            "running_mean": "mean", "running_var": "var"}[leaf]
     if leaf in ("weight", "bias"):
-        return ("params", prefix + ("scale" if leaf == "weight" else "bias",), None)
-    return ("batch_stats",
-            prefix + ("mean" if leaf == "running_mean" else "var",), None)
+        return [("batch_stats", prefix + (name,), None),
+                ("params", prefix + (name,), None)]
+    return ("batch_stats", prefix + (name,), None)
+
+
+def _prefix_map(pre: tuple, r):
+    """Prefix a mapper result's flax path(s); handles tuple, candidate list,
+    None and IGNORE."""
+    if r is None or r is IGNORE:
+        return r
+    if isinstance(r, list):
+        return [(c, pre + p, t) for c, p, t in r]
+    return (r[0], pre + r[1], r[2])
 
 
 #: Sentinel for keys that are INTENTIONALLY absent from the flax model
@@ -508,13 +534,13 @@ def map_alpha_refine_key(key: str):
         r = map_resnet_key(key[len("feature_extractor."):])
         if r is None or r is IGNORE:
             return r
-        return (r[0], ("feature_extractor",) + r[1], r[2])
+        return _prefix_map(("feature_extractor",), r)
     if key.startswith("neck."):
         r = _map_corrnl_key(key[len("neck."):])
-        return (r[0], ("neck",) + r[1], r[2]) if r else None
+        return _prefix_map(("neck",), r) if r else None
     if key.startswith("refiner."):
         r = _map_seg_head_key(key[len("refiner."):])
-        return (r[0], ("refiner",) + r[1], r[2]) if r else None
+        return _prefix_map(("refiner",), r) if r else None
     return None
 
 
@@ -535,7 +561,7 @@ def convert_resnet(sd: Dict[str, np.ndarray], variables: Dict[str, Any],
         r = map_resnet_key(k)
         if r is None or r is IGNORE:
             return r
-        return (r[0], prefix + r[1], r[2])
+        return _prefix_map(prefix, r)
     return convert_state_dict(sd, variables, strict=strict, verbose=verbose,
                               key_mapper=mapper)
 
@@ -634,13 +660,13 @@ def map_dimpnet_key(key: str):
         r = map_resnet_key(key[len("feature_extractor."):])
         if r is None or r is IGNORE:
             return r
-        return (r[0], ("backbone",) + r[1], r[2])
+        return _prefix_map(("backbone",), r)
     if key.startswith("classifier."):
         r = map_dimp_classifier_key(key[len("classifier."):])
-        return (r[0], ("classifier",) + r[1], r[2]) if r else None
+        return _prefix_map(("classifier",), r) if r else None
     if key.startswith("bb_regressor."):
         r = map_atom_iou_key(key[len("bb_regressor."):])
-        return (r[0], ("bb_regressor",) + r[1], r[2]) if r else None
+        return _prefix_map(("bb_regressor",), r) if r else None
     return None
 
 
