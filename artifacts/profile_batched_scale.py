@@ -79,6 +79,9 @@ def main():
         times = []
         for _ in range(3):
             tr.initialize(f0v, f0i, boxes0)
+            jax.block_until_ready(tr._state)   # init is async: a full
+            # forward x B executes on device; timing before it drains
+            # charges init to the scan (x B contamination)
             t0 = time.perf_counter()
             pend = tr.track_block(dv, di, fetch=False)
             np.asarray(pend[-1])

@@ -9,10 +9,14 @@ blocks 3/6/9 @ keep 0.7, 6-layer deformable-attention fusion, corner head;
      update, chained over a 384-frame clip in one lax.scan dispatch. The
      reference measures the same loop per-sequence
      (lib/test/evaluation/running.py:191, fps.py).
-  2. batched lockstep eval (tracking/batched.py): 16 sequences tracked in
+  2. batched lockstep eval (tracking/batched.py): 8 sequences tracked in
      one vmapped scan through the cached-template fast path — the TPU answer
      to the reference's process-per-GPU eval pool (running.py:134-141),
-     reported as frames/s/chip.
+     reported as frames/s/chip. B=8 x T=48 measured optimal on the batch
+     sweep (artifacts/profile_batched_scale.py, 2026-08-19: 671/650/610/552
+     f/s at B=8/16/32/64, 384 frames each); unlike the old B=16 x 24 window
+     it also spans one interval-25 template rebuild, so the number includes
+     the update cost real eval pays.
   3. train step (B=16, bf16 compute / f32 params, CE keep 0.7): samples/s
      and MFU from XLA cost_analysis FLOPs vs the v5e bf16 peak.
 
@@ -50,7 +54,7 @@ FRAME_H, FRAME_W = 512, 640
 # ~2500 frames, LasHeR ~600). 384 frames approximates that steady state while
 # keeping the uploaded clip within the RPC proxy's request limits.
 N_FRAMES = 384
-BATCH_SEQS, BATCH_T = 16, 24          # 16 sequences x 24 frames = 384 frames
+BATCH_SEQS, BATCH_T = 8, 48           # 8 sequences x 48 frames = 384 frames
 TRAIN_B, TRAIN_STEPS = 16, 8
 
 
