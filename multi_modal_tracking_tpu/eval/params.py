@@ -86,10 +86,24 @@ def get_parameters(script: str, training_yaml: Optional[str] = None,
 
 
 def update_interval_for(cfg, dataset_name: str, default: int = 200) -> int:
-    """Per-dataset template update interval (experiments/tracking.yaml)."""
+    """Per-dataset template update interval (experiments/tracking.yaml).
+
+    Falls back to cfg.DATA.MAX_SAMPLE_INTERVAL when the dataset has no
+    entry, as the reference does (lib/test/tracker/asymmetric_shared_ce.py:43-46;
+    its value is a 1-element list in every config, e.g.
+    lib/config/asymmetric_shared_ce/config.py:64).
+    """
     key = dataset_name.upper()
     intervals = cfg.TEST.UPDATE_INTERVALS
     iv = intervals.get(key) if hasattr(intervals, "get") else getattr(intervals, key, None)
     if iv is None:
+        data = getattr(cfg, "DATA", None)
+        iv = getattr(data, "MAX_SAMPLE_INTERVAL", None) if data is not None else None
+    if iv is None:
         return default
-    return iv[0] if isinstance(iv, (list, tuple)) else int(iv)
+    iv = int(iv[0]) if isinstance(iv, (list, tuple)) else int(iv)
+    # tracking.yaml sets MAX_SAMPLE_INTERVAL to 10**18 = "never update the
+    # online template" for unlisted datasets; the jitted loops take the
+    # interval as `frame_id % interval` on int32 frame counters, so clamp to
+    # the int32 max (an update at frame 2,147,483,647 is still "never").
+    return min(iv, 2**31 - 1)

@@ -240,3 +240,29 @@ def test_read_depth_as_rgb_reference_semantics(tmp_path):
     # train/eval agree
     _, train_dp = normalized_depth_pair(cp, p)
     np.testing.assert_array_equal(got, train_dp)
+
+
+def test_update_interval_fallback_reads_max_sample_interval():
+    """Datasets without an UPDATE_INTERVALS entry fall back to
+    cfg.DATA.MAX_SAMPLE_INTERVAL, as the reference tracker does
+    (lib/test/tracker/asymmetric_shared_ce.py:43-46)."""
+    from multi_modal_tracking_tpu.eval.params import (
+        get_parameters, update_interval_for)
+
+    p = get_parameters("asymmetric_shared_ce", tracking_yaml=None)
+    # listed dataset uses its entry
+    assert update_interval_for(p.cfg, "lasher") == int(
+        p.cfg.TEST.UPDATE_INTERVALS.LASHER[0])
+    # unlisted dataset -> DATA.MAX_SAMPLE_INTERVAL (a 1-element list)
+    want = p.cfg.DATA.MAX_SAMPLE_INTERVAL
+    want = int(want[0]) if isinstance(want, (list, tuple)) else int(want)
+    assert update_interval_for(p.cfg, "no_such_dataset") == min(want, 2**31 - 1)
+
+    # with the tracking.yaml overlay (the RGBT default) MAX_SAMPLE_INTERVAL
+    # is 10**18 = "never update"; the returned interval must stay int32-safe
+    # for the jitted frame_id % interval (OverflowError otherwise)
+    po = get_parameters("asymmetric_shared_ce")
+    iv = update_interval_for(po.cfg, "no_such_dataset")
+    assert iv == 2**31 - 1
+    import jax.numpy as jnp
+    assert not bool((jnp.int32(7) % iv) == 0)
