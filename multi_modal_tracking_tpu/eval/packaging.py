@@ -24,12 +24,13 @@ def transform_got10k(results_dir: str, out_dir: str, tracker_name: str) -> str:
         boxes = np.loadtxt(os.path.join(results_dir, f"{name}.txt"), delimiter="\t")
         seq_dir = os.path.join(stage, name)
         os.makedirs(seq_dir, exist_ok=True)
-        np.savetxt(os.path.join(seq_dir, f"{name}_001.txt"), boxes,
-                   fmt="%.4f", delimiter=",")
+        # integer boxes, comma-separated (transform_got10k.py:28-29)
+        np.savetxt(os.path.join(seq_dir, f"{name}_001.txt"),
+                   np.asarray(boxes, np.int64), fmt="%d", delimiter=",")
         time_file = os.path.join(results_dir, f"{name}_time.txt")
         if os.path.isfile(time_file):
-            times = np.loadtxt(time_file)
-            np.savetxt(os.path.join(seq_dir, f"{name}_time.txt"), times, fmt="%.8f")
+            # the reference copies the time file verbatim (:36)
+            shutil.copyfile(time_file, os.path.join(seq_dir, f"{name}_time.txt"))
     zip_path = shutil.make_archive(stage, "zip", stage)
     return zip_path
 
@@ -44,6 +45,8 @@ def transform_trackingnet(results_dir: str, out_dir: str, tracker_name: str) -> 
     os.makedirs(stage, exist_ok=True)
     for name in seq_names:
         boxes = np.loadtxt(os.path.join(results_dir, f"{name}.txt"), delimiter="\t")
-        np.savetxt(os.path.join(stage, f"{name}.txt"), boxes, fmt="%.2f", delimiter=",")
+        # integer boxes, comma-separated (transform_trackingnet.py:23-24)
+        np.savetxt(os.path.join(stage, f"{name}.txt"),
+                   np.asarray(boxes, np.int64), fmt="%d", delimiter=",")
     zip_path = shutil.make_archive(stage, "zip", stage)
     return zip_path

@@ -233,9 +233,9 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
 
     np.savetxt(bbox_file, boxes, delimiter="\t", fmt="%d")
     if scores is not None:
-        # per-frame confidence (running.py _save_tracker_output score txt)
+        # per-frame confidence (running.py:42 _save_tracker_output, fmt %.2f)
         np.savetxt(os.path.join(results_dir, f"{seq.name}_score.txt"),
-                   scores, fmt="%f")
+                   scores, delimiter="\t", fmt="%.2f")
     np.savetxt(os.path.join(results_dir, f"{seq.name}_time.txt"), times, fmt="%f")
     fps = n / max(times.sum(), 1e-9)
     if report_fps:
