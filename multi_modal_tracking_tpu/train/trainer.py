@@ -159,15 +159,18 @@ class Trainer:
 
     # ------------------------------------------------------------- keep rate
     def _keep_rate(self, epoch: int) -> Optional[float]:
+        """Reference schedule (actors/mixformer_rgbt.py:72-80): keep 1.0 for
+        the first CE_START_EPOCH epochs, then cosine-anneal to
+        CE_KEEP_RATIO[0] over the next CE_WARM_EPOCH epochs."""
         cfg = self.cfg
         bb = cfg.MODEL.BACKBONE
         if not bb.get("CE_LOC", None):
             return None
-        base = bb.CE_KEEP_RATIO[-1] if bb.get("CE_KEEP_RATIO", None) else 1.0
-        warm = cfg.TRAIN.get("CE_WARM_EPOCH", cfg.TRAIN.EPOCH // 15 or 1)
-        anneal = cfg.TRAIN.get("CE_ANNEAL_EPOCH", cfg.TRAIN.EPOCH // 4 or 1)
-        rate = adjust_keep_rate(epoch, warm, anneal, self.steps_per_epoch,
-                                base_keep_rate=base)
+        base = bb.CE_KEEP_RATIO[0] if bb.get("CE_KEEP_RATIO", None) else 1.0
+        start = cfg.TRAIN.get("CE_START_EPOCH", 20)
+        warm = cfg.TRAIN.get("CE_WARM_EPOCH", 80)
+        rate = adjust_keep_rate(epoch, start, start + warm,
+                                self.steps_per_epoch, base_keep_rate=base)
         n_search = (cfg.DATA.SEARCH.SIZE // 16) ** 2
         return bucketize_keep_rate(rate, n_search)
 

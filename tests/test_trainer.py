@@ -100,3 +100,30 @@ def test_fail_safe_restart(trained, tmp_path):
     tr.train(max_epochs=2, fail_safe=True)
     assert tr.epoch == 2          # recovered and finished
     assert calls["n"] >= 3
+
+
+def test_keep_rate_schedule_reference_mapping(tmp_path):
+    """CE keep-rate schedule maps config keys exactly as the reference actor
+    (actors/mixformer_rgbt.py:72-80): keep 1.0 while epoch < CE_START_EPOCH,
+    cosine-anneal to CE_KEEP_RATIO[0] by CE_START_EPOCH + CE_WARM_EPOCH."""
+    import math
+    cfg = _tiny_cfg(tmp_path)
+    cfg.TRAIN.CE_START_EPOCH = 4
+    cfg.TRAIN.CE_WARM_EPOCH = 8
+    cfg.MODEL.BACKBONE.CE_KEEP_RATIO = [0.7, 0.7, 0.7]
+    tr = _tiny_trainer(cfg, tmp_path)
+    from multi_modal_tracking_tpu.train.train_step import bucketize_keep_rate
+    n_search = (cfg.DATA.SEARCH.SIZE // 16) ** 2
+
+    assert tr._keep_rate(1) == 1.0          # warmup: full tokens
+    assert tr._keep_rate(3) == 1.0
+    # mid-anneal epoch 8: reference formula with ITERS_PER_EPOCH=1
+    frac = (8 - 4) / 8
+    want = 0.7 + 0.3 * (math.cos(frac * math.pi) + 1) / 2
+    assert tr._keep_rate(8) == pytest.approx(
+        bucketize_keep_rate(want, n_search))
+    # fully annealed
+    assert tr._keep_rate(12) == pytest.approx(
+        bucketize_keep_rate(0.7, n_search))
+    assert tr._keep_rate(100) == pytest.approx(
+        bucketize_keep_rate(0.7, n_search))
