@@ -533,7 +533,7 @@ def run_sequences_batched(sequences: List, tracker: BatchedRGBTTrackerJit,
             scores = np.ones((n,), np.float64)
             scores[1:] = all_scores[: n - 1, j]
             np.savetxt(os.path.join(results_dir, f"{s.name}_score.txt"),
-                       scores, fmt="%f")
+                       scores, delimiter="\t", fmt="%.2f")
         per = elapsed * (n / total_frames)
         np.savetxt(os.path.join(results_dir, f"{s.name}_time.txt"),
                    np.full((n,), per / n), fmt="%f")
