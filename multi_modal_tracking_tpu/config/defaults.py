@@ -80,9 +80,10 @@ def _rgbt_base() -> CfgNode:
         SEARCH_SCALE_JITTER=0.0,
         TEMPLATE_CENTER_JITTER=0.0,
         TEMPLATE_SCALE_JITTER=0.0,
+        # exact reference key set (asymmetric_shared_ce/config.py:97-102);
+        # RGBT benchmarks have NO entry -> fallback to DATA.MAX_SAMPLE_INTERVAL
         UPDATE_INTERVALS=dict(LASOT=[200], GOT10K_TEST=[200], TRACKINGNET=[200],
-                              VOT20=[200], VOT20LT=[200], LASHER=[200],
-                              RGBT234=[200], VTUAV=[200], VOT22RGBD=[25]),
+                              VOT20=[200], VOT20LT=[200]),
     ))
     return c
 

@@ -99,7 +99,8 @@ class VOTClient:
 
 def run_vot_exp(script: str, training_yaml: Optional[str] = None,
                 checkpoint: Optional[str] = None, channels: str = "rgbd",
-                update_interval: int = 25, server=None, tracker=None):
+                update_interval: Optional[int] = None, server=None,
+                tracker=None):
     """VOT experiment loop (tracker_class.py run_vot_exp :136-191).
 
     Reads frame paths from the toolkit, feeds [color, clipped-normalised
@@ -107,6 +108,12 @@ def run_vot_exp(script: str, training_yaml: Optional[str] = None,
     — the tracker's TIR pipeline applies the JET colormap, matching the
     reference's rgb3d + in-tracker-colormap chain (tracker_class.py:169) —
     and reports rect + confidence every frame.
+
+    update_interval=None resolves through cfg.TEST.UPDATE_INTERVALS with the
+    reference's dataset name "DepthTrack" (tracker_class.py:156,53-58): no
+    entry exists, so the fallback is MAX_SAMPLE_INTERVAL = never commit the
+    template candidate — the reference's shipped VOT-RGBD behaviour. Pass an
+    int to enable interval commits.
     """
     from multi_modal_tracking_tpu.eval.evaltracker import create_tracker
     from multi_modal_tracking_tpu.eval.params import get_parameters
@@ -128,8 +135,9 @@ def run_vot_exp(script: str, training_yaml: Optional[str] = None,
         # default 'RGBT' string would fall through to the Prompt blend
         # (tracking/tracker.py _frame) and corrupt color-only runs like LT
         mode = "RGBT" if channels in ("rgbd", "rgbt") else "RGB"
-        tracker = create_tracker(params, dataset_name="VOT22RGBD", mode=mode)
-        tracker.update_interval = update_interval
+        tracker = create_tracker(params, dataset_name="DepthTrack", mode=mode)
+        if update_interval is not None:
+            tracker.update_interval = update_interval
 
     r = handle.region()
     frame0 = load(handle._image)   # the initialize request's frame

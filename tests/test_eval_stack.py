@@ -251,8 +251,8 @@ def test_update_interval_fallback_reads_max_sample_interval():
 
     p = get_parameters("asymmetric_shared_ce", tracking_yaml=None)
     # listed dataset uses its entry
-    assert update_interval_for(p.cfg, "lasher") == int(
-        p.cfg.TEST.UPDATE_INTERVALS.LASHER[0])
+    assert update_interval_for(p.cfg, "lasot") == int(
+        p.cfg.TEST.UPDATE_INTERVALS.LASOT[0])
     # unlisted dataset -> DATA.MAX_SAMPLE_INTERVAL (a 1-element list)
     want = p.cfg.DATA.MAX_SAMPLE_INTERVAL
     want = int(want[0]) if isinstance(want, (list, tuple)) else int(want)
@@ -264,5 +264,8 @@ def test_update_interval_fallback_reads_max_sample_interval():
     po = get_parameters("asymmetric_shared_ce")
     iv = update_interval_for(po.cfg, "no_such_dataset")
     assert iv == 2**31 - 1
+    # RGBT benchmarks have NO entry in the reference table: never update
+    assert update_interval_for(po.cfg, "lasher") == 2**31 - 1
+    assert update_interval_for(po.cfg, "vtuav") == 2**31 - 1
     import jax.numpy as jnp
     assert not bool((jnp.int32(7) % iv) == 0)

@@ -2,5 +2,7 @@
 run_vot_exp :136-191): score-gated online bimodal tracker over color+depth."""
 from multi_modal_tracking_tpu.eval.vot import run_vot_exp
 
+# update_interval resolves to the reference's shipped behaviour (no
+# UPDATE_INTERVALS entry for DepthTrack -> candidate never committed)
 run_vot_exp("asymmetric_shared_online", training_yaml="baseline",
-            channels="rgbd", update_interval=25)
+            channels="rgbd")
