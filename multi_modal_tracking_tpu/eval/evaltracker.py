@@ -105,10 +105,13 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
 
 
 def online_size_decay(cfg, dataset_name: str = "") -> tuple:
-    """Per-dataset online template memory size + max-score decay
-    (lib/config/mixformer_cvt_online/config.py:117-124 TEST.ONLINE_SIZES;
-    tracker max_score_decay default 1.0)."""
-    size = 1
+    """Per-dataset online template memory size + max-score decay.
+
+    Listed datasets take TEST.ONLINE_SIZES[NAME][0]; unlisted fall back to 3
+    exactly like the reference trackers (mixformer_cvt_online.py:40-44,
+    mixformer_vit_online.py:39-45 — every shipped config value is 3 too).
+    max_score_decay defaults to 1.0."""
+    size = 3
     sizes = cfg.TEST.get("ONLINE_SIZES", None)
     if sizes is not None:
         v = sizes.get(dataset_name.upper()) if hasattr(sizes, "get") else None
