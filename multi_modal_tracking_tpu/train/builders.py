@@ -90,7 +90,7 @@ def build_dataloaders(cfg, seed: int = 0):
                                   "search": cfg.DATA.SEARCH.CENTER_JITTER},
             scale_jitter_factor={"template": cfg.DATA.TEMPLATE.SCALE_JITTER,
                                  "search": cfg.DATA.SEARCH.SCALE_JITTER},
-            rng=rng)
+            rng=rng, train=train)
         # Multi-host: SAMPLE_PER_EPOCH is the GLOBAL per-epoch budget — each
         # process draws its share (DistributedSampler divides by world size
         # in the reference, base_functions.py:232). Without the split every

@@ -17,6 +17,7 @@ import numpy as np
 
 from multi_modal_tracking_tpu.train.data import processing_utils as prutils
 from multi_modal_tracking_tpu.train.data.transforms import (JointAugment,
+                                                            flip_norm,
                                                             tensor_and_jitter,
                                                             tensor_and_jitter_rgbt)
 
@@ -51,7 +52,7 @@ class RGBTProcessing:
     def __init__(self, search_area_factor: Dict[str, float], output_sz: Dict[str, int],
                  center_jitter_factor: Dict[str, float], scale_jitter_factor: Dict[str, float],
                  p_gray: float = 0.05, p_flip: float = 0.5, brightness_jitter: float = 0.2,
-                 rng: Optional[random.Random] = None):
+                 rng: Optional[random.Random] = None, train: bool = True):
         self.search_area_factor = search_area_factor
         self.output_sz = output_sz
         self.center_jitter_factor = center_jitter_factor
@@ -59,6 +60,11 @@ class RGBTProcessing:
         self.brightness_jitter = brightness_jitter
         self.rng = rng or random.Random()
         self.joint = JointAugment(p_gray, p_flip, self.rng)
+        # train: per-crop transform chain = ToTensorAndJitter + per-crop
+        # RandomHorizontalFlip_Norm(0.5) (base_functions.py:180, applied with
+        # joint=False -> an independent roll per frame). val: plain ToTensor
+        # (no brightness jitter, no per-crop flip — base_functions.py:184).
+        self.train = train
 
     def __call__(self, data: dict, rng=None) -> dict:
         """data: template_images/search_images [N][2](H,W,3) uint8,
@@ -107,11 +113,21 @@ class RGBTProcessing:
                         and _att_mask_valid(att_i, self.output_sz[s])):
                     data["valid"] = False
                     return data
-                boxes_v.append(prutils.transform_image_to_crop(a_v, jv, rf_v,
-                                                               self.output_sz[s], normalize=True))
-                boxes_i.append(prutils.transform_image_to_crop(a_i, jv, rf_i,
-                                                               self.output_sz[s], normalize=True))
-                cv_, ci_ = tensor_and_jitter_rgbt(crop_v, crop_i, self.brightness_jitter, rng)
+                b_v = prutils.transform_image_to_crop(a_v, jv, rf_v,
+                                                      self.output_sz[s], normalize=True)
+                b_i = prutils.transform_image_to_crop(a_i, jv, rf_i,
+                                                      self.output_sz[s], normalize=True)
+                cv_, ci_ = tensor_and_jitter_rgbt(
+                    crop_v, crop_i, self.brightness_jitter if self.train else 0.0,
+                    rng)
+                # per-crop flip, one roll per frame shared by both modalities
+                # (the reference zips (crop_v, crop_i) into one tuple before
+                # the joint=False transform, processing_rgbt.py:197-202)
+                if self.train and rng.random() < 0.5:
+                    cv_, b_v = flip_norm(cv_, b_v)
+                    ci_, b_i = flip_norm(ci_, b_i)
+                boxes_v.append(b_v)
+                boxes_i.append(b_i)
                 out_v.append(cv_)
                 out_i.append(ci_)
 
@@ -130,7 +146,8 @@ class UnimodalProcessing:
 
     def __init__(self, search_area_factor, output_sz, center_jitter_factor,
                  scale_jitter_factor, p_gray: float = 0.05, p_flip: float = 0.5,
-                 brightness_jitter: float = 0.2, rng: Optional[random.Random] = None):
+                 brightness_jitter: float = 0.2, rng: Optional[random.Random] = None,
+                 train: bool = True):
         self.search_area_factor = search_area_factor
         self.output_sz = output_sz
         self.center_jitter_factor = center_jitter_factor
@@ -138,6 +155,7 @@ class UnimodalProcessing:
         self.brightness_jitter = brightness_jitter
         self.rng = rng or random.Random()
         self.joint = JointAugment(p_gray, p_flip, self.rng)
+        self.train = train          # see RGBTProcessing.train
 
     def __call__(self, data: dict, rng=None) -> dict:
         rng = rng or self.rng
@@ -165,9 +183,14 @@ class UnimodalProcessing:
                 if not _att_mask_valid(att, self.output_sz[s]):
                     data["valid"] = False
                     return data
-                boxes.append(prutils.transform_image_to_crop(a, jv, rf,
-                                                             self.output_sz[s], normalize=True))
-                out.append(tensor_and_jitter(crop, self.brightness_jitter, rng))
+                b = prutils.transform_image_to_crop(a, jv, rf,
+                                                    self.output_sz[s], normalize=True)
+                c = tensor_and_jitter(
+                    crop, self.brightness_jitter if self.train else 0.0, rng)
+                if self.train and rng.random() < 0.5:   # per-crop flip (:180)
+                    c, b = flip_norm(c, b)
+                boxes.append(b)
+                out.append(c)
             data[s + "_images"] = out
             data[s + "_anno"] = boxes
         data["valid"] = True

@@ -62,10 +62,14 @@ def tensor_and_jitter_rgbt(img_v: np.ndarray, img_i: np.ndarray,
                            brightness_jitter: float = 0.2,
                            rng: Optional[random.Random] = None):
     """uint8 crops -> normalised float32 (HWC) pair with brightness jitter and
-    the TIR JET pseudo-colour mapping."""
+    the TIR JET pseudo-colour mapping.
+
+    TIR draws an INDEPENDENT factor from the same full-strength distribution:
+    the reference defines a half-strength roll_tir but its transform_image
+    calls self.roll() (transforms_rgbt.py:219-228 — roll_tir is dead code)."""
     rnd = rng or random
     bf = rnd.uniform(max(0, 1 - brightness_jitter), 1 + brightness_jitter)
-    tir_f = rnd.uniform(max(0, 1 - brightness_jitter / 2.0), 1 + brightness_jitter / 2.0)
+    tir_f = rnd.uniform(max(0, 1 - brightness_jitter), 1 + brightness_jitter)
 
     v = np.clip(img_v.astype(np.float32) * (bf / 255.0), 0.0, 1.0)
     i8 = np.clip(img_i.astype(np.float32) * tir_f, 0.0, 255.0).astype(np.uint8)
@@ -74,6 +78,16 @@ def tensor_and_jitter_rgbt(img_v: np.ndarray, img_i: np.ndarray,
     v = (v - IMAGENET_MEAN) / IMAGENET_STD
     i = (i - IMAGENET_MEAN) / IMAGENET_STD
     return v, i
+
+
+def flip_norm(img: np.ndarray, box_norm: np.ndarray):
+    """Horizontal flip of a processed crop + its [0,1]-normalised xywh box
+    (transforms_rgbt.py:351-365 RandomHorizontalFlip_Norm: corner x -> 1-x,
+    so the box becomes (1-x-w, y, w, h))."""
+    flipped = np.ascontiguousarray(img[:, ::-1])
+    b = np.asarray(box_norm, np.float32).copy()
+    b[0] = 1.0 - b[0] - b[2]
+    return flipped, b
 
 
 def tensor_and_jitter(img: np.ndarray, brightness_jitter: float = 0.2,

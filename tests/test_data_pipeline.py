@@ -138,3 +138,65 @@ def test_warmup_cosine_schedule_under_jit():
     np.testing.assert_allclose(vals[200], 1.0, atol=1e-6)  # warmup end
     assert vals[-1] < 0.1                # cosine decays toward MIN_LR/LR
     assert np.all(np.diff(vals[:200]) >= 0)
+
+
+def test_flip_norm_geometry():
+    """Per-crop RandomHorizontalFlip_Norm parity (transforms_rgbt.py:351-365):
+    box corner x -> 1 - x, image mirrored; double flip is the identity."""
+    import numpy as np
+    from multi_modal_tracking_tpu.train.data.transforms import flip_norm
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(32, 32, 3)).astype(np.float32)
+    box = np.asarray([0.125, 0.25, 0.25, 0.5], np.float32)   # x y w h in [0,1]
+    f_img, f_box = flip_norm(img, box)
+    np.testing.assert_allclose(f_box, [1 - 0.125 - 0.25, 0.25, 0.25, 0.5])
+    np.testing.assert_array_equal(f_img, img[:, ::-1])
+    ff_img, ff_box = flip_norm(f_img, f_box)
+    np.testing.assert_array_equal(ff_img, img)
+    np.testing.assert_allclose(ff_box, box, atol=1e-7)
+
+    # a bright patch follows the box through the flip
+    img2 = np.zeros((16, 16, 3), np.float32)
+    img2[4:12, 2:6] = 1.0                       # x in [2,6) of 16 -> [0.125,0.375)
+    b2 = np.asarray([2 / 16, 4 / 16, 4 / 16, 8 / 16], np.float32)
+    f2, fb2 = flip_norm(img2, b2)
+    x0 = int(round(fb2[0] * 16)); x1 = x0 + int(round(fb2[2] * 16))
+    assert f2[4:12, x0:x1].min() == 1.0 and f2[:, :x0].max() == 0.0
+
+
+def test_val_processing_is_deterministic_no_augment():
+    """train=False processing = reference transform_val (ToTensor+Normalize):
+    no brightness jitter, no per-crop flip -> two different rngs give
+    identical outputs for the same sample (box jitter zeroed here)."""
+    import random as _random
+
+    import numpy as np
+    from multi_modal_tracking_tpu.train.data.processing import RGBTProcessing
+
+    def run(seed):
+        proc = RGBTProcessing(
+            search_area_factor={"template": 2.0, "search": 4.0},
+            output_sz={"template": 32, "search": 64},
+            center_jitter_factor={"template": 0.0, "search": 0.0},
+            scale_jitter_factor={"template": 0.0, "search": 0.0},
+            p_gray=0.0, p_flip=0.0, rng=_random.Random(seed), train=False)
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 255, (80, 96, 3), np.uint8)
+        tir = rng.integers(0, 255, (80, 96, 3), np.uint8)
+        data = {
+            "template_images": [(img, tir)],
+            "template_anno": [(np.asarray([20., 20., 30., 25.]),
+                               np.asarray([20., 20., 30., 25.]))],
+            "search_images": [(img, tir)],
+            "search_anno": [(np.asarray([20., 20., 30., 25.]),
+                             np.asarray([20., 20., 30., 25.]))],
+        }
+        out = proc(dict(data))
+        assert out["valid"]
+        return out
+
+    a, b = run(0), run(12345)
+    np.testing.assert_array_equal(a["template_images_v"][0], b["template_images_v"][0])
+    np.testing.assert_array_equal(a["search_images_i"][0], b["search_images_i"][0])
+    np.testing.assert_array_equal(a["search_anno_v"][0], b["search_anno_v"][0])
