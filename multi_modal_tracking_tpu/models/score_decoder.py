@@ -44,7 +44,8 @@ class ScoreDecoder(nn.Module):
         score_token = self.param("score_token", nn.initializers.truncated_normal(0.02),
                                  (1, 1, self.hidden_dim))
         x = jnp.broadcast_to(score_token, (B, 1, self.hidden_dim)).astype(self.dtype)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # eps 1e-5: plain nn.LayerNorm torch default (score_decoder.py:26-27)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
         for i, mem in enumerate([box_feat, tmpl]):
             q = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"proj_q_{i}")(x)
@@ -58,7 +59,7 @@ class ScoreDecoder(nn.Module):
             o = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
             o = o.transpose(0, 2, 1, 3).reshape(B, 1, self.hidden_dim)
             o = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"proj_{i}")(o)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"norm2_{i}")(o)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm2_{i}")(o)
 
         return MLPHead(self.hidden_dim, 1, self.nlayer_head, dtype=self.dtype,
                        name="score_head")(x)                   # (B, 1, 1)
