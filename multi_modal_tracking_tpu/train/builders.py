@@ -15,7 +15,9 @@ from multi_modal_tracking_tpu.train.data.processing import (RGBTProcessing,
 from multi_modal_tracking_tpu.train.data.sampler import TrackingSampler
 
 RGBT_NAMES = {"VTUAV", "LasHeR", "RGBT234", "KAIST", "LLVIP", "M3FD",
-              "DepthTrack", "VTUAV_Test", "SyntheticRGBT"}
+              "DepthTrack", "DepthTrack-Train", "DepthTrack-Test",
+              "DepthTrack_Train", "DepthTrack_Test",
+              "VTUAV_Test", "VTUAV-Test", "SyntheticRGBT"}
 
 
 def names2datasets(names: List[str], image_loader=None):
@@ -31,8 +33,12 @@ def names2datasets(names: List[str], image_loader=None):
         "VTUAV": lambda: R.VTUAV(**kw),
         "VTUAV_Test": lambda: R.VTUAV(split_dirs=("test_data",), **kw),
         "DepthTrack": lambda: R.DepthTrack(**kw),
+        # reference registry spellings (base_functions.py:52-56) + underscore twins
+        "DepthTrack-Train": lambda: R.DepthTrack(split="train", **kw),
+        "DepthTrack-Test": lambda: R.DepthTrack(split="test", **kw),
         "DepthTrack_Train": lambda: R.DepthTrack(split="train", **kw),
         "DepthTrack_Test": lambda: R.DepthTrack(split="test", **kw),
+        "VTUAV-Test": lambda: R.VTUAV(split_dirs=("test_data",), **kw),
         "KAIST": lambda: R.KAIST(**kw),
         "LLVIP": lambda: R.LLVIP(**kw),
         "M3FD": lambda: R.M3FD(**kw),
