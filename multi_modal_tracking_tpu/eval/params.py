@@ -60,7 +60,8 @@ _TRACKING_OVERLAY_SCRIPTS = frozenset({
 def get_parameters(script: str, training_yaml: Optional[str] = None,
                    tracking_yaml: Optional[str] = "auto",
                    checkpoint: Optional[str] = None,
-                   search_area_scale: Optional[float] = None) -> TrackerParams:
+                   search_area_scale: Optional[float] = None,
+                   model: Optional[str] = None) -> TrackerParams:
     params = TrackerParams()
     cfg = get_default_config(script)
     exp = _experiments_dir()
@@ -73,6 +74,15 @@ def get_parameters(script: str, training_yaml: Optional[str] = None,
         path = os.path.join(exp, f"{tracking_yaml}.yaml")
         if os.path.isfile(path):
             cfg.update_from_file(path)
+    if checkpoint is None and model:
+        # reference checkpoint resolution by bare model filename
+        # (lib/test/parameter/asymmetric_shared_ce.py:30-34): save_dir/<model>
+        # when TEST.LOAD_FROME_TRAIN_RESULT else save_dir/models/<model>
+        from multi_modal_tracking_tpu.train.admin import env_settings
+        save_dir = getattr(env_settings(), "save_dir", "") or "."
+        checkpoint = (os.path.join(save_dir, model)
+                      if cfg.TEST.get("LOAD_FROME_TRAIN_RESULT", False)
+                      else os.path.join(save_dir, "models", model))
     params.cfg = cfg
     params.script = script
     params.template_factor = cfg.TEST.TEMPLATE_FACTOR

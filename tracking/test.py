@@ -34,6 +34,11 @@ def main():
                    choices=[None, "RGB", "TIR", "Prompt", "RGBT"],
                    help="input mode; default: RGBT for bimodal scripts else RGB")
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--model", type=str, default=None,
+                   help="bare checkpoint filename resolved against save_dir "
+                        "(reference lib/test/parameter/* semantics: "
+                        "save_dir/models/<model>, or save_dir/<model> when "
+                        "TEST.LOAD_FROME_TRAIN_RESULT)")
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="sweep every epoch checkpoint in this directory")
     p.add_argument("--results_dir", type=str, default=None)
@@ -78,7 +83,7 @@ def main():
         suffix = f"_ep{_epoch_of(ckpt)}" if (args.checkpoint_dir and ckpt) else ""
         results_dir = os.path.join(base_results + suffix, args.dataset_name)
         params = get_parameters(args.script, args.config, args.tracking_yaml,
-                                checkpoint=ckpt,
+                                checkpoint=ckpt, model=args.model,
                                 search_area_scale=args.search_area_scale)
         for k, v in param_overrides.items():
             setattr(params, k, v)
