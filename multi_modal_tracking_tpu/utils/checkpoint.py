@@ -85,8 +85,26 @@ def load_variables(path: str, target_variables: Any) -> Any:
     path, base_trainer.py:230-272)."""
     if path.endswith((".pth", ".pth.tar", ".pt")):
         from multi_modal_tracking_tpu.utils.torch_convert import (
-            convert_state_dict, load_torch_state_dict)
+            convert_state_dict, expand_modality_lns, expand_two_stream,
+            load_torch_state_dict)
         sd = load_torch_state_dict(path)
+        # RGB-unimodal -> RGBT warm starts need the reference's key
+        # expansion (mixformer.py:447-460 backbone duplication;
+        # asymmetric_shared_ce.py:649-661 norm1/norm2 -> _v/_i). Detect by
+        # target structure vs checkpoint keys so trained RGBT checkpoints
+        # (already expanded) pass through untouched.
+        params = target_variables.get("params", {})
+        tgt_two_stream = "backbone_v" in params
+        tgt_modal_lns = any("norm1_v" in blk for blk in
+                            params.get("backbone", {}).values()
+                            if isinstance(blk, dict))
+        sd_unimodal = any(k.startswith("backbone.") for k in sd)
+        if tgt_two_stream and sd_unimodal and \
+                not any(k.startswith("backbone_v.") for k in sd):
+            sd = expand_two_stream(sd)
+        elif tgt_modal_lns and sd_unimodal and \
+                not any(".norm1_v." in k for k in sd):
+            sd = expand_modality_lns(sd)
         new_vars, _ = convert_state_dict(sd, target_variables)
         return new_vars
     with open(path, "rb") as f:

@@ -86,3 +86,35 @@ def test_mae_ln_expansion_covers_shared_backbone():
     p = converted["params"]["backbone"]["blocks_0"]
     np.testing.assert_array_equal(np.asarray(p["norm1_v"]["scale"]),
                                   np.asarray(p["norm1_i"]["scale"]))
+
+
+@pytest.mark.parametrize("variant", ["two_stream", "shared"])
+def test_load_variables_autoexpands_unimodal_pth(tmp_path, variant):
+    """The trainer warm-start path (utils/checkpoint.load_variables) applies
+    the reference's key expansion automatically when a unimodal .pth.tar is
+    loaded into an RGBT model (asymmetric_shared_ce.py:643-661)."""
+    from multi_modal_tracking_tpu.utils.checkpoint import load_variables
+
+    torch.manual_seed(0)
+    oracle = _Oracle().eval()
+    path = str(tmp_path / "mixformer_vit_base_online.pth.tar")
+    torch.save({"net": oracle.state_dict()}, path)
+
+    model = _tiny_model(variant)
+    variables = _init_variables(model)
+    loaded = load_variables(path, variables)
+
+    if variant == "two_stream":
+        v = np.asarray(loaded["params"]["backbone_v"]["blocks_0"]["norm1"]["scale"])
+        i = np.asarray(loaded["params"]["backbone_i"]["blocks_0"]["norm1"]["scale"])
+    else:
+        blk = loaded["params"]["backbone"]["blocks_0"]
+        v = np.asarray(blk["norm1_v"]["scale"])
+        i = np.asarray(blk["norm1_i"]["scale"])
+    expect = oracle.state_dict()["backbone.blocks.0.norm1.weight"].numpy()
+    np.testing.assert_array_equal(v, expect)
+    np.testing.assert_array_equal(i, expect)
+    # head weights ride along (the reference loads box_head.* too)
+    tl0 = np.asarray(jax.tree_util.tree_leaves(
+        loaded["params"]["box_head"])[0])
+    assert np.isfinite(tl0).all()
