@@ -74,6 +74,13 @@ class Trainer:
         variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed), t, t, s)
 
         # Warm starts (asymmetric_shared_ce.py:643-674 / base_trainer.py:230-272)
+        # MAE backbone init first (asymmetric_shared_ce.py:515-533), then the
+        # tracker-level checkpoints overwrite whatever they cover.
+        bb = cfg.MODEL.get("BACKBONE", {})
+        mae_path = bb.get("PRETRAINED_PATH", "") if bb.get("PRETRAINED") else ""
+        if mae_path and os.path.isfile(mae_path):
+            variables = ckpt.load_variables(mae_path, variables)
+            print(f"warm start backbone from MAE pretrain {mae_path}")
         for key in ("TRACKER_PRETRAINED_PATH", "SCORE_PRETRAINED_PATH",
                     "RGBT_PRETRAINED_PATH"):
             path = cfg.MODEL.get(key, "")

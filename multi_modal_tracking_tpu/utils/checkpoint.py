@@ -88,12 +88,19 @@ def load_variables(path: str, target_variables: Any) -> Any:
             convert_state_dict, expand_modality_lns, expand_two_stream,
             load_torch_state_dict)
         sd = load_torch_state_dict(path)
+        params = target_variables.get("params", {})
+        # Bare MAE-pretrain dicts (blocks.N..., patch_embed... — no
+        # "backbone." prefix) load into the backbone module in the
+        # reference (asymmetric_shared_ce.py:515-533); prefix so the
+        # full-model mapping below lands them there.
+        if not any(k.startswith(("backbone", "box_head")) for k in sd) and \
+                any(k.startswith(("blocks.", "patch_embed.")) for k in sd):
+            sd = {"backbone." + k: v for k, v in sd.items()}
         # RGB-unimodal -> RGBT warm starts need the reference's key
         # expansion (mixformer.py:447-460 backbone duplication;
         # asymmetric_shared_ce.py:649-661 norm1/norm2 -> _v/_i). Detect by
         # target structure vs checkpoint keys so trained RGBT checkpoints
         # (already expanded) pass through untouched.
-        params = target_variables.get("params", {})
         tgt_two_stream = "backbone_v" in params
         tgt_modal_lns = any("norm1_v" in blk for blk in
                             params.get("backbone", {}).values()

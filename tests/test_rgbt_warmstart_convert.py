@@ -118,3 +118,36 @@ def test_load_variables_autoexpands_unimodal_pth(tmp_path, variant):
     tl0 = np.asarray(jax.tree_util.tree_leaves(
         loaded["params"]["box_head"])[0])
     assert np.isfinite(tl0).all()
+
+
+@pytest.mark.parametrize("variant", ["two_stream", "shared"])
+def test_load_variables_handles_bare_mae_dict(tmp_path, variant):
+    """MAE pretrain checkpoints ({"model": ...} envelope, bare blocks.N keys,
+    pos_embed/mask_token junk) load into the backbone like the reference's
+    get_mixformer_vit (asymmetric_shared_ce.py:515-533)."""
+    from multi_modal_tracking_tpu.utils.checkpoint import load_variables
+
+    torch.manual_seed(0)
+    sd = _Oracle().eval().state_dict()
+    mae = {k[len("backbone."):]: v for k, v in sd.items()
+           if k.startswith("backbone.") and not k.startswith("backbone.pe_")}
+    mae["pos_embed"] = torch.zeros(1, 5, DIM)       # dropped on load
+    mae["mask_token"] = torch.zeros(1, 1, DIM)
+    mae["cls_token"] = torch.zeros(1, 1, DIM)       # skipped (vit.cls_token=None)
+    path = str(tmp_path / "mae_pretrain_vit_base.pth")
+    torch.save({"model": mae}, path)
+
+    model = _tiny_model(variant)
+    variables = _init_variables(model)
+    loaded = load_variables(path, variables)
+
+    expect = sd["backbone.blocks.0.norm1.weight"].numpy()
+    if variant == "two_stream":
+        for stream in ("backbone_v", "backbone_i"):
+            np.testing.assert_array_equal(
+                np.asarray(loaded["params"][stream]["blocks_0"]["norm1"]["scale"]),
+                expect)
+    else:
+        blk = loaded["params"]["backbone"]["blocks_0"]
+        np.testing.assert_array_equal(np.asarray(blk["norm1_v"]["scale"]), expect)
+        np.testing.assert_array_equal(np.asarray(blk["norm1_i"]["scale"]), expect)
