@@ -89,12 +89,14 @@ def load_variables(path: str, target_variables: Any) -> Any:
             load_torch_state_dict)
         sd = load_torch_state_dict(path)
         params = target_variables.get("params", {})
-        # Bare MAE-pretrain dicts (blocks.N..., patch_embed... — no
-        # "backbone." prefix) load into the backbone module in the
-        # reference (asymmetric_shared_ce.py:515-533); prefix so the
-        # full-model mapping below lands them there.
+        # Bare backbone-pretrain dicts — MAE ViT (blocks.N/patch_embed,
+        # asymmetric_shared_ce.py:515-533), ConvMAE (blocks1-3/patch_embed1-4,
+        # mixformer_convmae/mixformer.py:409-421) and CvT-21 (stage0-2,
+        # mixformer_cvt/mixformer.py:697-708) — carry no "backbone." prefix;
+        # add it so the full-model key mapping lands them on the backbone.
         if not any(k.startswith(("backbone", "box_head")) for k in sd) and \
-                any(k.startswith(("blocks.", "patch_embed.")) for k in sd):
+                any(k.startswith(("blocks.", "blocks1.", "patch_embed.",
+                                  "patch_embed1.", "stage0.")) for k in sd):
             sd = {"backbone." + k: v for k, v in sd.items()}
         # RGB-unimodal -> RGBT warm starts need the reference's key
         # expansion (mixformer.py:447-460 backbone duplication;

@@ -517,3 +517,41 @@ def test_convmae_box_parity(convmae_converted):
         variables, jnp.asarray(t), jnp.asarray(ot),
         jnp.asarray(s))["pred_boxes"]).reshape(B, 4)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+# ==================================================== bare pretrain dict load
+
+def test_cvt_bare_pretrain_dict_loads(tmp_path, cvt_converted):
+    """A raw CvT-21 ImageNet checkpoint (stage0.* keys, no backbone prefix,
+    no envelope — mixformer_cvt/mixformer.py:697-708) warm-starts the
+    backbone via load_variables."""
+    from multi_modal_tracking_tpu.utils.checkpoint import load_variables
+    oracle, model, variables, _ = cvt_converted
+    bare = {k[len("backbone."):]: v for k, v in oracle.state_dict().items()
+            if k.startswith("backbone.")}
+    path = str(tmp_path / "CvT-21-384x384-IN-22k.pth")
+    torch.save(bare, path)
+    loaded = load_variables(path, variables)
+    want = bare["stage0.patch_embed.proj.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["stage0"]["patch_embed"]["proj"]["kernel"]),
+        want)
+
+
+def test_convmae_bare_pretrain_dict_loads(tmp_path, convmae_converted):
+    """A raw ConvMAE pretrain dict (blocks1/patch_embed1 keys + pos_embed
+    junk — mixformer_convmae/mixformer.py:409-421) warm-starts the
+    backbone via load_variables."""
+    from multi_modal_tracking_tpu.utils.checkpoint import load_variables
+    oracle, model, variables, _ = convmae_converted
+    bare = {k[len("backbone."):]: v for k, v in oracle.state_dict().items()
+            if k.startswith("backbone.")}
+    bare["pos_embed"] = torch.zeros(1, 5, 16)     # dropped on load
+    bare["mask_token"] = torch.zeros(1, 1, 16)
+    path = str(tmp_path / "convmae_base.pth")
+    torch.save(bare, path)
+    loaded = load_variables(path, variables)
+    want = bare["patch_embed1.proj.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["backbone"]["patch_embed1"]["proj"]["kernel"]),
+        want)
