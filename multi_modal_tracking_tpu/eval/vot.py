@@ -100,7 +100,7 @@ class VOTClient:
 def run_vot_exp(script: str, training_yaml: Optional[str] = None,
                 checkpoint: Optional[str] = None, channels: str = "rgbd",
                 update_interval: Optional[int] = None, server=None,
-                tracker=None):
+                tracker=None, dataset_name: str = "DepthTrack"):
     """VOT experiment loop (tracker_class.py run_vot_exp :136-191).
 
     Reads frame paths from the toolkit, feeds [color, clipped-normalised
@@ -135,7 +135,7 @@ def run_vot_exp(script: str, training_yaml: Optional[str] = None,
         # default 'RGBT' string would fall through to the Prompt blend
         # (tracking/tracker.py _frame) and corrupt color-only runs like LT
         mode = "RGBT" if channels in ("rgbd", "rgbt") else "RGB"
-        tracker = create_tracker(params, dataset_name="DepthTrack", mode=mode)
+        tracker = create_tracker(params, dataset_name=dataset_name, mode=mode)
         if update_interval is not None:
             tracker.update_interval = update_interval
 
@@ -158,9 +158,13 @@ def run_vot20_lt_exp(script: str, training_yaml: Optional[str] = None,
     """VOT2020-LT (long-term) experiment: color-only frames, rect +
     confidence reported every frame so the toolkit can score re-detection
     (lib/test/vot20/stark_vot20lt.py:19-40 — same loop as the RGBD entry
-    but channels='color' and the confidence is mandatory)."""
+    but channels='color' and the confidence is mandatory). dataset_name
+    'VOT20LT' resolves the reference's UPDATE_INTERVALS.VOT20LT = [200]
+    (stark_vot20lt.py:22 passes 'vot20lt'); the RGBD entry's 'DepthTrack'
+    has no table row and falls back to never-update."""
     return run_vot_exp(script, training_yaml, checkpoint=checkpoint,
-                       channels="color", server=server, tracker=tracker)
+                       channels="color", server=server, tracker=tracker,
+                       dataset_name="VOT20LT")
 
 
 def run_vot20_mask_exp(script: str, training_yaml: Optional[str] = None,

@@ -16,7 +16,8 @@ import os
 from typing import Optional
 
 _DEFAULT_KEYS = [
-    "workspace_dir", "tensorboard_dir", "checkpoints_dir", "results_path",
+    "workspace_dir", "save_dir", "tensorboard_dir", "checkpoints_dir",
+    "results_path",
     "lasher_dir", "rgbt234_dir", "vtuav_dir", "gtot_dir", "kaist_dir",
     "llvip_dir", "m3fd_dir", "depthtrack_dir",
     "lasot_dir", "got10k_dir", "trackingnet_dir", "coco_dir", "imagenet_dir",
@@ -38,6 +39,7 @@ def create_default_local_file(workspace_dir: str = ".", data_dir: str = "./data"
                               save_dir: str = "./output", path: Optional[str] = None):
     out = {k: "" for k in _DEFAULT_KEYS}
     out["workspace_dir"] = workspace_dir
+    out["save_dir"] = save_dir          # --model resolution anchor (environment.py:60)
     out["tensorboard_dir"] = os.path.join(save_dir, "tensorboard")
     out["checkpoints_dir"] = os.path.join(save_dir, "checkpoints")
     out["results_path"] = os.path.join(save_dir, "test/tracking_results")

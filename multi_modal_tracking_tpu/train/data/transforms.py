@@ -5,7 +5,8 @@ Parity targets: lib/train/data/transforms_rgbt.py —
   RandomHorizontalFlip (p=0.5, joint; template & search share the roll —
   base_functions.py:177 + processing_rgbt.py:153-159 new_roll=False),
   ToTensorAndJitter (:207-244): RGB brightness jitter (factor U[1-b, 1+b]),
-  TIR gets an independent half-strength jitter then the JET colormap,
+  TIR draws an independent factor from the same full-strength distribution
+  (the reference's half-strength roll_tir is dead code) then the JET colormap,
   Normalize (ImageNet mean/std, both modalities).
 
 Outputs float32 HWC (normalised); channel-first conversion is not needed —

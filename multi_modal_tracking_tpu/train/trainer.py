@@ -76,15 +76,27 @@ class Trainer:
         # Warm starts (asymmetric_shared_ce.py:643-674 / base_trainer.py:230-272)
         # MAE backbone init first (asymmetric_shared_ce.py:515-533), then the
         # tracker-level checkpoints overwrite whatever they cover.
+        # A configured-but-missing path fails loudly (the reference's
+        # torch.load raises there too): silently training 150 epochs from
+        # random init is the worst possible failure mode.
         bb = cfg.MODEL.get("BACKBONE", {})
         mae_path = bb.get("PRETRAINED_PATH", "") if bb.get("PRETRAINED") else ""
-        if mae_path and os.path.isfile(mae_path):
+        if mae_path:
+            if not os.path.isfile(mae_path):
+                raise FileNotFoundError(
+                    f"MODEL.BACKBONE.PRETRAINED_PATH = {mae_path!r} not found "
+                    f"(cwd {os.getcwd()!r}); set MODEL.BACKBONE.PRETRAINED "
+                    f"False to train from random init")
             variables = ckpt.load_variables(mae_path, variables)
             print(f"warm start backbone from MAE pretrain {mae_path}")
         for key in ("TRACKER_PRETRAINED_PATH", "SCORE_PRETRAINED_PATH",
                     "RGBT_PRETRAINED_PATH"):
             path = cfg.MODEL.get(key, "")
-            if path and os.path.isfile(path):
+            if path:
+                if not os.path.isfile(path):
+                    raise FileNotFoundError(
+                        f"MODEL.{key} = {path!r} not found (cwd "
+                        f"{os.getcwd()!r}); clear the key to skip the warm start")
                 variables = ckpt.load_variables(path, variables)
                 print(f"warm start from {key} = {path}")
 

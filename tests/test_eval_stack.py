@@ -269,3 +269,31 @@ def test_update_interval_fallback_reads_max_sample_interval():
     assert update_interval_for(po.cfg, "vtuav") == 2**31 - 1
     import jax.numpy as jnp
     assert not bool((jnp.int32(7) % iv) == 0)
+
+
+def test_model_checkpoint_resolution_uses_save_dir(tmp_path, monkeypatch):
+    """--model resolves against env_settings().save_dir
+    (lib/test/parameter/asymmetric_shared_ce.py:30-34: save_dir/<model> when
+    TEST.LOAD_FROME_TRAIN_RESULT else save_dir/models/<model>)."""
+    import json
+    import os
+    from multi_modal_tracking_tpu.eval.params import get_parameters
+
+    pfile = tmp_path / "local_paths.json"
+    pfile.write_text(json.dumps({"save_dir": str(tmp_path / "out")}))
+    monkeypatch.setenv("MMT_LOCAL_PATHS", str(pfile))
+
+    p = get_parameters("asymmetric_shared_ce", model="MixFormerRGBT_ep0095.pth.tar")
+    assert p.checkpoint == os.path.join(
+        str(tmp_path / "out"), "models", "MixFormerRGBT_ep0095.pth.tar")
+
+    # LOAD_FROME_TRAIN_RESULT (tracking_vis.yaml) drops the models/ leg
+    pv = get_parameters("asymmetric_shared", tracking_yaml="tracking_vis",
+                        model="M.pth.tar")
+    assert pv.cfg.TEST.LOAD_FROME_TRAIN_RESULT
+    assert pv.checkpoint == os.path.join(str(tmp_path / "out"), "M.pth.tar")
+
+    # an explicit checkpoint always wins over --model
+    pc = get_parameters("asymmetric_shared_ce", checkpoint="/x/ckpt.pth.tar",
+                        model="M.pth.tar")
+    assert pc.checkpoint == "/x/ckpt.pth.tar"

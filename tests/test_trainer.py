@@ -127,3 +127,19 @@ def test_keep_rate_schedule_reference_mapping(tmp_path):
         bucketize_keep_rate(0.7, n_search))
     assert tr._keep_rate(100) == pytest.approx(
         bucketize_keep_rate(0.7, n_search))
+
+
+def test_missing_warmstart_path_fails_loudly(tmp_path):
+    """A configured-but-absent pretrain path must abort trainer construction
+    (the reference's torch.load raises there); silently training from random
+    init is unacceptable."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.MODEL.RGBT_PRETRAINED_PATH = "./models/does_not_exist.pth.tar"
+    with pytest.raises(FileNotFoundError, match="RGBT_PRETRAINED_PATH"):
+        _tiny_trainer(cfg, tmp_path)
+
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.MODEL.BACKBONE.PRETRAINED = True
+    cfg2.MODEL.BACKBONE.PRETRAINED_PATH = "./models/missing_mae.pth"
+    with pytest.raises(FileNotFoundError, match="BACKBONE.PRETRAINED_PATH"):
+        _tiny_trainer(cfg2, tmp_path)

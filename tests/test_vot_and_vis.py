@@ -248,6 +248,7 @@ def test_run_vot_exp_builds_unimodal_tracker_in_rgb_mode(tmp_path, monkeypatch):
 
     def fake_create(params, dataset_name="", mode="RGBT", **k):
         captured["mode"] = mode
+        captured["dataset_name"] = dataset_name
         return _Stub()
 
     monkeypatch.setattr("multi_modal_tracking_tpu.eval.params.get_parameters",
@@ -261,6 +262,9 @@ def test_run_vot_exp_builds_unimodal_tracker_in_rgb_mode(tmp_path, monkeypatch):
             req.image = req.image[0]
     vot_mod.run_vot20_lt_exp("mixformer_vit", server=server)
     assert captured["mode"] == "RGB"
+    # LT resolves its own UPDATE_INTERVALS.VOT20LT table entry
+    # (stark_vot20lt.py:22 passes 'vot20lt'), not the RGBD 'DepthTrack'
+    assert captured["dataset_name"] == "VOT20LT"
 
 
 def test_unimodal_tracker_rejects_unknown_mode():
