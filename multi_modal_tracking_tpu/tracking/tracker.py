@@ -241,7 +241,11 @@ class RGBTTrackerJit:
         t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
         ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
         s_vi = jnp.concatenate([sv, si], axis=0)
-        out = self.model.apply(variables, t_vi, ot_vi, s_vi, self.ce_keep_rate)
+        # test-time CE pools over ALL template rows: the reference tracker
+        # calls the network with ce_template_mask=None
+        # (asymmetric_shared_ce.py tracker :90-98, candidate_elimination :81-93)
+        out = self.model.apply(variables, t_vi, ot_vi, s_vi, self.ce_keep_rate,
+                               use_ce_template_mask=False)
         pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)      # cxcywh in [0,1]
         pred = pred * (self.search_size / rf)
         new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
@@ -371,7 +375,8 @@ class RGBTCachedTrackerJit(RGBTTrackerJit):
         s_vi = jnp.concatenate([sv, si], axis=0)
         out = self.model.apply(variables, st.cache, s_vi,
                                method=type(self.model).forward_track,
-                               ce_keep_rate=self.ce_keep_rate)
+                               ce_keep_rate=self.ce_keep_rate,
+                               use_ce_template_mask=False)
         pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
         pred = pred * (self.search_size / rf)
         new_state = clip_box(_map_box_back(pred, st.state, self.search_size, rf),
@@ -458,7 +463,7 @@ class RGBTOnlineTrackerJit:
         ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
         s_vi = jnp.concatenate([sv, si], axis=0)
         out = self.model.apply(variables, t_vi, ot_vi, s_vi, self.ce_keep_rate,
-                               run_score_head=True)
+                               use_ce_template_mask=False, run_score_head=True)
         pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
         pred_score = jax.nn.sigmoid(
             out["pred_scores"].reshape(-1)[0].astype(jnp.float32))
@@ -603,6 +608,7 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
         out = self.model.apply(variables, st.cache, s_vi,
                                method=type(self.model).forward_track,
                                ce_keep_rate=self.ce_keep_rate,
+                               use_ce_template_mask=False,
                                run_score_head=True)
         pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
         pred_score = jax.nn.sigmoid(
