@@ -171,3 +171,57 @@ def test_trajectory_parity_cached_path(flagship_pair):
     got = np.asarray([tracker.track([fv[t], fi[t]])["target_bbox"]
                       for t in range(1, N_FRAMES)], np.float32)
     np.testing.assert_allclose(got, want, atol=0.02, rtol=0)
+
+
+def test_trajectory_parity_unimodal():
+    """Unimodal (RGB) loop vs the reference mixformer_vit tracker flow
+    (lib/test/tracker/mixformer_vit.py — same crop/map-back/clip/update glue,
+    Preprocessor without the JET step)."""
+    from tests.test_torch_convert import _Oracle, DIM, HEADS, S_SZ as S_U, T_SZ as T_U
+    from multi_modal_tracking_tpu.models.mixformer import MixFormer, ViTSpec
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTrackerJit
+
+    torch.manual_seed(0)
+    oracle = _Oracle().eval()
+    spec = ViTSpec(search_size=S_U, template_size=T_U, embed_dim=DIM,
+                   depth=2, num_heads=HEADS, head_dim=DIM, drop_path_rate=0.0)
+    model = MixFormer(spec=spec)
+    tz = jnp.zeros((1, T_U, T_U, 3), jnp.float32)
+    sz = jnp.zeros((1, S_U, S_U, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), tz, tz, sz)
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    variables, _ = convert_state_dict(sd, variables, verbose=False)
+
+    fv, _, init_box = _frames(seed=2)
+
+    def norm1(a):
+        a = a.astype(np.float32) / 255.0
+        return torch.from_numpy((a - _MEAN) / _STD).permute(2, 0, 1)[None]
+
+    z, _, _ = sample_target(fv[0], init_box, TEMPLATE_FACTOR, T_U)
+    template = online = norm1(z)
+    state = [float(v) for v in init_box]
+    want = []
+    for t in range(1, N_FRAMES):
+        x, rf, _ = sample_target(fv[t], state, SEARCH_FACTOR, S_U)
+        with torch.no_grad():
+            pred = oracle(template, online, norm1(x)).reshape(-1, 4).mean(0)
+        cx, cy, w, h = (pred * S_U / rf).tolist()
+        cx_prev, cy_prev = state[0] + 0.5 * state[2], state[1] + 0.5 * state[3]
+        half = 0.5 * S_U / rf
+        cx, cy = cx + cx_prev - half, cy + cy_prev - half
+        state = _clip_box([cx - 0.5 * w, cy - 0.5 * h, w, h])
+        if t % UPDATE_INTERVAL == 0:
+            z, _, _ = sample_target(fv[t], state, TEMPLATE_FACTOR, T_U)
+            online = norm1(z)
+        want.append(list(state))
+
+    tracker = RGBTrackerJit(model=model, variables=variables,
+                            template_factor=TEMPLATE_FACTOR, template_size=T_U,
+                            search_factor=SEARCH_FACTOR, search_size=S_U,
+                            update_interval=UPDATE_INTERVAL, mode="RGB")
+    tracker.initialize(fv[0], {"init_bbox": init_box})
+    got = np.asarray([tracker.track(fv[t])["target_bbox"]
+                      for t in range(1, N_FRAMES)], np.float32)
+    np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                               atol=0.02, rtol=0)
