@@ -358,7 +358,11 @@ def map_torch_key(key: str, frozen_head_bn: bool = False):
     """One torch key -> (collection, flax path, transform), a list of such
     candidates, or None."""
     if "pos_embed" in key or "mask_token" in key or key.endswith("num_batches_tracked"):
-        return None
+        # deliberately absent twins: pos embeds are fixed sincos recomputed at
+        # setup (mixformer.py:215-229 stores them as requires_grad=False
+        # Parameters, so they DO appear in real checkpoints); IGNORE keeps
+        # strict=True loads of full reference .pth files clean.
+        return IGNORE
     for bb in ("backbone_v", "backbone_i", "backbone"):
         if key.startswith(bb + "."):
             rest = key[len(bb) + 1:]
