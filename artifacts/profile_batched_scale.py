@@ -29,12 +29,14 @@ def main():
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
-    from multi_modal_tracking_tpu.config import get_default_config
+    from multi_modal_tracking_tpu.eval.params import get_parameters
     from multi_modal_tracking_tpu.models.asymmetric_shared import build_mixformer_rgbt
     from multi_modal_tracking_tpu.tracking.batched import BatchedRGBTCachedTrackerJit
     from multi_modal_tracking_tpu.utils.checkpoint import cast_floating
 
-    cfg = get_default_config("asymmetric_shared_ce")
+    # the reference's shipped recipe, same parameter path as bench.py
+    cfg = get_parameters("asymmetric_shared_ce",
+                         "attention_lasher_newfusion_2layer").cfg
     model = build_mixformer_rgbt(cfg, dtype=jnp.bfloat16)
     t = jnp.zeros((2, 128, 128, 3), jnp.float32)
     s = jnp.zeros((2, 288, 288, 3), jnp.float32)

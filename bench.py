@@ -1,7 +1,10 @@
-"""Headline benchmark of the flagship RGB-T tracker (MixViT-B
-asymmetric_shared_ce: shared bimodal ViT-B backbone, candidate elimination at
-blocks 3/6/9 @ keep 0.7, 6-layer deformable-attention fusion, corner head;
-288 search / 128 template) on one chip — three workloads:
+"""Headline benchmark of the flagship RGB-T tracker — the reference's
+SHIPPED recipe (experiments/asymmetric_shared_ce/
+attention_lasher_newfusion_2layer.yaml + tracking.yaml overlay, loaded
+through the same eval/params.get_parameters path the eval stack uses):
+MixViT-B asymmetric_shared_ce, candidate elimination at blocks 3/6/9 @ keep
+0.7, 2-layer Attention_Fusion_Bimodal_LNSpecific deformable fusion,
+CORNER_UP head; 288 search / 128 template — on one chip, three workloads:
 
   1. single-stream tracking FPS (the headline metric, unchanged methodology
      round to round): H2D of two raw uint8 frames, on-device
@@ -77,7 +80,7 @@ def main():
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
-    from multi_modal_tracking_tpu.config import get_default_config
+    from multi_modal_tracking_tpu.eval.params import get_parameters
     from multi_modal_tracking_tpu.models.asymmetric_shared import build_mixformer_rgbt
     from multi_modal_tracking_tpu.tracking.tracker import RGBTCachedTrackerJit, _put
     from multi_modal_tracking_tpu.tracking.batched import BatchedRGBTCachedTrackerJit
@@ -86,7 +89,10 @@ def main():
     from multi_modal_tracking_tpu.train.train_step import TrainState, make_train_step
     from multi_modal_tracking_tpu.utils.checkpoint import cast_floating
 
-    cfg = get_default_config("asymmetric_shared_ce")
+    # the reference's shipped recipe + tracking.yaml, via the eval stack's
+    # own parameter path (same model the reference benchmarks)
+    cfg = get_parameters("asymmetric_shared_ce",
+                         "attention_lasher_newfusion_2layer").cfg
     model = build_mixformer_rgbt(cfg, dtype=jnp.bfloat16)
     t = jnp.zeros((2, 128, 128, 3), jnp.float32)
     s = jnp.zeros((2, 288, 288, 3), jnp.float32)
