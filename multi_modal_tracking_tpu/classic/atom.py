@@ -312,7 +312,8 @@ class ATOMTracker:
                                   feats["layer3"], box[None],
                                   method="get_modulation")
 
-    def _track_fn(self, nets, state: ATOMState, image, modulation):
+    def _track_fn(self, nets, state: ATOMState, image, modulation,
+                  frame_idx=0):
         feats, pxs = self._features_pyramid(nets["bb"], image, state.center,
                                             state.target_sz)
         scores = self._apply_filter(state.filt, feats["layer3"])  # (S, h, w)
@@ -357,8 +358,12 @@ class ATOMTracker:
                                           feats["layer2"][best][None],
                                           feats["layer3"][best][None],
                                           method="get_iou_feat")
+            # fold on the frame index, NOT mem_ptr: the ring pointer freezes
+            # on non-updating (uncertain/not-found) frames, which would reuse
+            # the same proposal jitter for the whole stretch — pytracking
+            # draws fresh proposals every frame (atom.py refine_target_box)
             rng = jax.random.fold_in(jax.random.PRNGKey(self.rng_seed + 3),
-                                     state.mem_ptr)
+                                     frame_idx)
             refined, _ = refine_box_iounet(
                 self.iou_net, nets["iou"], iou_feat, modulation, box, rng,
                 num_random=self.num_random_boxes, steps=self.refine_steps,
@@ -412,8 +417,9 @@ class ATOMTracker:
     def track(self, image: np.ndarray, info: Optional[dict] = None) -> dict:
         self._frame += 1
         img = jnp.asarray(np.asarray(image), jnp.float32)
-        self._state, conf, flag = self._track_jit(self._nets, self._state,
-                                                  img, self._mod)
+        self._state, conf, flag = self._track_jit(
+            self._nets, self._state, img, self._mod,
+            jnp.asarray(self._frame, jnp.int32))
         flag = int(flag)
         # filter refresh (atom.py:285-289): immediate boosted run on a hard
         # negative, otherwise the periodic schedule (train_skipping)

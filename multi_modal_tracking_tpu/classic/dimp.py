@@ -233,7 +233,8 @@ class DiMPTracker:
                                   feats["layer3"], box[None],
                                   method="get_modulation")
 
-    def _track_fn(self, nets, state: DiMPState, image, modulation):
+    def _track_fn(self, nets, state: DiMPState, image, modulation,
+                  frame_idx=0):
         feats, clf_feat, px = self._features(nets, image, state.center,
                                              state.target_sz)
         score = self.classifier.apply(nets["clf"], state.filt, clf_feat,
@@ -268,8 +269,11 @@ class DiMPTracker:
             iou_feat = self.iou_net.apply(nets["iou"], feats["layer2"],
                                           feats["layer3"],
                                           method="get_iou_feat")
+            # fold on the frame index, NOT mem_ptr (frozen on non-updating
+            # frames -> identical proposal jitter reused for the stretch;
+            # pytracking samples fresh proposals every frame)
             rng = jax.random.fold_in(jax.random.PRNGKey(self.rng_seed + 4),
-                                     state.mem_ptr)
+                                     frame_idx)
             best, _ = refine_box_iounet(
                 self.iou_net, nets["iou"], iou_feat, modulation, box, rng,
                 num_random=self.num_random_boxes, steps=self.refine_steps,
@@ -318,8 +322,9 @@ class DiMPTracker:
     def track(self, image: np.ndarray, info: Optional[dict] = None) -> dict:
         self._frame += 1
         img = jnp.asarray(np.asarray(image), jnp.float32)
-        self._state, conf, flag = self._track_jit(self._nets, self._state,
-                                                  img, self._mod)
+        self._state, conf, flag = self._track_jit(
+            self._nets, self._state, img, self._mod,
+            jnp.asarray(self._frame, jnp.int32))
         flag = int(flag)
         # filter refresh (dimp.py update_classifier): immediate short run on a
         # hard negative; otherwise the train_skipping schedule, and only on

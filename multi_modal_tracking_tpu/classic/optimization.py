@@ -165,10 +165,13 @@ def gradient_descent_l2(loss_fn: Callable[[Pytree], jax.Array], x0: Pytree,
 
 def steepest_descent_quadratic(A: Callable[[Pytree], Pytree], b: Pytree,
                                x0: Pytree, num_iter: int = 5) -> Pytree:
-    """Steepest descent with exact line search on 0.5 x^T A x - b^T x —
-    the inner optimizer shape used by DiMP's filter update (the reference's
-    learned steepest-descent module computes the same alpha = r^T r / r^T A r
-    step, ltr/models/target_classifier/optimizer.py in upstream pytracking)."""
+    """Steepest descent with exact line search on 0.5 x^T A x - b^T x.
+
+    Generic solver of the CG library (reference
+    external/AR/pytracking/libs/optimization.py ships the same family of
+    stand-alone solvers). NOT on the production DiMP path: the tracker uses
+    the learned DiMPSteepestDescentGN module (classic/dimpnet.py), which
+    computes the same alpha = r^T r / r^T A r step with learned weights."""
     def body(x, _):
         r = jax.tree_util.tree_map(lambda u, v: u - v, b, A(x))
         Ar = A(r)

@@ -316,10 +316,20 @@ class TC128Dataset(_SimpleSeqDataset):
         anno = next(f for f in self._anno_files
                     if os.path.basename(os.path.dirname(f)) == name)
         seq_dir = os.path.dirname(anno)
-        rng_file = glob.glob(os.path.join(seq_dir, "*_frames.txt"))[0]
-        start, end = np.loadtxt(rng_file, dtype=int, delimiter=",").reshape(-1)[:2]
-        frames = [os.path.join(seq_dir, "img", f"{i:04d}.jpg")
-                  for i in range(int(start), int(end) + 1)]
+        rng_files = glob.glob(os.path.join(seq_dir, "*_frames.txt"))
+        if rng_files:
+            start, end = np.loadtxt(rng_files[0], dtype=int,
+                                    delimiter=",").reshape(-1)[:2]
+            frames = [os.path.join(seq_dir, "img", f"{i:04d}.jpg")
+                      for i in range(int(start), int(end) + 1)]
+        else:
+            # gt file present but no frames-range file: enumerate img/ directly
+            img_dir = os.path.join(seq_dir, "img")
+            if not os.path.isdir(img_dir):
+                img_dir = seq_dir
+            frames = sorted(
+                glob.glob(os.path.join(img_dir, "*.jpg"))
+                + glob.glob(os.path.join(img_dir, "*.png")))
         gt = load_text(anno, delimiter=(",", None)).reshape(-1, 4)
         return Sequence(name, frames, "tc128", gt)
 

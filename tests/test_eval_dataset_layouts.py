@@ -298,6 +298,16 @@ def test_tc128_range_layout_and_ce_filter(data_root):
     assert [s.name for s in _load("tc128ce")] == ["Airport_ce"]
 
 
+def test_tc128_missing_frames_file_falls_back_to_img_listing(data_root):
+    """A sequence with a *_gt.txt but no *_frames.txt must enumerate img/
+    instead of raising IndexError (partial/nonstandard TC-128 layouts)."""
+    os.remove(str(data_root / "tc128" / "Skating" / "Skating_frames.txt"))
+    seqs = {s.name: s for s in _load("tc128")}
+    sk = seqs["Skating"]
+    assert len(sk.frames) == N + 2            # all img/*.jpg files, sorted
+    assert sk.frames[0].endswith(os.path.join("img", "0003.jpg"))
+
+
 def test_simple_layout_fallback(tmp_path, monkeypatch):
     """Without the table layout, OTB/UAV/NFS fall back to generic
     <seq>/img + groundtruth_rect.txt globbing."""
