@@ -36,15 +36,20 @@ def calc_iou_overlap(pred_bb: np.ndarray, anno_bb: np.ndarray) -> np.ndarray:
 
 
 def _align_lengths(pred_bb: np.ndarray, n_anno: int, dataset: str,
-                   first_anno_rect: np.ndarray) -> np.ndarray:
-    """Length-mismatch repairs (extract_results.py:129-154)."""
+                   first_anno_rect: np.ndarray,
+                   vot_repair: bool = False) -> np.ndarray:
+    """Length-mismatch repairs (extract_results.py:129-154). The
+    prepend-GT VOT-toolkit repair (pred == n_anno-1) exists only in the
+    RGBT variant (extract_results.py:136-138); the unimodal path
+    (extract_results.py:60-77) zero-pads short results at the END —
+    prepending there would shift every prediction by one frame."""
     if pred_bb.shape[0] == n_anno:
         return pred_bb
     if dataset == "lasot":
         if pred_bb.shape[0] > n_anno:
             return pred_bb[:n_anno]
         raise ValueError("Mis-match in tracker prediction and GT lengths")
-    if pred_bb.shape[0] == n_anno - 1:
+    if vot_repair and pred_bb.shape[0] == n_anno - 1:
         # VOT-toolkit results drop the init frame; restore it from GT.
         return np.concatenate([first_anno_rect[None], pred_bb], axis=0)
     if pred_bb.shape[0] > n_anno:
@@ -126,7 +131,8 @@ def calc_seq_err_robust_rgbt(pred_bb: np.ndarray, anno_bb_vi: np.ndarray,
         # sparse 10-frame annotations: evaluate every 10th prediction
         pred_bb = pred_bb[0::10]
 
-    pred_bb = _align_lengths(pred_bb, anno_bb_vi.shape[0], dataset, anno_bb_vi[0, 0])
+    pred_bb = _align_lengths(pred_bb, anno_bb_vi.shape[0], dataset,
+                             anno_bb_vi[0, 0], vot_repair=True)
     pred_bb[0] = anno_bb_vi[0, 0]          # first frame forced to the RGB gt
 
     err_center_m, err_center_norm_m, err_overlap_m = [], [], []

@@ -42,9 +42,19 @@ class JointAugment:
     @staticmethod
     def apply_image_pair(img_v: np.ndarray, img_i: np.ndarray, state: dict):
         if state["gray"]:
-            # RGB modality only (transforms_rgbt.py ToGrayscale).
-            g = (0.299 * img_v[..., 0] + 0.587 * img_v[..., 1] + 0.114 * img_v[..., 2])
-            img_v = np.stack([g, g, g], axis=-1).astype(img_v.dtype)
+            # RGB modality only (transforms_rgbt.py ToGrayscale). cv2's
+            # cvtColor(RGB2GRAY) is fixed point — (9798 R + 19235 G + 3735 B
+            # + 16384) >> 15 — i.e. rounds to nearest; a float astype would
+            # truncate ~half of all pixels one level darker
+            # (bit-exactness verified in tests/test_data_pipeline.py).
+            if np.issubdtype(img_v.dtype, np.integer):
+                r, gg, b = (img_v[..., c].astype(np.int32) for c in range(3))
+                g = (9798 * r + 19235 * gg + 3735 * b + (1 << 14)) >> 15
+                g = g.astype(img_v.dtype)
+            else:
+                g = (0.299 * img_v[..., 0] + 0.587 * img_v[..., 1]
+                     + 0.114 * img_v[..., 2]).astype(img_v.dtype)
+            img_v = np.stack([g, g, g], axis=-1)
         if state["flip"]:
             img_v = img_v[:, ::-1].copy()
             img_i = img_i[:, ::-1].copy()

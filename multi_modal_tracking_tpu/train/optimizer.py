@@ -153,7 +153,13 @@ def make_epoch_schedule(cfg, steps_per_epoch: int):
 def make_optimizer(cfg, params, steps_per_epoch: int = 1) -> optax.GradientTransformation:
     """AdamW with regime param groups, global-norm clip and accumulation."""
     lab, mults = _regime_labeler(cfg)
-    scale = make_epoch_schedule(cfg, steps_per_epoch)
+    accum = cfg.TRAIN.get("ACCUM_ITER", 1) or 1
+    # Under MultiSteps the inner AdamW's schedule sees the inner step count,
+    # which advances once per ACCUM_ITER loader batches — convert the
+    # loader-batch epoch length into applied-update units, or the epoch
+    # schedule would run ACCUM_ITER x too slow vs the reference's per-epoch
+    # StepLR/MultiStepLR (rgbt_trainer.py accum_iter + base_functions.py:525).
+    scale = make_epoch_schedule(cfg, max(1, steps_per_epoch // accum))
     base_lr = cfg.TRAIN.LR
     wd = cfg.TRAIN.WEIGHT_DECAY
 
@@ -174,8 +180,7 @@ def make_optimizer(cfg, params, steps_per_epoch: int = 1) -> optax.GradientTrans
         optax.clip_by_global_norm(cfg.TRAIN.GRAD_CLIP_NORM),
         optax.multi_transform(transforms, labels),
     )
-    accum = cfg.TRAIN.get("ACCUM_ITER", 1)
-    if accum and accum > 1:
+    if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
 

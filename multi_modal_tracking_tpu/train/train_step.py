@@ -85,6 +85,15 @@ def make_train_step(model, tx, mesh=None, rgbt: bool = True,
     parallel.mesh.param_shardings for tensor parallelism over a 2-D mesh);
     default replicates params and shards only the batch on the 'data' axis.
     """
+    # SPM stage-2 parity (actors/mixformer_rgbt.py:18-26): the reference puts
+    # the whole net in eval() and trains ONLY score_branch — corner-head /
+    # fusion BN keep their stage-1 running stats (no re-estimation on the SPM
+    # sample distribution, which contains negatives) and drop-path/dropout in
+    # the frozen net are off. So train_score runs the forward in eval mode;
+    # gradients still flow to the score params (the optimizer regime zeroes
+    # everything else).
+    net_train = not train_score
+
     def _forward(params, batch_stats, batch, ce_keep_rate, rngs):
         variables = {"params": params}
         if batch_stats:
@@ -94,16 +103,15 @@ def make_train_step(model, tx, mesh=None, rgbt: bool = True,
             ot = jnp.concatenate([batch["online_template_v"], batch["online_template_i"]], axis=0)
             s = jnp.concatenate([batch["search_v"], batch["search_i"]], axis=0)
             args = (t, ot, s, ce_keep_rate)
-            kwargs = dict(run_score_head=train_score,
-                          gt_bboxes=batch.get("gt_xyxy"),
-                          deterministic=False, train=True)
         else:
             args = (batch["template"], batch["online_template"], batch["search"])
-            kwargs = dict(run_score_head=train_score, gt_bboxes=batch.get("gt_xyxy"),
-                          deterministic=False, train=True)
+        kwargs = dict(run_score_head=train_score, gt_bboxes=batch.get("gt_xyxy"),
+                      deterministic=not net_train, train=net_train)
         out, mutated = model.apply(variables, *args, mutable=["batch_stats"],
                                    rngs=rngs, **kwargs)
-        return out, mutated.get("batch_stats", {})
+        # eval-mode forward mutates nothing: keep the existing running stats
+        # (an empty dict here would wipe them from the TrainState)
+        return out, mutated.get("batch_stats", batch_stats) or batch_stats
 
     def loss_fn(params, batch_stats, batch, ce_keep_rate, rngs):
         out, new_stats = _forward(params, batch_stats, batch, ce_keep_rate, rngs)

@@ -200,3 +200,23 @@ def test_val_processing_is_deterministic_no_augment():
     np.testing.assert_array_equal(a["template_images_v"][0], b["template_images_v"][0])
     np.testing.assert_array_equal(a["search_images_i"][0], b["search_images_i"][0])
     np.testing.assert_array_equal(a["search_anno_v"][0], b["search_anno_v"][0])
+
+
+def test_joint_grayscale_matches_cv2_fixed_point():
+    """ToGrayscale parity (transforms_rgbt.py:276-300 uses
+    cv2.cvtColor(RGB2GRAY), which is fixed point and rounds to nearest —
+    a float astype truncation is 1 level darker on ~half of all pixels)."""
+    import cv2
+
+    from multi_modal_tracking_tpu.train.data.transforms import JointAugment
+
+    rng = np.random.default_rng(7)
+    img_v = rng.integers(0, 256, (40, 50, 3), np.uint8)
+    img_i = rng.integers(0, 256, (40, 50, 3), np.uint8)
+    out_v, out_i = JointAugment.apply_image_pair(
+        img_v, img_i, {"gray": True, "flip": False})
+    want = cv2.cvtColor(img_v, cv2.COLOR_RGB2GRAY)
+    np.testing.assert_array_equal(out_v[..., 0], want)
+    np.testing.assert_array_equal(out_v[..., 1], want)
+    np.testing.assert_array_equal(out_v[..., 2], want)
+    np.testing.assert_array_equal(out_i, img_i)   # TIR untouched by grayscale

@@ -98,6 +98,19 @@ def test_robust_vot_off_by_one_repair():
     assert ov.shape[0] == n and (ov == 1.0).all()
 
 
+def test_unimodal_short_result_pads_at_end_not_prepend():
+    """extract_results.py:60-77: the unimodal path zero-pads short results
+    at the END; the prepend-GT VOT repair belongs to the RGBT variant only.
+    Prepending here would shift every prediction by one frame."""
+    n = 10
+    anno = np.tile([10.0, 10.0, 20.0, 20.0], (n, 1))
+    pred = np.tile([10.0, 10.0, 20.0, 20.0], (n - 1, 1))  # one frame short
+    ov, *_ = M.calc_seq_err_robust(pred, anno, "otb")
+    assert ov.shape[0] == n
+    assert (ov[:-1] == 1.0).all()          # aligned frames still perfect...
+    assert ov[-1] == 0.0                   # ...and only the END is zero-padded
+
+
 def test_invalid_annotation_marked():
     n = 6
     anno = np.tile([10.0, 10.0, 20.0, 20.0], (n, 1))

@@ -143,3 +143,109 @@ def test_missing_warmstart_path_fails_loudly(tmp_path):
     cfg2.MODEL.BACKBONE.PRETRAINED_PATH = "./models/missing_mae.pth"
     with pytest.raises(FileNotFoundError, match="BACKBONE.PRETRAINED_PATH"):
         _tiny_trainer(cfg2, tmp_path)
+
+
+def test_lr_schedule_counts_applied_updates_under_accumulation(tmp_path):
+    """TRAIN.ACCUM_ITER>1: optax.MultiSteps advances the inner AdamW step
+    count once per accumulation group, so the epoch schedule must be
+    expressed in applied updates — the reference's per-epoch StepLR
+    (base_functions.py:525-532) drops at real epoch boundaries regardless
+    of accum_iter."""
+    import jax.numpy as jnp
+    import optax
+
+    from multi_modal_tracking_tpu.train.optimizer import make_optimizer
+
+    cfg = get_default_config("mixformer_vit")      # default unimodal regime
+    cfg.TRAIN.ACCUM_ITER = 3
+    cfg.TRAIN.SCHEDULER.TYPE = "step"
+    cfg.TRAIN.LR_DROP_EPOCH = 1
+    steps_per_epoch = 6                # loader batches -> 2 updates/epoch
+
+    params = {"box_head": {"w": jnp.ones((4,))}}   # "main" group
+    tx = make_optimizer(cfg, params, steps_per_epoch=steps_per_epoch)
+    state = tx.init(params)
+    g = {"box_head": {"w": jnp.full((4,), 0.5)}}
+    deltas, p = [], params
+    for _ in range(2 * steps_per_epoch):           # two epochs of batches
+        upd, state = tx.update(g, state, p)
+        newp = optax.apply_updates(p, upd)
+        d = float(jnp.abs(newp["box_head"]["w"] - p["box_head"]["w"]).max())
+        if d > 0:
+            deltas.append(d)
+        p = newp
+    assert len(deltas) == 4                        # one update per 3 batches
+    # constant grads -> Adam update magnitude ~ lr: epoch-1 updates must be
+    # ~10x smaller than epoch-0's (pre-fix they stayed at full LR for 3x
+    # too many epochs)
+    assert deltas[1] == pytest.approx(deltas[0], rel=0.2)
+    assert deltas[2] < 0.3 * deltas[0]
+    assert deltas[3] < 0.3 * deltas[0]
+
+
+def test_stage2_score_training_runs_net_in_eval_mode(tmp_path):
+    """SPM stage 2 (train_score): the reference puts the whole net in eval()
+    and trains ONLY score_branch (actors/mixformer_rgbt.py:18-26) — corner
+    head BN keeps its stage-1 running stats. Pre-fix, the step ran the net
+    with train=True and committed re-estimated BN stats on the SPM batch."""
+    import dataclasses as _dc
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from multi_modal_tracking_tpu.models.build import build_model
+    from multi_modal_tracking_tpu.train.optimizer import make_optimizer
+    from multi_modal_tracking_tpu.train.train_step import (TrainState,
+                                                           make_train_step)
+
+    cfg = get_default_config("asymmetric_shared_online")
+    cfg.DATA.SEARCH.SIZE = 64
+    cfg.DATA.TEMPLATE.SIZE = 32
+    cfg.MODEL.FUSION_LAYERS = 1
+    cfg.TRAIN.TRAIN_SCORE = True
+    model = build_model("asymmetric_shared_online", cfg)
+    spec = _dc.replace(model.spec, depth=2, embed_dim=64, num_heads=2,
+                       head_dim=32, ce_loc=())
+    model = type(model)(spec=spec, with_score=model.with_score,
+                        dtype=model.dtype)
+
+    B = 2
+    rng = np.random.default_rng(0)
+    mk = lambda s: jnp.asarray(rng.standard_normal((B, s, s, 3)), jnp.float32)
+    batch = {
+        "template_v": mk(32), "template_i": mk(32),
+        "online_template_v": mk(32), "online_template_i": mk(32),
+        "search_v": mk(64), "search_i": mk(64),
+        "gt_xywh": jnp.asarray(rng.uniform(0.3, 0.4, (B, 4)), jnp.float32),
+        "labels": jnp.asarray([1.0, 0.0], jnp.float32),
+    }
+    tmpl = jnp.zeros((2 * B, 32, 32, 3), jnp.float32)
+    srch = jnp.zeros((2 * B, 64, 64, 3), jnp.float32)
+    variables = jax.jit(functools.partial(model.init, run_score_head=True))(
+        jax.random.PRNGKey(0), tmpl, tmpl, srch)
+    assert variables.get("batch_stats"), "test needs BN stats in the head"
+
+    tx = make_optimizer(cfg, variables["params"], steps_per_epoch=10)
+    state = TrainState.create(variables, tx)
+    # the step donates its input state: snapshot to host first
+    old_stats = jax.tree.map(np.asarray, state.batch_stats)
+    old_params = jax.tree.map(np.asarray, state.params)
+    step = make_train_step(model, tx, rgbt=True, train_score=True)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["Loss/total"]))
+
+    # BN running stats untouched by the stage-2 step
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(old_stats)[0],
+            jax.tree_util.tree_flatten_with_path(new_state.batch_stats)[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # only score params move (the regime freezes everything else)
+    flat_old = jax.tree_util.tree_flatten_with_path(old_params)[0]
+    flat_new = jax.tree_util.tree_flatten_with_path(new_state.params)[0]
+    moved = {jax.tree_util.keystr(pa) for (pa, a), (_, b) in
+             zip(flat_old, flat_new)
+             if not np.array_equal(np.asarray(a), np.asarray(b))}
+    assert moved and all("score" in k for k in moved), moved
