@@ -19,7 +19,7 @@ def hann1d(n: int, centered: bool = True) -> jax.Array:
     """(dcf.py hann1d) Centered or half-shifted 1-D Hann window."""
     if centered:
         return 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * jnp.arange(1, n + 1) / (n + 1)))
-    w = 0.5 * (1.0 + jnp.cos(2.0 * jnp.pi * jnp.arange(0, n // 2 + 1) / (n + 1)))
+    w = 0.5 * (1.0 + jnp.cos(2.0 * jnp.pi * jnp.arange(0, n // 2 + 1) / (n + 2)))
     return jnp.concatenate([w, jnp.flip(w[1: n - n // 2])])
 
 

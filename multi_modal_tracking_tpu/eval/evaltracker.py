@@ -71,8 +71,13 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
     if is_rgbt_script(script):
         from multi_modal_tracking_tpu.tracking.tracker import (
             RGBTOnlineTrackerJit, RGBTTrackerJit)
-        bb = cfg.MODEL.BACKBONE
-        ce_rate = (bb.CE_KEEP_RATIO[-1] if bb.get("CE_KEEP_RATIO", None) else None)
+        # ce_keep_rate=None at test time: the reference tracker calls the
+        # network without a keep rate (tracker/asymmetric_shared_ce.py:90-98),
+        # so each CE block uses its OWN configured keep_ratio_search — a
+        # runtime rate would override every block with one value, wrong for
+        # per-block CE_KEEP_RATIO configs (identical for the shipped uniform
+        # [0.7, 0.7, 0.7]).
+        ce_rate = None
         # cached-template fast path (bit-identical trajectories at ~40%
         # fewer backbone FLOPs/frame, tests/test_tracker.py equality) — only
         # for models that implement set_online/forward_track (the

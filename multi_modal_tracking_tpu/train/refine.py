@@ -105,34 +105,38 @@ def build_refine_trainer(input_sz: int = 256, lr: float = 1e-3,
 def batch_from_box_dataset(samples, input_sz: int, rng: np.random.Generator):
     """Host-side batch builder: each sample is (ref_img, ref_box, test_img,
     test_box_or_mask) in full-image coords; crops both frames 2x around the
-    box (ARcm_seg search_factor) and rasterises the target mask."""
-    from multi_modal_tracking_tpu.models.alpha_refine import (_IMAGENET_MEAN,
-                                                              _IMAGENET_STD)
-    from multi_modal_tracking_tpu.train.data.processing_utils import sample_target
+    box and rasterises the target mask.
+
+    Crop geometry is the ANISOTROPIC sample_target_se — the same window the
+    ARcmSeg inference wrapper feeds the net (ARcm_seg.py crops ws=2w x hs=2h
+    squashed to a square; AR's ltr trained with the matching SE processing).
+    Training on square sample_target crops would show the net undistorted
+    images it never sees at inference."""
+    from multi_modal_tracking_tpu.models.alpha_refine import (
+        _IMAGENET_MEAN, _IMAGENET_STD, sample_target_se,
+        transform_box_to_crop_se)
 
     def _norm(img):   # ARcm_seg.img_preprocess normalisation
         return ((img.astype(np.float32) / 255.0) - _IMAGENET_MEAN) / _IMAGENET_STD
 
     ref_images, ref_boxes, test_images, test_masks = [], [], [], []
     for ref_img, ref_box, test_img, test_tgt in samples:
-        crop_r, rf_r, _ = sample_target(ref_img, ref_box, 2.0, input_sz)
-        w, h = ref_box[2] * rf_r, ref_box[3] * rf_r
-        c = input_sz / 2.0
-        ref_boxes.append(np.asarray([c - w / 2, c - h / 2, w, h], np.float32))
+        crop_r, hf_r, wf_r = sample_target_se(ref_img, ref_box, 2.0, input_sz)
+        ref_boxes.append(transform_box_to_crop_se(ref_box, hf_r, wf_r,
+                                                  input_sz))
         ref_images.append(_norm(crop_r))
         if isinstance(test_tgt, np.ndarray) and test_tgt.ndim == 2:
             # real mask: crop it with the same window as the image
             box = _mask_box(test_tgt)
-            crop_t, rf_t, _ = sample_target(test_img, box, 2.0, input_sz)
-            m, _, _ = sample_target(test_tgt[..., None].repeat(3, -1) * 255.0,
-                                    box, 2.0, input_sz)
+            crop_t, _, _ = sample_target_se(test_img, box, 2.0, input_sz)
+            m, _, _ = sample_target_se(test_tgt[..., None].repeat(3, -1) * 255.0,
+                                       box, 2.0, input_sz)
             mask = (m[..., :1] > 127).astype(np.float32)
         else:
             box = np.asarray(test_tgt, np.float32)
-            crop_t, rf_t, _ = sample_target(test_img, box, 2.0, input_sz)
-            w, h = box[2] * rf_t, box[3] * rf_t
-            mask = box_to_mask([c - w / 2, c - h / 2, w, h], input_sz,
-                               input_sz)[..., None]
+            crop_t, hf_t, wf_t = sample_target_se(test_img, box, 2.0, input_sz)
+            bic = transform_box_to_crop_se(box, hf_t, wf_t, input_sz)
+            mask = box_to_mask(bic, input_sz, input_sz)[..., None]
         test_images.append(_norm(crop_t))
         test_masks.append(mask)
     return {"ref_images": np.stack(ref_images),

@@ -115,3 +115,18 @@ def test_steepest_descent_quadratic():
                                    jnp.zeros(8), num_iter=60)
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_hann1d_uncentered_matches_pytracking():
+    """pytracking dcf.py hann1d(centered=False) uses denominator (sz+2);
+    an (sz+1) port deviates by up to 0.10 at sz=8."""
+    import math
+
+    from multi_modal_tracking_tpu.classic.dcf import hann1d
+
+    for n in (8, 9, 16, 17):
+        w = 0.5 * (1 + np.cos((2 * math.pi / (n + 2)) * np.arange(0, n // 2 + 1)))
+        want = np.concatenate([w, w[1:n - n // 2][::-1]])
+        np.testing.assert_allclose(np.asarray(hann1d(n, centered=False)),
+                                   want, rtol=1e-6)
+        assert len(want) == n

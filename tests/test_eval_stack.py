@@ -202,6 +202,11 @@ def test_create_tracker_flagship_uses_cached_path():
     tracker = create_tracker(_tiny_params("asymmetric_shared_ce"),
                              dtype=jnp.float32)
     assert isinstance(tracker, RGBTCachedTrackerJit)
+    # Reference trackers call the net with NO runtime keep rate
+    # (tracker/asymmetric_shared_ce.py:90-98): each CE block uses its own
+    # configured keep_ratio_search. A runtime rate would override all
+    # blocks with one value — wrong for per-block CE_KEEP_RATIO configs.
+    assert tracker.ce_keep_rate is None
 
 
 def test_read_depth_as_rgb_reference_semantics(tmp_path):

@@ -57,3 +57,30 @@ def test_real_mask_target_path():
     m = batch["test_masks"][0, :, :, 0]
     # mask occupies ~ (1/2)^2 of the 2x crop
     assert 0.1 < m.mean() < 0.5
+
+
+def test_training_crops_match_inference_geometry():
+    """The training batch must use the ANISOTROPIC sample_target_se window —
+    the same crop ARcmSeg feeds the net at inference (ARcm_seg.py). For a
+    wide box the in-crop box must fill ~the whole crop width and ~half its
+    height (2x factor per axis), not the square-crop geometry."""
+    pytest.importorskip("cv2")
+    rng = np.random.default_rng(2)
+    img = rng.integers(30, 60, (240, 320, 3), np.uint8)
+    box = np.asarray([60.0, 100.0, 120.0, 30.0])      # 4:1 aspect
+    batch = batch_from_box_dataset([(img, box, img, box)], 64, rng)
+    x, y, w, h = batch["ref_boxes"][0]
+    assert w == pytest.approx(32, abs=2)              # 120 / (2*120) * 64
+    assert h == pytest.approx(32, abs=2)              # 30 / (2*30) * 64
+    # and the rasterised target mask is ~square for the same reason
+    m = batch["test_masks"][0, :, :, 0]
+    ys, xs = np.nonzero(m)
+    assert (xs.max() - xs.min() + 1) == pytest.approx(32, abs=2)
+    assert (ys.max() - ys.min() + 1) == pytest.approx(32, abs=2)
+
+    # cross-check against the inference wrapper's own crop box
+    from multi_modal_tracking_tpu.models.alpha_refine import (
+        sample_target_se, transform_box_to_crop_se)
+    _, hf, wf = sample_target_se(img, box, 2.0, 64)
+    np.testing.assert_allclose(batch["ref_boxes"][0],
+                               transform_box_to_crop_se(box, hf, wf, 64))
