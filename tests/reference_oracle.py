@@ -266,6 +266,27 @@ def install():
     # make .cuda() a no-op for the oracle process.
     torch.Tensor.cuda = lambda self, *a, **k: self
     nn.Module.cuda = lambda self, *a, **k: self
+    # lib/test/tracker/*.py __init__ also asks for the current CUDA device and
+    # maps checkpoint storages onto it (asymmetric_shared_ce.py:17-19)
+    torch.cuda.current_device = lambda: 0
+    torch.UntypedStorage.cuda = lambda self, *a, **k: self
+    torch.TypedStorage.cuda = lambda self, *a, **k: self
+    # torch._six was removed in torch 2.x; lib/train/data/loader.py:5 still
+    # imports string_classes from it
+    six_mod = _mk_module("torch._six")
+    six_mod.string_classes = (str, bytes)
+    six_mod.int_classes = (int,)
+    torch._six = six_mod
+    # lib/train/data/image_loader.py:1 imports jpeg4py (libjpeg-turbo binding)
+    # at module scope; its loaders fall back to cv2 on any failure, so a
+    # raising stub keeps genuine behaviour
+    jpeg_mod = _mk_module("jpeg4py")
+
+    class _JPEG:
+        def __init__(self, *a, **k):
+            raise RuntimeError("jpeg4py unavailable in oracle environment")
+
+    jpeg_mod.JPEG = _JPEG
     _install_easydict()
     _install_timm()
     _install_torchvision()
