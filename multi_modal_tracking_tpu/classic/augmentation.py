@@ -33,6 +33,16 @@ DEFAULT_AUGMENTATION = {
     "dropout": (2, 0.2),
 }
 
+# ECO's own init-augmentation zoo (parameter/eco/default.py:53-57), verbatim:
+# 4 absolute shifts, flip, 12 rotations, 5 blurs, 7 dropout feature copies
+ECO_AUGMENTATION = {
+    "fliplr": True,
+    "rotate": [5, -5, 10, -10, 20, -20, 30, -30, 45, -45, -60, 60],
+    "blur": [(2, 0.2), (0.2, 2), (3, 1), (1, 3), (2, 2)],
+    "shift": [(6, 6), (-6, 6), (6, -6), (-6, -6)],
+    "dropout": (7, 0.2),
+}
+
 
 def translate(img: jax.Array, ty: int, tx: int) -> jax.Array:
     """Shift content by (+ty, +tx) px with zero fill (augmentation.py

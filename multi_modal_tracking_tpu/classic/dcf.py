@@ -193,3 +193,58 @@ def localize_advanced(score: jax.Array, target_sz_score: jax.Array,
         FLAG_NORMAL).astype(jnp.int32)
     disp = jnp.where(c_hn_switch & ~c_nf, d2, d1)
     return disp, flag, s1
+
+
+def reg_window(h: int, w: int, target_sz: jax.Array, *,
+               window_min: float, window_edge: float,
+               window_power: float = 2.0, sparsity_threshold: float = 0.05,
+               square: bool = False) -> jax.Array:
+    """ECO/CCOT spatial regularization window (dcf.py get_reg_filter:106-152),
+    as the SPATIAL penalty weight instead of cropped DFT taps.
+
+    The reference builds a polynomial bowl over the sample support, takes its
+    DFT, zeroes coefficients below `sparsity_threshold` of the max (so the
+    filter-optimization residual stays a few-tap convolution on the filter
+    spectrum), corrects the DC tap so the sparsified window's minimum is back
+    at `window_min`, then crops the taps.  Convolving the filter spectrum
+    with the FULL sparsified tap set is exactly multiplying the spatial
+    filter by the sparsified window, so the TPU-native formulation keeps the
+    window in the spatial domain: penalty residual = fft2(W * ifft2(f)).
+    Equivalence with the reference taps is pinned by
+    tests/test_eco_reg_window.py against the imported reference
+    get_reg_filter.
+
+    Built on the (h, w) feature grid with `target_sz` = (th, tw) in feature
+    cells (the reference builds at image resolution and applies the cropped
+    taps on the feature-grid spectrum — same target/support ratio, one grid).
+    Fully traceable: target_sz may be a runtime value.  Returns W in
+    origin-at-(0,0) layout matching the filter's spatial layout.
+    """
+    target_sz = jnp.asarray(target_sz, jnp.float32)
+    if square:
+        side = jnp.sqrt(target_sz.prod())
+        target_sz = jnp.stack([side, side])
+    reg_scale = 0.5 * target_sz
+    # centred grid, zero at index (n-1)//2 (get_reg_filter:120-121)
+    wrg = (jnp.arange(h, dtype=jnp.float32) - (h - 1) // 2)[:, None]
+    wcg = (jnp.arange(w, dtype=jnp.float32) - (w - 1) // 2)[None, :]
+    win = (window_edge - window_min) * (
+        jnp.abs(wrg / reg_scale[0]) ** window_power +
+        jnp.abs(wcg / reg_scale[1]) ** window_power) + window_min
+    # sparsify the DFT (:134-136)
+    dft = jnp.fft.rfft2(win) / (h * w)
+    keep = jnp.abs(dft) >= sparsity_threshold * jnp.abs(dft).max()
+    sparse = jnp.fft.irfft2(jnp.where(keep, dft, 0.0), s=(h, w)) * (h * w)
+    # DC correction restores the minimum (:140)
+    sparse = sparse - sparse.min() + window_min
+    # target at the origin, like the learned filter's impulse layout
+    cy, cx = (h - 1) // 2, (w - 1) // 2
+    sparse = jnp.roll(sparse, (-cy, -cx), axis=(0, 1))
+    # The reference keeps only real(dft) of the CENTRED window (:141).  The
+    # centred window is the origin window shifted by (+c, +c), so its DFT
+    # carries the phase e^{-2 pi i (k_r c_y + k_c c_x)/n}; taking the real
+    # part averages the (+c,+c)- and (-c,-c)-shifted copies, i.e. the
+    # effective penalty window is the mean of the window and its diagonally
+    # (n-2c)-cell-shifted copy (1 cell for odd sizes, 2 for even).
+    return 0.5 * (sparse + jnp.roll(sparse, (h - 2 * cy, w - 2 * cx),
+                                    axis=(0, 1)))

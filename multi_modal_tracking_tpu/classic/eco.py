@@ -21,12 +21,15 @@ localisation + per-bank recentred memory inserts), and filter refinement
 (per-bank weighted normal equations by CG). The reference re-enters Python
 per GN/CG iteration; here both loops are lax.scans. Static shapes
 throughout: fixed crop size, fixed scale count, fixed memory slots, fixed
-iteration counts. Design substitutions: a scalar filter regulariser stands
-in for the spatial reg_filter window; the joint bilinear optimization is
-stabilised by accept/reject Levenberg-Marquardt damping instead of the
-reference's hand-tuned block preconditioner (see _init_fn); the shared
-classic.augmentation recipe stands in for ECO's own zoo (pass
-`augmentation=` for the exact one).
+iteration counts. The spatial reg_filter window (dcf.get_reg_filter,
+eco.py:81-83) is applied in its mathematically equivalent spatial form —
+penalty residual fft2(W * ifft2(f)) with W the sparsified, DC-corrected
+window on the feature grid (classic/dcf.py reg_window; tap parity vs the
+imported reference in tests/test_eco_reg_window.py); the init augmentation
+is ECO's own zoo (parameter/eco/default.py:53-57). Design substitution: the
+joint bilinear optimization is stabilised by accept/reject
+Levenberg-Marquardt damping instead of the reference's hand-tuned block
+preconditioner (see _init_fn).
 """
 from __future__ import annotations
 
@@ -51,6 +54,15 @@ _MULTI_BANK_DEFAULTS = {
     "handcrafted": (1.0 / 16, 0.025, 0.4),
     "conv1": (1.0 / 16, 0.025, 0.4),
     "layer3": (1.0 / 4, 0.0075, 0.6),
+}
+
+# per-bank (reg_window_min, reg_window_edge, reg_sparsity_threshold) —
+# parameter/eco/default.py:79-90 (shallow vs deep values, power 2 for both)
+_REG_WINDOW_DEFAULTS = {
+    "handcrafted": (1e-4, 10e-3, 0.05),
+    "conv1": (1e-4, 10e-3, 0.05),
+    "custom": (1e-4, 10e-3, 0.05),
+    "layer3": (10e-4, 50e-3, 0.1),
 }
 
 
@@ -87,6 +99,7 @@ class ECOState(NamedTuple):
     weights: Tuple[jax.Array, ...]    # per bank (K,)
     prev_ind: Tuple[jax.Array, ...]   # per bank scalar int32 (-1 = none)
     yf: Tuple[jax.Array, ...]         # per bank (h, w//2+1) label spectrum
+    reg_w: Tuple[jax.Array, ...]      # per bank (h, w) spatial reg window
     center: jax.Array                 # (2,) target centre (y, x) image px
     target_sz: jax.Array              # (2,) target (h, w) image px
 
@@ -116,7 +129,8 @@ class ECOTracker:
     search_factor: float = 4.0
     crop_size: int = 224               # square crop, features at /4 -> 56
     output_sigma_factor: float = 1. / 12
-    reg: float = 0.05
+    use_reg_window: bool = True        # spatial reg_filter (eco.py:81-83)
+    reg: float = 0.05                  # scalar fallback (use_reg_window=False)
     learning_rate: float = 0.012
     num_cg_iter: int = 5               # CG_iter per train update
     scale_factors: Tuple[float, ...] = (0.97, 1.0, 1.03)
@@ -174,8 +188,11 @@ class ECOTracker:
         # common (finest) output grid for score fusion (eco.py output_sz)
         self._feat_sz = max(b.feat_sz for b in self.banks)
         self._cell = self.crop_size / self._feat_sz
+        from multi_modal_tracking_tpu.classic.augmentation import ECO_AUGMENTATION
         self.augmenter = InitAugmenter(
-            self.crop_size, spec=self.augmentation,
+            self.crop_size,
+            spec=ECO_AUGMENTATION if self.augmentation is None
+            else self.augmentation,
             random_shift_factor=self.random_shift_factor, seed=self.rng_seed)
         if self.augmenter.num_samples > self.sample_memory_size:
             raise ValueError(
@@ -243,15 +260,21 @@ class ECOTracker:
         eco.py project_sample :302-309)."""
         return jnp.einsum("...chw,cp->...phw", xf, proj.astype(xf.dtype))
 
-    def _learn_bank(self, filt, zf, w, yf, num_iter):
+    def _learn_bank(self, filt, zf, w, yf, reg_w, num_iter):
         """FilterOptim (optim.py): CG on the weighted normal equations over
-        the compressed sample memory, projection fixed."""
+        the compressed sample memory, projection fixed.  The regulariser is
+        the SPATIAL window: the reference convolves the filter spectrum with
+        the sparsified window's DFT taps (optim.py:52-67); multiplying the
+        spatial filter by the window is the same operator on one grid, so
+        the normal equations gain fft2(W^2 * ifft2(f))."""
         w = w[:, None, None]
+        w2 = reg_w * reg_w
+        hw = reg_w.shape
 
         def A(f):
             resp = jnp.einsum("kphw,phw->khw", zf, f)
             out = jnp.einsum("khw,kphw->phw", w * resp, jnp.conj(zf))
-            return out + self.reg * f
+            return out + fft2(w2[None] * ifft2(f, hw))
 
         b = jnp.einsum("khw,kphw->phw",
                        w * jnp.broadcast_to(yf, zf.shape[:1] + yf.shape),
@@ -260,12 +283,29 @@ class ECOTracker:
 
     def _learn_fn(self, state: ECOState) -> ECOState:
         filt = tuple(
-            self._learn_bank(f, zf, w, yf, self.num_cg_iter)
-            for f, zf, w, yf in zip(state.filter_f, state.samples_f,
-                                    state.weights, state.yf))
+            self._learn_bank(f, zf, w, yf, rw, self.num_cg_iter)
+            for f, zf, w, yf, rw in zip(state.filter_f, state.samples_f,
+                                        state.weights, state.yf, state.reg_w))
         return state._replace(filter_f=filt)
 
-    def _init_bank(self, bank: _Bank, feats: jax.Array):
+    def _reg_window_bank(self, bank: _Bank, target_sz: jax.Array) -> jax.Array:
+        """Per-bank spatial regularization window on the feature grid
+        (eco.py:81-83 get_reg_filter at the same target/support ratio), or a
+        flat sqrt(reg) window when use_reg_window=False — which makes every
+        downstream reg term collapse to the scalar Tikhonov exactly."""
+        h = w = bank.feat_sz
+        if not self.use_reg_window:
+            return jnp.full((h, w), jnp.sqrt(self.reg), jnp.float32)
+        from multi_modal_tracking_tpu.classic.dcf import reg_window
+        wmin, wedge, thr = _REG_WINDOW_DEFAULTS[bank.name]
+        # target size in feature cells: crop side covers
+        # search_factor * sqrt(area) image px -> feat_sz cells
+        tgt_feat = target_sz * bank.feat_sz / (
+            self.search_factor * jnp.sqrt(target_sz.prod()))
+        return reg_window(h, w, tgt_feat, window_min=wmin, window_edge=wedge,
+                          sparsity_threshold=thr)
+
+    def _init_bank(self, bank: _Bank, feats: jax.Array, reg_w: jax.Array):
         """Augmented per-bank init: PCA projection -> guarded-LM joint
         (filter, projection) optimization -> compressed init samples.
         feats (A, C, h, w) -> (filter, proj, zf0, yf)."""
@@ -309,14 +349,16 @@ class ECOTracker:
             # — monotone by construction, no tuned per-bin preconditioner.
             base_p = jnp.sqrt(35.0 * (2.0 * jnp.sum(jnp.abs(yf) ** 2) / C +
                                       self.projection_reg))
-            base_f = jnp.sqrt(self.reg)
+            base_f = jnp.sqrt(jnp.mean(reg_w ** 2))
 
             def residual(v):
                 f, P = v["f"], v["P"]
                 zf = self._compress(xf, P)
                 r = jnp.einsum("kphw,phw->khw", zf, f) - yf[None]
+                # spatial-window filter penalty (FactorizedConvProblem's
+                # reg_filter convolution, optim.py:52-67, on one grid)
                 return {"data": sw * r,
-                        "reg_f": jnp.sqrt(self.reg) * f,
+                        "reg_f": fft2(reg_w[None] * ifft2(f, reg_w.shape)),
                         "reg_P": jnp.sqrt(self.projection_reg) * P}
 
             def objective(v):
@@ -360,23 +402,25 @@ class ECOTracker:
         feats = jax.vmap(lambda c: self._extract(bb_vars, c))(aug)
         A_n = self.augmenter.num_samples
         K = self.sample_memory_size
-        filt, proj, samples, weights, yfs, prev = [], [], [], [], [], []
+        filt, proj, samples, weights, yfs, regs, prev = [], [], [], [], [], [], []
         for bank, fb in zip(self.banks, feats):
             # feature-dropout copies of the identity sample (NHWC helper)
             fb = self.augmenter.augment_features(
                 fb.transpose(0, 2, 3, 1),
                 jax.random.PRNGKey(self.rng_seed + 2)).transpose(0, 3, 1, 2)
-            f, P, zf0, yf = self._init_bank(bank, fb)
+            reg_w = self._reg_window_bank(bank, target_sz)
+            f, P, zf0, yf = self._init_bank(bank, fb, reg_w)
             filt.append(f)
             proj.append(P)
             samples.append(jnp.zeros((K,) + zf0.shape[1:],
                                      zf0.dtype).at[:A_n].set(zf0))
             weights.append(jnp.zeros((K,)).at[:A_n].set(1.0 / A_n))
             yfs.append(yf)
+            regs.append(reg_w)
             prev.append(jnp.asarray(-1, jnp.int32))
         st = ECOState(filter_f=tuple(filt), proj=tuple(proj),
                       samples_f=tuple(samples), weights=tuple(weights),
-                      prev_ind=tuple(prev), yf=tuple(yfs),
+                      prev_ind=tuple(prev), yf=tuple(yfs), reg_w=tuple(regs),
                       center=center, target_sz=target_sz)
         if not self.update_projection:
             # fixed-projection init still gets the INIT CG budget
@@ -385,9 +429,9 @@ class ECOTracker:
             # a zero-seeded filter after 5 CG steps is near-flat and drifts
             init_cg = self.init_gn_iter * self.init_cg_per_gn
             filt = tuple(
-                self._learn_bank(f, zf, w, yf, init_cg)
-                for f, zf, w, yf in zip(st.filter_f, st.samples_f,
-                                        st.weights, st.yf))
+                self._learn_bank(f, zf, w, yf, rw, init_cg)
+                for f, zf, w, yf, rw in zip(st.filter_f, st.samples_f,
+                                            st.weights, st.yf, st.reg_w))
             st = st._replace(filter_f=filt)
         return st
 
