@@ -53,14 +53,65 @@ _CTR_INDEX = {8: 3, 12: 5, 7: 3, 14: 6}
 
 
 def _check_ce_range(mode: str) -> str:
-    """CE template-mask modes implemented here: CTR_POINT (centre token) and
-    ALL (mean over every template row). The reference's CTR_REC rectangle
-    mask is not implemented — fail loudly instead of silently pooling ALL
-    rows under a config that asks for something else."""
-    if mode not in ("CTR_POINT", "ALL"):
+    """CE template-mask modes: CTR_POINT (centre token), CTR_REC (centre
+    rectangle), GT_BOX (downsampled ground-truth box mask, needs runtime
+    boxes via ce_gt_boxes), ALL (mean over every template row).
+
+    Note the reference's own generate_mask_cond hard-raises for anything but
+    CTR_POINT (ce_utils.py:15-16) and its CTR_REC/GT_BOX branches build
+    masks of length n_t instead of the 4*n_t the model consumes — the modes
+    are dead code there.  Here they are implemented usably: the branch's
+    region semantics (ce_utils.py:39-66), applied to all four template
+    copies exactly as CTR_POINT's repeat(1, 4) does."""
+    if mode not in ("CTR_POINT", "CTR_REC", "GT_BOX", "ALL"):
         raise ValueError(f"unsupported CE_TEMPLATE_RANGE '{mode}' "
-                         f"(implemented: CTR_POINT, ALL)")
+                         f"(implemented: CTR_POINT, CTR_REC, GT_BOX, ALL)")
     return mode
+
+
+def _ctr_rec_span(F: int) -> Tuple[int, int]:
+    """CTR_REC row/col span per template grid size (ce_utils.py:41-48:
+    8 -> slice(3,5), 12 -> slice(5,7), 7 -> slice(3,4)); other grids follow
+    the same rule the table encodes (2-cell span for even grids, the centre
+    cell for odd)."""
+    lo = (F - 1) // 2
+    return lo, lo + (2 if F % 2 == 0 else 1)
+
+
+def ce_box_row_weights(gt_xywh: jax.Array, template_size: int,
+                       grid: int) -> jax.Array:
+    """GT_BOX template-row weights (ce_utils.py:54-66): rasterise the
+    normalised (B, 4) xywh boxes at template resolution with the reference's
+    integer-truncation quirks (generate_bbox_mask:7-11), bilinear-downsample
+    by 1/stride (F.interpolate align_corners=False, no antialias), and
+    threshold nonzero.  Returns (B, grid*grid) float {0,1} weights for ONE
+    template copy.  Fully traceable (runtime boxes, static shapes)."""
+    box = gt_xywh.astype(jnp.float32) * template_size
+    x1, y1, w, h = box[:, 0], box[:, 1], box[:, 2], box[:, 3]
+    r = jnp.arange(template_size, dtype=jnp.float32)
+    # slice semantics int(a):int(a+len-1) -> [floor(a), floor(a+len-1))
+    rows = ((r[None] >= jnp.floor(y1)[:, None]) &
+            (r[None] < jnp.floor(y1 + h - 1.0)[:, None]))
+    cols = ((r[None] >= jnp.floor(x1)[:, None]) &
+            (r[None] < jnp.floor(x1 + w - 1.0)[:, None]))
+    mask = (rows[:, :, None] & cols[:, None, :]).astype(jnp.float32)
+
+    stride = template_size // grid
+    # torch bilinear (align_corners=False, antialias off): output centre
+    # (i + 0.5) * stride - 0.5, 4-tap gather with edge clamp
+    src = (jnp.arange(grid, dtype=jnp.float32) + 0.5) * stride - 0.5
+    i0 = jnp.clip(jnp.floor(src), 0, template_size - 1).astype(jnp.int32)
+    i1 = jnp.clip(i0 + 1, 0, template_size - 1)
+    fr = jnp.clip(src - i0, 0.0, 1.0)
+
+    def down1(m, axis):
+        a = jnp.take(m, i0, axis=axis)
+        b = jnp.take(m, i1, axis=axis)
+        f = fr.reshape((-1,) + (1,) * (m.ndim - 1 - axis))
+        return a * (1.0 - f) + b * f
+
+    small = down1(down1(mask, 1), 2)
+    return (small > 0).astype(jnp.float32).reshape(gt_xywh.shape[0], -1)
 
 
 class AsymCrossModalAttention(nn.Module):
@@ -266,12 +317,15 @@ class SharedBlock(nn.Module):
 
     def __call__(self, x_v, x_i, n_mt: int, gidx_v, gidx_i,
                  lens_keep: Optional[int] = None, ce_rows: Optional[Tuple[int, ...]] = None,
+                 ce_row_weights: Optional[jax.Array] = None,
                  deterministic: bool = True, return_scores: bool = False):
         """lens_keep: static keep count (None = no CE at this block).
-        ce_rows: static template-row indices for CTR_POINT attention pooling
-        (None = mean over all template rows). return_scores additionally
-        returns the pooled t->s attention per modality (diagnostic hook,
-        cf. the reference's attention-map visualisation)."""
+        ce_rows: static template-row indices for CTR_POINT/CTR_REC attention
+        pooling (None = mean over all template rows). ce_row_weights:
+        runtime (B, 4*n_t) {0,1} weights for GT_BOX pooling (mean over the
+        masked rows). return_scores additionally returns the pooled t->s
+        attention per modality (diagnostic hook, cf. the reference's
+        attention-map visualisation)."""
         B = x_v.shape[0]
         exe_ce = lens_keep is not None and lens_keep < gidx_v.shape[1]
         nv, ni = self.norm1_v(x_v), self.norm1_i(x_i)
@@ -284,7 +338,13 @@ class SharedBlock(nn.Module):
         scores = None
         if exe_ce or return_scores:
             lens_s = gidx_v.shape[1]
-            a = attn_t2s.mean(axis=(1, 2))                        # (B, 2*L_s)
+            if ce_row_weights is not None and ce_rows is None:
+                # GT_BOX: mean over the masked template rows only
+                wr = ce_row_weights[:, :, None].astype(attn_t2s.dtype)
+                ah = attn_t2s.mean(axis=1)                        # (B, R, 2L)
+                a = (ah * wr).sum(axis=1) / jnp.maximum(wr.sum(axis=1), 1e-6)
+            else:
+                a = attn_t2s.mean(axis=(1, 2))                    # (B, 2*L_s)
             if return_scores:
                 scores = (a[:, :lens_s], a[:, lens_s:], gidx_v, gidx_i)
             if exe_ce:
@@ -385,12 +445,13 @@ class AsymSharedViT(nn.Module):
         block_cls = SharedBlock
         if self.remat:
             # static args of SharedBlock.__call__ (after self): n_mt(3),
-            # lens_keep(6), ce_rows(7), deterministic(8), return_scores(9)
-            # — flax's nn.remat counts self as argnum 0. Other methods
-            # (template_step/search_step: inference caches, no grads) are
-            # left untransformed; the lifted transform preserves param names
-            # so checkpoints are interchangeable with the plain model.
-            block_cls = nn.remat(SharedBlock, static_argnums=(3, 6, 7, 8, 9))
+            # lens_keep(6), ce_rows(7), deterministic(9), return_scores(10)
+            # (ce_row_weights(8) is a runtime tensor) — flax's nn.remat
+            # counts self as argnum 0. Other methods (template_step/
+            # search_step: inference caches, no grads) are left
+            # untransformed; the lifted transform preserves param names so
+            # checkpoints are interchangeable with the plain model.
+            block_cls = nn.remat(SharedBlock, static_argnums=(3, 6, 7, 9, 10))
         self.blocks = [
             block_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
                       drop_path=dpr[i], dtype=self.dtype, name=f"blocks_{i}")
@@ -404,23 +465,31 @@ class AsymSharedViT(nn.Module):
             get_2d_sincos_pos_embed(self.embed_dim, self.grid_size_t))[None]
 
     def _ce_rows(self, use_mask: bool) -> Optional[Tuple[int, ...]]:
-        """Static row indices of the 4 template centre tokens ([t_v, ot_v,
-        t_i, ot_i] row order of the pooled t->s attention), CTR_POINT mode
-        (ce_utils.py generate_mask_cond + repeat(1, 4)). Grids outside the
-        reference's table use the same centre formula (F - 1) // 2 that the
-        table encodes, so small test geometries get true CTR_POINT semantics
-        instead of silently degrading to ALL-rows pooling."""
-        if not use_mask:
+        """Static template-row indices ([t_v, ot_v, t_i, ot_i] row order of
+        the pooled t->s attention) for the static mask modes: CTR_POINT (the
+        centre token, ce_utils.py generate_mask_cond + repeat(1, 4)) and
+        CTR_REC (the centre rectangle, ce_utils.py:39-53). Grids outside the
+        reference's tables use the same centre formula (F - 1) // 2 the
+        tables encode, so small test geometries get true centre semantics
+        instead of silently degrading to ALL-rows pooling. GT_BOX masks are
+        runtime data, handled via ce_row_weights instead."""
+        if not use_mask or self.ce_template_range not in ("CTR_POINT",
+                                                          "CTR_REC"):
             return None
         F = self.grid_size_t
-        c = _CTR_INDEX.get(F, (F - 1) // 2)
-        flat = c * F + c
         n_t = F * F
-        return tuple(flat + g * n_t for g in range(4))
+        if self.ce_template_range == "CTR_POINT":
+            c = _CTR_INDEX.get(F, (F - 1) // 2)
+            flats = [c * F + c]
+        else:
+            lo, hi = _ctr_rec_span(F)
+            flats = [r * F + c for r in range(lo, hi) for c in range(lo, hi)]
+        return tuple(f + g * n_t for g in range(4) for f in flats)
 
     def __call__(self, x_t, x_ot, x_s, ce_keep_rate: Optional[float] = None,
                  use_ce_template_mask: bool = True, deterministic: bool = True,
-                 return_attn_maps: bool = False):
+                 return_attn_maps: bool = False,
+                 ce_gt_boxes: Optional[jax.Array] = None):
         """Inputs stacked bimodal NHWC batches: x_* shape (2B, H, W, 3) with
         [:B]=RGB, [B:]=TIR. Returns (t, ot, s) feature maps of shape
         (2B, h, w, C) (search tokens zero-restored at pruned positions).
@@ -441,7 +510,13 @@ class AsymSharedViT(nn.Module):
 
         keeps, _ = ce_keep_schedule(n_s, self.depth, self.ce_loc or (),
                                     self.ce_keep_ratio or (), ce_keep_rate)
-        ce_rows = self._ce_rows(use_ce_template_mask and self.ce_template_range == "CTR_POINT")
+        ce_rows = self._ce_rows(use_ce_template_mask)
+        ce_row_weights = None
+        if (use_ce_template_mask and self.ce_template_range == "GT_BOX"
+                and ce_gt_boxes is not None):
+            w1 = ce_box_row_weights(ce_gt_boxes, self.img_size_t,
+                                    self.grid_size_t)
+            ce_row_weights = jnp.tile(w1, (1, 4))   # t/ot x both modalities
 
         gidx = jnp.broadcast_to(jnp.arange(n_s, dtype=jnp.int32)[None], (B, n_s))
         gidx_v = gidx
@@ -459,7 +534,7 @@ class AsymSharedViT(nn.Module):
             want = return_attn_maps and (self.ce_loc is not None and bi in self.ce_loc)
             # positional call: nn.remat static_argnums are positional-only
             out = blk(x_v, x_i, n_mt, gidx_v, gidx_i,
-                      keeps[bi], ce_rows, deterministic, want)
+                      keeps[bi], ce_rows, ce_row_weights, deterministic, want)
             if want:
                 x_v, x_i, gidx_v, gidx_i, (a_v, a_i, gv, gi) = out
                 attn_maps[bi] = jnp.stack([scatter_grid(a_v, gv),
@@ -521,8 +596,9 @@ class AsymSharedViT(nn.Module):
         s_v, s_i = s[:B], s[B:]
         keeps, _ = ce_keep_schedule(n_s, self.depth, self.ce_loc or (),
                                     self.ce_keep_ratio or (), ce_keep_rate)
-        ce_rows = self._ce_rows(use_ce_template_mask and
-                                self.ce_template_range == "CTR_POINT")
+        # (GT_BOX needs runtime boxes; eval-time callers pass none, matching
+        # the reference tracker's mask-free test call)
+        ce_rows = self._ce_rows(use_ce_template_mask)
         gidx = jnp.broadcast_to(jnp.arange(n_s, dtype=jnp.int32)[None], (B, n_s))
         gidx_v = gidx
         gidx_i = gidx
@@ -609,14 +685,18 @@ class MixFormerRGBT(nn.Module):
                  use_ce_template_mask: bool = True, run_score_head: bool = False,
                  gt_bboxes: Optional[jax.Array] = None,
                  deterministic: bool = True, train: bool = False,
-                 return_features: bool = False):
+                 return_features: bool = False,
+                 ce_gt_boxes: Optional[jax.Array] = None):
         """t_vi/ot_vi/s_vi: (2B, H, W, 3) bimodal stacks ([:B]=RGB, [B:]=TIR).
+        ce_gt_boxes: (B, 4) normalised template-crop xywh ground truth,
+        needed only for CE_TEMPLATE_RANGE='GT_BOX'.
 
         Returns dict with 'pred_boxes' (B, 1, 4) cxcywh in [0,1] (+ optional
         'pred_scores', feature maps).
         """
         t, ot, s = self.backbone(t_vi, ot_vi, s_vi, ce_keep_rate,
-                                 use_ce_template_mask, deterministic)
+                                 use_ce_template_mask, deterministic,
+                                 ce_gt_boxes=ce_gt_boxes)
         B = s.shape[0] // 2
         s_v, s_i = s[:B], s[B:]
         # train= reaches conv-fusion BatchNorms (batch stats update in

@@ -140,3 +140,85 @@ def test_no_ce_path_parity(converted):
     got = np.asarray(model.apply(new_vars, jt, jot, js, 1.0,
                                  use_ce_template_mask=False)["pred_boxes"]).reshape(B, 4)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------- CE mask modes (dead in
+# the reference: generate_mask_cond raises for anything but CTR_POINT,
+# ce_utils.py:15-16, and the CTR_REC/GT_BOX branches build n_t-length masks
+# the model cannot consume. We implement the branch semantics applied to all
+# four template copies; the oracle is the GENUINE reference MODEL fed the
+# same row mask, plus the genuine rasteriser for GT_BOX weights.)
+
+def _mask_from_rows(rows_one_copy, n_t):
+    mask = torch.zeros(B, n_t, dtype=torch.bool)
+    mask[:, list(rows_one_copy)] = True
+    return mask.repeat(1, 4)
+
+
+def test_ctr_rec_mask_parity(converted):
+    """CTR_REC (centre 2x2 for grid 8, ce_utils.py:41-48) end-to-end: our
+    CTR_REC model must match the reference model given the same rows."""
+    from multi_modal_tracking_tpu.models.asymmetric_shared import (
+        MixFormerRGBT, _ctr_rec_span)
+    oracle, model, new_vars, _, _ = converted
+    F_t = GT
+    lo, hi = _ctr_rec_span(F_t)
+    assert (lo, hi) == (3, 5)       # reference table for grid 8
+    rows = [r * F_t + c for r in range(lo, hi) for c in range(lo, hi)]
+    mask = _mask_from_rows(rows, F_t * F_t)
+
+    import dataclasses
+    model_rec = MixFormerRGBT(
+        spec=dataclasses.replace(model.spec, ce_template_range="CTR_REC"),
+        with_score=model.with_score, dtype=model.dtype)
+    (tt, tot, ts), (jt, jot, js) = _inputs(4)
+    want = _ref_boxes(oracle, tt, tot, ts, ce_template_mask=mask,
+                      ce_keep_rate=0.6)
+    got = np.asarray(model_rec.apply(new_vars, jt, jot, js, 0.6,
+                                     use_ce_template_mask=True)["pred_boxes"]).reshape(B, 4)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_gt_box_weights_match_reference_rasteriser():
+    """ce_box_row_weights == the genuine generate_bbox_mask + F.interpolate
+    glue (ce_utils.py:54-66)."""
+    import torch.nn.functional as F
+    reference_oracle.install()
+    from lib.utils.ce_utils import generate_bbox_mask
+    from multi_modal_tracking_tpu.models.asymmetric_shared import ce_box_row_weights
+
+    T, stride = 128, 16
+    boxes = np.array([[0.30, 0.25, 0.40, 0.35],
+                      [0.05, 0.55, 0.30, 0.40],
+                      [0.45, 0.40, 0.12, 0.09]], np.float32)
+    bm = generate_bbox_mask(torch.zeros(len(boxes), T, T),
+                            torch.tensor(boxes) * T).unsqueeze(1).float()
+    want = (F.interpolate(bm, scale_factor=1.0 / stride, mode="bilinear",
+                          align_corners=False).flatten(1) > 0).float().numpy()
+    got = np.asarray(ce_box_row_weights(jnp.asarray(boxes), T, T // stride))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gt_box_mask_parity(converted):
+    """GT_BOX end-to-end: weights from the real box -> masked-row pooling
+    must match the reference model given the same boolean rows."""
+    from multi_modal_tracking_tpu.models.asymmetric_shared import (
+        MixFormerRGBT, ce_box_row_weights)
+    oracle, model, new_vars, _, _ = converted
+    boxes = np.tile(np.array([[0.3, 0.3, 0.45, 0.4]], np.float32), (B, 1))
+    w1 = np.asarray(ce_box_row_weights(jnp.asarray(boxes), T_SZ, GT))
+    rows = np.nonzero(w1[0])[0].tolist()
+    assert len(rows) > 1            # a real rectangle, not a point
+    mask = _mask_from_rows(rows, GT * GT)
+
+    import dataclasses
+    model_gb = MixFormerRGBT(
+        spec=dataclasses.replace(model.spec, ce_template_range="GT_BOX"),
+        with_score=model.with_score, dtype=model.dtype)
+    (tt, tot, ts), (jt, jot, js) = _inputs(5)
+    want = _ref_boxes(oracle, tt, tot, ts, ce_template_mask=mask,
+                      ce_keep_rate=0.6)
+    got = np.asarray(model_gb.apply(new_vars, jt, jot, js, 0.6,
+                                    use_ce_template_mask=True,
+                                    ce_gt_boxes=jnp.asarray(boxes))["pred_boxes"]).reshape(B, 4)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
