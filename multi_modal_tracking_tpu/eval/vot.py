@@ -34,15 +34,22 @@ class VOTClient:
     """
 
     def __init__(self, channels: str = "color", server=None):
+        chans = {"color": ["color"], "rgbd": ["color", "depth"],
+                 "rgbt": ["color", "ir"], "ir": ["ir"]}[channels]
         if server is not None:
             self._trax = server
         else:
-            import trax
-
-            chans = {"color": ["color"], "rgbd": ["color", "depth"],
-                     "rgbt": ["color", "ir"], "ir": ["ir"]}[channels]
-            self._trax = trax.Server([trax.Region.RECTANGLE], [trax.Image.PATH],
-                                     chans, customMetadata=dict(vot="python"))
+            try:
+                import trax
+                self._trax = trax.Server(
+                    [trax.Region.RECTANGLE], [trax.Image.PATH], chans,
+                    customMetadata=dict(vot="python"))
+            except ImportError:
+                # no compiled trax package: speak the text protocol over
+                # stdio ourselves (the transport the toolkit launches
+                # trackers with; wire conformance in tests/test_vot_wire.py)
+                from multi_modal_tracking_tpu.eval.trax_wire import TraxWireServer
+                self._trax = TraxWireServer(channels=chans)
         request = self._trax.wait()
         assert request.type == "initialize"
         self._region = Rectangle(*self._unpack_region(request))
