@@ -21,7 +21,8 @@ CORNER_UP head; 288 search / 128 template — on one chip, three workloads:
      it also spans one interval-25 template rebuild, so the number includes
      the update cost real eval pays.
   3. train step (B=16, bf16 compute / f32 params, CE keep 0.7): samples/s
-     and MFU from XLA cost_analysis FLOPs vs the v5e bf16 peak.
+     and MFU from ANALYTIC matmul+conv FLOPs (utils/flops.py) vs the v5e
+     bf16 spec peak; XLA cost_analysis FLOPs reported alongside.
 
 Prints ONE JSON line: the headline {"metric", "value", "unit",
 "vs_baseline"} plus an "extra" dict with the secondary metrics.
@@ -142,13 +143,17 @@ def main():
     uploads = (up_a, up_b, up_c)
     t_upload = min(uploads)
 
-    # min-of-2 draws for the batched leg too (same 2-50x tunnel variance
-    # rationale as the single-stream min-of-3 above)
+    # min-of-3 draws for the batched leg, same damping as the single-stream
+    # headline (the 2-50x tunnel variance is the whole story of the r02
+    # 520-vs-376 ms batched/single upload gap: identical byte counts;
+    # artifacts/profile_upload.py bounds the transport floor)
     (bdv,), bup_a1 = _timed_put(lambda x: btracker._put_batch(x, 1), bfv)
     (bdi,), bup_b1 = _timed_put(lambda x: btracker._put_batch(x, 1), bfi)
     (_,), bup_a2 = _timed_put(lambda x: btracker._put_batch(x, 1), bfv.copy())
     (_,), bup_b2 = _timed_put(lambda x: btracker._put_batch(x, 1), bfi.copy())
-    t_upload_b = min(bup_a1, bup_a2) + min(bup_b1, bup_b2)
+    (_,), bup_a3 = _timed_put(lambda x: btracker._put_batch(x, 1), bfv.copy())
+    (_,), bup_b3 = _timed_put(lambda x: btracker._put_batch(x, 1), bfi.copy())
+    t_upload_b = min(bup_a1, bup_a2, bup_a3) + min(bup_b1, bup_b2, bup_b3)
     btracker.initialize(bfv[0], bfi[0], bboxes)     # uploads + async compile
 
     # Train state + batch (f32 params; batch floats, as the input pipeline
@@ -204,16 +209,25 @@ def main():
     assert np.isfinite(bboxes_out).all() and bboxes_out.shape[:2] == (BATCH_T, BATCH_SEQS)
 
     # ---------------- phase 4: train step (LAST — see module docstring) --
-    # Train-step FLOPs for MFU (XLA cost analysis of the compiled step).
+    # Train-step FLOPs two ways (VERDICT r2 #5): the MFU numerator is the
+    # ANALYTIC matmul+conv count (utils/flops.py jaxpr walk — the PaLM/
+    # nanoGPT convention, the mechanical form of the reference's hand count
+    # in tracking/profile_model.py:43-80); XLA cost_analysis (all HLO ops,
+    # incl. gather/scatter/elementwise) is reported alongside. At the
+    # shipped geometry they differ by ~2% (6.91 vs 7.04 TFLOP).
+    from multi_modal_tracking_tpu.utils.flops import matmul_conv_flops
+    step_flops = matmul_conv_flops(
+        lambda st, b, k: step(st, b, k, ce_keep_rate=0.7),
+        state, batch, jax.random.PRNGKey(1))
     try:
         cost = (step.jitted(0.7).lower(state, batch, jax.random.PRNGKey(1))
                 .compile().cost_analysis()) or {}
         if isinstance(cost, list):
             cost = cost[0] if cost else {}
-        step_flops = float(cost.get("flops", float("nan")))
+        xla_flops = float(cost.get("flops", float("nan")))
     except Exception as e:  # pragma: no cover - cost analysis best-effort
         print(f"cost_analysis failed: {e}", file=sys.stderr)
-        step_flops = float("nan")
+        xla_flops = float("nan")
 
     state, m = step(state, batch, jax.random.PRNGKey(1), ce_keep_rate=0.7)
     np.asarray(m["Loss/total"])                    # warm-up execution
@@ -223,7 +237,8 @@ def main():
     np.asarray(m["Loss/total"])                    # forces the whole chain
     t_train = time.perf_counter() - t0
     train_sps = TRAIN_B * TRAIN_STEPS / t_train
-    train_mfu = (step_flops * TRAIN_STEPS / t_train) / V5E_BF16_PEAK
+    train_tflops_eff = step_flops * TRAIN_STEPS / t_train / 1e12
+    train_mfu = (train_tflops_eff * 1e12) / V5E_BF16_PEAK
 
     print(f"single: upload {t_upload*1e3:.0f} ms (worst {max(uploads)*1e3:.0f}), "
           f"scan {t_scan*1e3:.0f} ms (worst {max(scans)*1e3:.0f}) / {N_FRAMES} fr | "
@@ -242,6 +257,9 @@ def main():
             "batched_eval_scan_fps": round(batched_scan_fps, 2),
             "train_samples_per_s": round(train_sps, 2),
             "train_step_ms": round(t_train * 1e3 / TRAIN_STEPS, 2),
+            "train_step_tflops_analytic": round(step_flops / 1e12, 3),
+            "train_step_tflops_xla": round(xla_flops / 1e12, 3),
+            "train_tflops_per_s": round(train_tflops_eff, 2),
             "train_mfu": round(train_mfu, 4),
         },
     }))
