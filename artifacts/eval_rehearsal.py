@@ -1,0 +1,81 @@
+"""Driver-visible end-to-end eval rehearsal on the real chip (VERDICT r2 #9).
+
+Reproduces the reference's train.sh -> test.sh -> analysis flow
+(tracking/train.py -> tracking/test.py -> eval.analysis) entirely on-device
+against the in-memory synthetic RGBT set:
+
+  1. smoke-train the flagship script (2 epochs, synthetic_smoke recipe)
+     producing a loadable checkpoint;
+  2. run the full eval runner (tracking/test.py main: params -> tracker ->
+     per-sequence scan -> result writers) with that checkpoint;
+  3. score the produced result files with the analysis stack (extract ->
+     AUC / Precision / NormPrec) exactly as tracking/analysis_results.py;
+  4. write artifacts/eval_rehearsal_r3.json.
+
+Run: env PYTHONPATH=/root/repo:/root/.axon_site \
+    python artifacts/eval_rehearsal.py
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    work = tempfile.mkdtemp(prefix="eval_rehearsal_")
+    env = dict(os.environ,
+               PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}")
+
+    print("[1/3] smoke-training flagship (2 epochs, synthetic set)", flush=True)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tracking/train.py"),
+         "--script", "asymmetric_shared_ce", "--config", "synthetic_smoke",
+         "--save_dir", os.path.join(work, "train")],
+        check=True, env=env)
+    ckpt_dir = os.path.join(work, "train", "checkpoints")
+    ckpts = sorted(os.listdir(ckpt_dir)) if os.path.isdir(ckpt_dir) else []
+    assert ckpts, f"no checkpoint produced under {ckpt_dir}"
+    ckpt = os.path.join(ckpt_dir, ckpts[-1])
+    print(f"    checkpoint: {ckpt}", flush=True)
+
+    print("[2/3] running eval runner on synthetic_rgbt", flush=True)
+    res_dir = os.path.join(work, "results")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tracking/test.py"),
+         "asymmetric_shared_ce", "synthetic_smoke",
+         "--dataset_name", "synthetic_rgbt",
+         "--checkpoint", ckpt, "--results_dir", res_dir, "--chunk", "16"],
+        check=True, env=env)
+
+    print("[3/3] scoring with the analysis stack", flush=True)
+    from multi_modal_tracking_tpu.eval.analysis import (TrackerResults,
+                                                        compute_scores,
+                                                        extract_results)
+    from multi_modal_tracking_tpu.eval.datasets import get_dataset
+    dataset = get_dataset("synthetic_rgbt")
+    sub = os.path.join(res_dir, "synthetic_rgbt")
+    trackers = [TrackerResults(sub if os.path.isdir(sub) else res_dir,
+                               display_name="flagship_smoke")]
+    eval_data = extract_results(trackers, dataset, "rehearsal")
+    m = compute_scores(eval_data)
+    out = {
+        "n_sequences": len(dataset.get_sequence_list()),
+        "auc": round(float(m["AUC"][0]), 2),
+        "op50": round(float(m["OP50"][0]), 2),
+        "precision": round(float(m["Precision"][0]), 2),
+        "norm_precision": round(float(m["Norm Precision"][0]), 2),
+        "checkpoint": os.path.basename(ckpt),
+        "flow": "train.py(synthetic_smoke, 2 epochs) -> test.py -> analysis",
+    }
+    path = os.path.join(REPO, "artifacts", "eval_rehearsal_r3.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
