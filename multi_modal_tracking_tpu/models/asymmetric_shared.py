@@ -710,7 +710,11 @@ class MixFormerRGBT(nn.Module):
             # Score branch sees fused search + concat of both modal templates
             # (asymmetric_shared_online.py:371).
             t_v, t_i = t[:B], t[B:]
-            template_feat = jnp.concatenate([t_v, t_i], axis=2)  # (B, gt, 2*gt, C)
+            # reference concats modal template maps on NCHW dim 2 == HEIGHT
+            # (asymmetric_shared_online.py:374) -> NHWC axis 1; width-concat
+            # permutes the flattened token order the SPM attends over (caught
+            # by tests/test_reference_import_families.py score parity)
+            template_feat = jnp.concatenate([t_v, t_i], axis=1)  # (B, 2*gt, gt, C)
             out["pred_scores"] = self.score_branch(fused, template_feat,
                                                    search_box.reshape(B, 4))
         if return_features:

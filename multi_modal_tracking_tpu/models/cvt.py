@@ -403,10 +403,13 @@ class MixFormerCvT(nn.Module):
         self.box_head = build_box_head_cvt(sp, self.feat_sz, self.axis_name, self.dtype)
         if self.with_score:
             # num_heads = hidden_dim // 64 (mixformer_online.py:825)
-            self.score_head = ScoreDecoder(num_heads=max(1, sp.dim_embed[-1] // 64),
-                                           hidden_dim=sp.dim_embed[-1],
-                                           nlayer_head=sp.nlayer_head,
-                                           pool_size=4, dtype=self.dtype)
+            # named score_branch to match the reference checkpoint prefix
+            # (mixformer_online.py state dict: score_branch.*) like every
+            # other family — torch_convert maps score_branch.* here
+            self.score_branch = ScoreDecoder(num_heads=max(1, sp.dim_embed[-1] // 64),
+                                             hidden_dim=sp.dim_embed[-1],
+                                             nlayer_head=sp.nlayer_head,
+                                             pool_size=4, dtype=self.dtype)
 
     def __call__(self, template, online_template, search, *unused,
                  run_score_head: bool = False, gt_bboxes=None,
@@ -418,7 +421,7 @@ class MixFormerCvT(nn.Module):
         if self.with_score and run_score_head:
             boxes = gt_bboxes if gt_bboxes is not None else \
                 jax.lax.stop_gradient(box_cxcywh_to_xyxy(out["pred_boxes"].reshape(-1, 4)))
-            out["pred_scores"] = self.score_head(s, t, boxes)
+            out["pred_scores"] = self.score_branch(s, t, boxes)
         return out
 
     def set_online(self, template, online_template):
@@ -438,7 +441,7 @@ class MixFormerCvT(nn.Module):
         out = self._head(s, False)
         if self.with_score and run_score_head:
             boxes = jax.lax.stop_gradient(box_cxcywh_to_xyxy(out["pred_boxes"].reshape(-1, 4)))
-            out["pred_scores"] = self.score_head(s, cache["template"], boxes)
+            out["pred_scores"] = self.score_branch(s, cache["template"], boxes)
         return out
 
     def _head(self, s, train):

@@ -252,6 +252,50 @@ def _install_msda_ext():
     ext.ms_deform_attn_backward = _dead
 
 
+def _torch_prroi_pool2d(features, rois, pooled_height, pooled_width,
+                        spatial_scale):
+    """Exact Precise RoI Pooling in pure torch.
+
+    The bilinear interpolant is a sum of per-pixel tent bases; its integral
+    over a bin factorises per axis into tent-segment integrals with the
+    closed form H(u) below.  features (B, C, H, W); rois (R, 5) rows
+    [batch_idx, x1, y1, x2, y2] (pre-scale); output (R, C, ph, pw)."""
+    import torch as _t
+
+    B, C, H, W = features.shape
+    ph, pw = int(pooled_height), int(pooled_width)
+
+    def H_cdf(u):
+        # integral of the unit tent from -inf to u (support [-1, 1])
+        u = u.clamp(-1.0, 1.0)
+        neg = (u + 1.0) ** 2 / 2.0
+        pos = 1.0 - (1.0 - u) ** 2 / 2.0
+        return _t.where(u <= 0, neg, pos)
+
+    def axis_weights(lo, hi, n):
+        # (bins,) lo/hi -> (bins, n) per-pixel tent integrals over [lo, hi]
+        p = _t.arange(n, dtype=lo.dtype)[None, :]
+        return H_cdf(hi[:, None] - p) - H_cdf(lo[:, None] - p)
+
+    out = []
+    for r in range(rois.shape[0]):
+        b = int(rois[r, 0].item())
+        x1, y1, x2, y2 = (rois[r, 1:] * spatial_scale).unbind()
+        # CUDA kernel clamps the RoI extent to >= 0 and emits 0 for empty
+        # bins (prroi_pooling_gpu_impl.cu:176-191)
+        bw = (x2 - x1).clamp_min(0.0) / pw
+        bh = (y2 - y1).clamp_min(0.0) / ph
+        xs = x1 + bw * _t.arange(pw, dtype=rois.dtype)
+        ys = y1 + bh * _t.arange(ph, dtype=rois.dtype)
+        wx = axis_weights(xs, xs + bw, W)           # (pw, W)
+        wy = axis_weights(ys, ys + bh, H)           # (ph, H)
+        raw = _t.einsum("chw,ph,qw->cpq", features[b], wy, wx)
+        area = bw * bh
+        out.append(_t.where(area > 0, raw / area.clamp_min(1e-12),
+                            _t.zeros_like(raw)))
+    return _t.stack(out, dim=0)
+
+
 # ------------------------------------------------------------------- install
 
 def install():
@@ -312,6 +356,25 @@ def install():
                   sampling_locations, attention_weights, im2col_step):
             return core(value, value_spatial_shapes, sampling_locations,
                         attention_weights)
+
+    # The SPM score decoders pool with PrRoIPool2D
+    # (lib/models/mixformer_cvt/score_decoder.py:9), whose Function
+    # JIT-compiles a CUDA extension at first call
+    # (external/PreciseRoIPooling/pytorch/prroi_pool/functional.py:21-38).
+    # Rebind it to an exact closed-form torch integral of the bilinear
+    # interpolant — the op's mathematical definition; prroi numerics are
+    # independently pinned by tests/test_prroi.py's avg-pool gold (the
+    # acceptance test the PrRoIPooling repo itself ships).
+    try:
+        import importlib as _il
+        _pp = _il.import_module(
+            "external.PreciseRoIPooling.pytorch.prroi_pool.prroi_pool")
+        _pp.prroi_pool2d = _torch_prroi_pool2d
+        _il.import_module(
+            "external.PreciseRoIPooling.pytorch.prroi_pool.functional"
+        ).prroi_pool2d = _torch_prroi_pool2d
+    except Exception:
+        pass
 
     # Importing ...ops.functions above already ran the whole
     # lib.models.mixformer_vit_rgbt package __init__ chain (it imports

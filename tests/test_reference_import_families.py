@@ -8,9 +8,9 @@ utils/torch_convert into the model our build_model() registry produces for
 the same script name, and requires matching boxes on a random batch.
 
 Covered: unimodal ViT / CvT / ConvMAE, RGBT two-stream / shared /
-uni-backbone, asymmetric_shared (non-CE).  (CE flagship + CE mask modes in
-test_reference_import_parity.py; score-branch SPM convert parity has its own
-hand-oracle tests in test_score_convert.py.)
+uni-backbone, asymmetric_shared (non-CE), and the four SPM score-branch
+online variants (pred_scores on the predicted-box path must match too).
+(CE flagship + CE mask modes in test_reference_import_parity.py.)
 """
 import importlib
 
@@ -52,7 +52,23 @@ FAMILIES = {
     "asymmetric_shared": ("lib.models.mixformer_vit_rgbt.asymmetric_shared",
                           "build_asymmetric_shared",
                           "attention_lasher_newfusion_2layer", True),
+    # SPM score-branch (online) variants: forward with run_score_head=True
+    # must also match pred_scores
+    "mixformer_vit_online": ("lib.models.mixformer_vit.mixformer_online",
+                             "build_mixformer_vit_online_score",
+                             "baseline", False),
+    "mixformer_cvt_online": ("lib.models.mixformer_cvt.mixformer_online",
+                             "build_mixformer_cvt_online_score",
+                             "baseline", False),
+    "mixformer_convmae_online": ("lib.models.mixformer_convmae.mixformer_online",
+                                 "build_mixformer_convmae_online_score",
+                                 "baseline", False),
+    "asymmetric_shared_online": ("lib.models.mixformer_vit_rgbt.asymmetric_shared_online",
+                                 "build_asymmetric_shared_online_score",
+                                 "attention_lasher_newfusion_2layer", True),
 }
+
+_SCORE = tuple(s for s in FAMILIES if s.endswith("online"))
 
 
 def _build_pair(script):
@@ -84,7 +100,10 @@ def _build_pair(script):
     nb = 2 * B if bimodal else B
     tz = jnp.zeros((nb, T, T, 3), jnp.float32)
     sz = jnp.zeros((nb, S, S, 3), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), tz, tz, sz)
+    score = script in _SCORE
+    variables = jax.jit(
+        lambda r, a, b_, c: model.init(r, a, b_, c, run_score_head=score)
+    )(jax.random.PRNGKey(0), tz, tz, sz)
 
     sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
     frozen = bool(cfg.MODEL.get("HEAD_FREEZE_BN", False))
@@ -129,8 +148,18 @@ def test_box_parity(family):
         arrs = [mk(T), mk(T), mk(S)]
         t_args = [as_torch(a) for a in arrs]
         j_args = [jnp.asarray(a) for a in arrs]
+    score = script in _SCORE
     with torch.no_grad():
-        out = oracle(*t_args)
-    want = (out[1] if isinstance(out, tuple) else out).numpy().reshape(B, 4)
-    got = np.asarray(model.apply(new_vars, *j_args)["pred_boxes"]).reshape(B, 4)
+        out = oracle(*t_args, run_score_head=True) if score \
+            else oracle(*t_args)
+    out_dict = out[0] if isinstance(out, tuple) else out
+    want = (out[1] if isinstance(out, tuple) else out["pred_boxes"])
+    want = want.numpy().reshape(B, 4)
+    got_dict = model.apply(new_vars, *j_args, run_score_head=score)
+    got = np.asarray(got_dict["pred_boxes"]).reshape(B, 4)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+    if score:
+        # gt_bboxes=None -> SPM scored on the PREDICTED box (forward_head)
+        want_s = out_dict["pred_scores"].numpy().reshape(B)
+        got_s = np.asarray(got_dict["pred_scores"]).reshape(B)
+        np.testing.assert_allclose(got_s, want_s, atol=5e-4, rtol=1e-3)
