@@ -745,7 +745,9 @@ class MixFormerRGBT(nn.Module):
         out = {"pred_boxes": box_xyxy_to_cxcywh(box_xyxy).reshape(B, 1, 4)}
         if run_score_head and self.with_score:
             t, _ot = cache["t"], cache["ot"]
-            template_feat = jnp.concatenate([t[:B], t[B:]], axis=2)
+            # height-concat (NHWC axis 1), same as __call__ — keeps the
+            # cached path bit-identical to the full forward
+            template_feat = jnp.concatenate([t[:B], t[B:]], axis=1)
             out["pred_scores"] = self.score_branch(
                 fused, template_feat,
                 jax.lax.stop_gradient(box_xyxy).reshape(B, 4))
