@@ -28,6 +28,27 @@ def main():
     timed("8192x8192 @ 8192x8192", 8192, 8192, 16)
     timed("2048x2048", 2048, 2048, 256)
     timed("f32 2048x2048", 2048, 2048, 128, jnp.float32)
+    # train-like rectangles (the model-shape ceiling)
+    def timed_mk(name, m, k, n, K, dtype=jnp.bfloat16):
+        a = jnp.asarray(rng.standard_normal((m, k)), dtype)
+        b = jnp.asarray(rng.standard_normal((k, n)), dtype)
+        c = jnp.asarray(rng.standard_normal((n, k)), dtype)
+        def scan_fn(x):
+            def body(x, _):
+                return jax.lax.dot(jax.lax.dot(x, b), c), ()
+            x, _ = jax.lax.scan(body, x, None, length=K)
+            return x
+        fn = jax.jit(scan_fn)
+        out = fn(a); np.asarray(out)
+        draws = []
+        for _ in range(3):
+            t0 = time.perf_counter(); out = fn(a); np.asarray(out)
+            draws.append((time.perf_counter()-t0)/K)
+        d = min(draws)
+        fl = 2*m*k*n*2
+        print(f"{name:28s} {d*1e6:9.1f} us/iter  {fl/d/1e12:6.1f} TFLOP/s", flush=True)
+    timed_mk("(5184,768)@(768,3072)x2", 5184, 768, 3072, 256)
+    timed_mk("(648,768)@(768,768)x2", 648, 768, 768, 1024)
 
 main()
 

@@ -208,6 +208,37 @@ def main():
     bboxes_out = np.asarray(bpending)
     assert np.isfinite(bboxes_out).all() and bboxes_out.shape[:2] == (BATCH_T, BATCH_SEQS)
 
+    # ---------------- phase 3.5: same-process device ceiling probe --------
+    # The tunnel maps to a DIFFERENT physical chip round to round (measured
+    # 2026-08-20: train-like matmul ceiling 32.7 TFLOP/s vs 57.2 on the r02
+    # chip), so absolute FPS/MFU are not comparable across rounds without a
+    # same-process ceiling. One train-shaped matmul chain, min-of-3.
+    def _probe_ceiling():
+        m, k, n, K = 5184, 768, 3072, 256
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        bmat = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
+        cmat = jnp.asarray(rng.standard_normal((n, k)), jnp.bfloat16)
+
+        def scan_fn(x):
+            def body(x, _):
+                return jax.lax.dot(jax.lax.dot(x, bmat), cmat), ()
+            return jax.lax.scan(body, x, None, length=K)[0]
+
+        fn = jax.jit(scan_fn)
+        np.asarray(fn(a))
+        draws = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(a))
+            draws.append((time.perf_counter() - t0) / K)
+        return 2 * m * k * n * 2 / min(draws)
+
+    try:
+        ceiling = _probe_ceiling()
+    except Exception as e:  # pragma: no cover
+        print(f"ceiling probe failed: {e}", file=sys.stderr)
+        ceiling = float("nan")
+
     # ---------------- phase 4: train step (LAST — see module docstring) --
     # Train-step FLOPs two ways (VERDICT r2 #5): the MFU numerator is the
     # ANALYTIC matmul+conv count (utils/flops.py jaxpr walk — the PaLM/
@@ -261,6 +292,8 @@ def main():
             "train_step_tflops_xla": round(xla_flops / 1e12, 3),
             "train_tflops_per_s": round(train_tflops_eff, 2),
             "train_mfu": round(train_mfu, 4),
+            "device_matmul_tflops": round(ceiling / 1e12, 2),
+            "train_mfu_vs_observed": round(train_tflops_eff * 1e12 / ceiling, 4),
         },
     }))
 
