@@ -3,7 +3,10 @@
 Parity target: tracking/video_demo.py + lib/test/evaluation/tracker.py
 run_video (:210+) of the reference — the interactive cv2 UI is replaced by a
 headless variant (init box from --optional_box) suitable for remote TPU
-hosts; output is an mp4 with the predicted box drawn per frame.
+hosts — plus the reference's one live UI element, cv2.selectROI init, behind
+--select_roi (the reference's imshow loop itself is commented out in its own
+source, tracker.py:282-331); output is an mp4 with the predicted box drawn
+per frame, same as the reference's video_writer path.
 
 Usage:
   python tracking/video_demo.py mixformer_vit baseline path/to/video.mp4 \
@@ -40,8 +43,14 @@ def main():
     p.add_argument("script", type=str)
     p.add_argument("config", type=str, nargs="?", default=None)
     p.add_argument("video", type=str, help="video file or image directory")
-    p.add_argument("--optional_box", type=float, nargs=4, required=True,
+    p.add_argument("--optional_box", type=float, nargs=4, default=None,
                    metavar=("x", "y", "w", "h"))
+    p.add_argument("--select_roi", action="store_true",
+                   help="pick the init box interactively with cv2.selectROI "
+                        "(the reference run_video's only live UI element — "
+                        "its imshow loop is commented out, tracker.py:"
+                        "282-331 — and needs a display; headless hosts use "
+                        "--optional_box)")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--out", type=str, default="output/demo.mp4")
     p.add_argument("--fps", type=int, default=30)
@@ -59,11 +68,22 @@ def main():
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     writer = None
+    init_box = args.optional_box
     for k, frame in enumerate(_frames_from(args.video)):
         image = [frame, frame] if mode == "RGBT" else frame
         if k == 0:
-            tracker.initialize(image, {"init_bbox": list(args.optional_box)})
-            box = list(args.optional_box)
+            if init_box is None:
+                if not args.select_roi:
+                    raise SystemExit(
+                        "pass --optional_box x y w h, or --select_roi on a "
+                        "host with a display")
+                # reference run_video init (lib/test/evaluation/tracker.py:282)
+                x, y, w, h = cv2.selectROI(
+                    "Select target ROI and press ENTER",
+                    cv2.cvtColor(frame, cv2.COLOR_RGB2BGR), fromCenter=False)
+                init_box = [float(x), float(y), float(w), float(h)]
+            tracker.initialize(image, {"init_bbox": list(init_box)})
+            box = list(init_box)
         else:
             box = tracker.track(image)["target_bbox"]
         vis = draw_boxes(frame, {"pred": box})
