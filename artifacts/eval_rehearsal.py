@@ -36,10 +36,11 @@ def main():
          "--script", "asymmetric_shared_ce", "--config", "synthetic_smoke",
          "--save_dir", os.path.join(work, "train")],
         check=True, env=env)
-    ckpt_dir = os.path.join(work, "train", "checkpoints")
-    ckpts = sorted(os.listdir(ckpt_dir)) if os.path.isdir(ckpt_dir) else []
-    assert ckpts, f"no checkpoint produced under {ckpt_dir}"
-    ckpt = os.path.join(ckpt_dir, ckpts[-1])
+    import glob
+    ckpts = sorted(glob.glob(os.path.join(work, "train", "checkpoints",
+                                          "**", "*.msgpack"), recursive=True))
+    assert ckpts, f"no checkpoint produced under {work}/train/checkpoints"
+    ckpt = ckpts[-1]
     print(f"    checkpoint: {ckpt}", flush=True)
 
     print("[2/3] running eval runner on synthetic_rgbt", flush=True)
@@ -63,7 +64,7 @@ def main():
     eval_data = extract_results(trackers, dataset, "rehearsal")
     m = compute_scores(eval_data)
     out = {
-        "n_sequences": len(dataset.get_sequence_list()),
+        "n_sequences": len(dataset),
         "auc": round(float(m["AUC"][0]), 2),
         "op50": round(float(m["OP50"][0]), 2),
         "precision": round(float(m["Precision"][0]), 2),
