@@ -210,9 +210,10 @@ def main():
 
     # ---------------- phase 3.5: same-process device ceiling probe --------
     # The tunnel maps to a DIFFERENT physical chip round to round (measured
-    # 2026-08-20: train-like matmul ceiling 32.7 TFLOP/s vs 57.2 on the r02
-    # chip), so absolute FPS/MFU are not comparable across rounds without a
-    # same-process ceiling. One train-shaped matmul chain, min-of-3.
+    # 2026-08-20: the same probe gave 49.8 in-process vs 57.2 recorded on the
+    # r02 chip and 32.7 in a separate same-day process), so absolute FPS/MFU
+    # are not comparable across rounds without a same-process calibration.
+    # One train-shaped matmul chain, min-of-3; treat as a lower-bound rate.
     def _probe_ceiling():
         m, k, n, K = 5184, 768, 3072, 256
         a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
@@ -292,8 +293,11 @@ def main():
             "train_step_tflops_xla": round(xla_flops / 1e12, 3),
             "train_tflops_per_s": round(train_tflops_eff, 2),
             "train_mfu": round(train_mfu, 4),
-            "device_matmul_tflops": round(ceiling / 1e12, 2),
-            "train_mfu_vs_observed": round(train_tflops_eff * 1e12 / ceiling, 4),
+            # chain-of-two rectangular matmuls; a LOWER bound on the chip's
+            # achievable rate (the fused train step can exceed it), recorded
+            # so cross-round numbers carry their own chip calibration
+            "matmul_probe_tflops": round(ceiling / 1e12, 2),
+            "train_vs_matmul_probe": round(train_tflops_eff * 1e12 / ceiling, 3),
         },
     }))
 
