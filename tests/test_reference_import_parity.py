@@ -222,3 +222,71 @@ def test_gt_box_mask_parity(converted):
                                     use_ce_template_mask=True,
                                     ce_gt_boxes=jnp.asarray(boxes))["pred_boxes"]).reshape(B, 4)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+# -------------------------------------------------- training objective parity
+# The forward is parity-pinned above; these pin the OBJECTIVE against the
+# genuine reference loss functions + the actor's exact glue
+# (actors/mixformer_rgbt.py compute_losses:127-168: cxcywh->xyxy flatten,
+# gt clamp to [0,1], CIoU+L1 weighted sum; SPM stage: BCE REPLACES box loss).
+
+def test_box_objective_matches_reference_actor():
+    reference_oracle.install()
+    import torch.nn.functional as F
+    from lib.utils.box_ops import (box_cxcywh_to_xyxy as r_cxcywh_to_xyxy,
+                                   box_xywh_to_xyxy as r_xywh_to_xyxy,
+                                   ciou_loss as r_ciou_loss)
+    from multi_modal_tracking_tpu.train.losses import box_losses
+
+    rng = np.random.default_rng(0)
+    Bn, N = 16, 1
+    pred = rng.uniform(0.05, 0.9, (Bn, N, 4)).astype(np.float32)
+    # include out-of-range gt rows to exercise the clamp
+    gt = rng.uniform(-0.1, 1.0, (Bn, 4)).astype(np.float32)
+    w_iou, w_l1 = 2.0, 5.0
+
+    tp = torch.tensor(pred)
+    tg = torch.tensor(gt)
+    pred_vec = r_cxcywh_to_xyxy(tp).view(-1, 4)
+    gt_vec = (r_xywh_to_xyxy(tg)[:, None, :].repeat((1, N, 1))
+              .view(-1, 4).clamp(min=0.0, max=1.0))
+    ciou_l, iou = r_ciou_loss(pred_vec, gt_vec)
+    want_total = w_iou * ciou_l + w_l1 * F.l1_loss(pred_vec, gt_vec)
+
+    total, metrics = box_losses(jnp.asarray(pred), jnp.asarray(gt),
+                                w_iou, w_l1)
+    np.testing.assert_allclose(float(total), float(want_total),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(metrics["IoU"]), float(iou.mean()),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_score_objective_matches_reference_actor():
+    reference_oracle.install()
+    from multi_modal_tracking_tpu.train.losses import score_loss
+
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal(16).astype(np.float32)
+    labels = (rng.random(16) > 0.5).astype(np.float32)
+    want = torch.nn.BCEWithLogitsLoss()(torch.tensor(logits),
+                                        torch.tensor(labels))
+    total, _ = score_loss(jnp.asarray(logits), jnp.asarray(labels), 1.0)
+    np.testing.assert_allclose(float(total), float(want), rtol=1e-6)
+
+
+def test_keep_rate_schedule_matches_reference():
+    """adjust_keep_rate (ce_utils.py:72-88): warmup/total epochs cosine."""
+    reference_oracle.install()
+    from lib.utils.ce_utils import adjust_keep_rate
+    from multi_modal_tracking_tpu.train.train_step import (
+        adjust_keep_rate as our_adjust_keep_rate)
+
+    for epoch in (0, 5, 20, 37, 63, 99, 100, 140):
+        want = float(adjust_keep_rate(epoch, warmup_epochs=20,
+                                      total_epochs=100, ITERS_PER_EPOCH=1,
+                                      base_keep_rate=0.7))
+        got = float(our_adjust_keep_rate(epoch, warmup_epochs=20,
+                                         total_epochs=100, iters_per_epoch=1,
+                                         base_keep_rate=0.7))
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg=f"epoch {epoch}")
