@@ -290,3 +290,81 @@ def test_keep_rate_schedule_matches_reference():
                                          base_keep_rate=0.7))
         np.testing.assert_allclose(got, want, rtol=1e-6,
                                    err_msg=f"epoch {epoch}")
+
+
+def test_gradient_parity(converted):
+    """End-to-end GRADIENT parity: d(loss)/d(params) of the full flagship
+    (eval-mode forward + the actor objective) must match the imported
+    reference's autograd leaf-for-leaf after converting the torch grads
+    through the SAME layout mapping as the params (the transforms are
+    linear — transpose/reshape — so they map gradients identically).
+    Catches backward-path defects forward parity cannot: wrong
+    stop_gradient placement, custom-vjp errors, non-differentiable
+    reformulations of CE gather/scatter."""
+    oracle, model, new_vars, _, _ = converted
+    from multi_modal_tracking_tpu.train.losses import box_losses
+    from multi_modal_tracking_tpu.utils.torch_convert import convert_state_dict
+
+    (tt, tot, ts), (jt, jot, js) = _inputs(6)
+    gt = np.array([[0.31, 0.27, 0.33, 0.38]] * B, np.float32)
+    w_iou, w_l1 = 2.0, 5.0
+
+    # torch side: eval-mode module, training-path call (CE keep rate), the
+    # genuine actor objective (compute_losses:127-150)
+    import lib.utils.box_ops as rbo
+    import torch.nn.functional as F
+    for p in oracle.parameters():
+        p.grad = None
+    out_dict, coords = oracle(tt, tot, ts, ce_keep_rate=0.8)
+    pred_vec = rbo.box_cxcywh_to_xyxy(coords).view(-1, 4)
+    gt_vec = (rbo.box_xywh_to_xyxy(torch.tensor(gt))[:, None, :]
+              .repeat((1, 1, 1)).view(-1, 4).clamp(0.0, 1.0))
+    ciou_l, _ = rbo.ciou_loss(pred_vec, gt_vec)
+    loss_t = w_iou * ciou_l + w_l1 * F.l1_loss(pred_vec, gt_vec)
+    loss_t.backward()
+    grad_sd = {k: p.grad.numpy() for k, p in oracle.named_parameters()
+               if p.grad is not None}
+
+    # jax side: same loss of the same converted params
+    def loss_fn(params):
+        variables = dict(new_vars, params=params)
+        out = model.apply(variables, jt, jot, js, 0.8,
+                          use_ce_template_mask=False)
+        total, _ = box_losses(out["pred_boxes"], jnp.asarray(gt), w_iou, w_l1)
+        return total
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(new_vars["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-4, atol=1e-5)
+
+    # route the torch grads through the param mapping into a grads pytree
+    grad_tree, report = convert_state_dict(
+        grad_sd, {"params": jax.tree.map(np.zeros_like, grads)},
+        verbose=False)
+    assert not report["shape_mismatch"], report["shape_mismatch"]
+
+    flat_want = jax.tree_util.tree_flatten_with_path(grad_tree["params"])[0]
+    flat_got = {jax.tree_util.keystr(k): v for k, v
+                in jax.tree_util.tree_flatten_with_path(grads)[0]}
+    checked = 0
+    for key, want in flat_want:
+        ks = jax.tree_util.keystr(key)
+        got = np.asarray(flat_got[ks])
+        want = np.asarray(want)
+        if not np.any(want):           # leaves the mapping never filled
+            continue
+        scale = np.abs(want).max()
+        if scale < 1e-6:
+            # mathematically-zero gradients (e.g. the final corner-head
+            # score conv bias: soft-argmax is invariant to a uniform map
+            # shift) are pure fp32 noise on both sides — nothing to compare
+            continue
+        # pure scaled atol: rtol would flag noise on near-zero elements;
+        # 2% of the leaf's max |grad| passes the measured fp32
+        # reassociation noise (<= 1.7% of scale through depth 12 + the
+        # deformable-sampling backward) while a misplaced stop_gradient or
+        # a broken custom VJP is orders of magnitude off
+        np.testing.assert_allclose(got, want, atol=2e-2 * scale, rtol=0,
+                                   err_msg=ks)
+        checked += 1
+    assert checked > 150, f"only {checked} gradient leaves compared"
