@@ -155,25 +155,34 @@ class ConvMAEViT(nn.Module):
         return (t.reshape(B, gt, gt, -1), ot.reshape(B, gt, gt, -1),
                 s.reshape(B, gs, gs, -1))
 
-    def set_online(self, x_t, x_ot):
+    def set_online(self, x_t, x_ot, slot_mask=None):
         """x_t: (1, Ht, Wt, 3); x_ot: (n_ot, Ht, Wt, 3) ring buffer.
-        Returns (template_feat (1, gt, gt, C), per-block (k, v) memory)."""
+        slot_mask (n_ot,) {0,1}: live ring slots (masked slots are invisible
+        to every attention — the reference's growing buffer, statically).
+        The conv stages act per batch element, so only the attention stage
+        needs masking.  Returns (template_feat, per-block (k, v), key_mask).
+        """
         t = self._conv_stages(x_t, True) + self.pos_embed_t.astype(self.dtype)
         ot = self._conv_stages(x_ot, True) + self.pos_embed_t.astype(self.dtype)
+        n_ot, n_t = ot.shape[0], t.shape[1]
         ot = ot.reshape(1, -1, ot.shape[-1])
         x = jnp.concatenate([t, ot], axis=1)
+        key_mask = None
+        if slot_mask is not None:
+            key_mask = jnp.concatenate(
+                [jnp.ones((n_t,), jnp.float32),
+                 jnp.repeat(slot_mask.astype(jnp.float32), n_t)], axis=0)
         mem: List[Any] = []
         for blk in self.blocks3:
-            x, m = blk.set_online(x)
+            x, m = blk.set_online(x, key_mask)
             mem.append(m)
-        n_t = t.shape[1]
         gt = self.grid_size_t
-        return x[:, :n_t].reshape(1, gt, gt, -1), mem
+        return x[:, :n_t].reshape(1, gt, gt, -1), mem, key_mask
 
-    def forward_test(self, x_s, mem):
+    def forward_test(self, x_s, mem, key_mask=None):
         s = self._conv_stages(x_s, True) + self.pos_embed_s.astype(self.dtype)
         for blk, m in zip(self.blocks3, mem):
-            s = blk.forward_test(s, m)
+            s = blk.forward_test(s, m, key_mask)
         B = s.shape[0]
         gs = self.grid_size_s
         return s.reshape(B, gs, gs, -1)
@@ -255,12 +264,18 @@ class MixFormerConvMAE(nn.Module):
         return self._head(s, train, run_score_head, template_feat=t,
                           gt_bboxes=gt_bboxes)
 
-    def set_online(self, template, online_template):
-        template_feat, mem = self.backbone.set_online(template, online_template)
-        return {"mem": mem, "template": template_feat}
+    def set_online(self, template, online_template, slot_mask=None):
+        template_feat, mem, key_mask = self.backbone.set_online(
+            template, online_template, slot_mask)
+        if key_mask is None:
+            n_t = template_feat.shape[1] * template_feat.shape[2]
+            key_mask = jnp.ones((n_t * (1 + online_template.shape[0]),),
+                                jnp.float32)
+        return {"mem": mem, "template": template_feat, "key_mask": key_mask}
 
     def forward_test(self, search, cache, run_score_head: bool = False):
-        s = self.backbone.forward_test(search, cache["mem"])
+        s = self.backbone.forward_test(search, cache["mem"],
+                                       cache.get("key_mask"))
         return self._head(s, False, run_score_head, template_feat=cache["template"])
 
 

@@ -179,9 +179,18 @@ class MAMAttention(nn.Module):
         x_s = _attend(q_s, k_all, v_all, self.scale)
         return self.proj(_merge(x_mt)), self.proj(_merge(x_s))
 
-    def set_online(self, t, ot):
+    @staticmethod
+    def _template_key_mask(slot_mask, L_ts):
+        """[t keys live ; per-slot strided spans gated by slot_mask]."""
+        return jnp.concatenate(
+            [jnp.ones((L_ts,), jnp.float32),
+             jnp.repeat(slot_mask.astype(jnp.float32), L_ts)], axis=0)
+
+    def set_online(self, t, ot, slot_mask=None):
         """t: (1, h, w, C); ot: (n, h, w, C) multi-template memory.
-        Full self-attention over all templates; caches per-head k/v."""
+        Full self-attention over all templates; caches per-head k/v.
+        slot_mask (n,) {0,1}: live ring slots — masked slots' strided keys
+        are invisible (the reference's GROWING buffer, statically)."""
         q_t = self._q(t, False)
         n = ot.shape[0]
         q_ot = self._q(ot, False)                       # (n, H, L, D)
@@ -193,16 +202,25 @@ class MAMAttention(nn.Module):
         q = jnp.concatenate([q_t, q_ot], axis=2)
         k = jnp.concatenate([k_t, k_ot], axis=2)
         v = jnp.concatenate([v_t, v_ot], axis=2)
-        out = self.proj(_merge(_attend(q, k, v, self.scale)))
+        key_mask = None
+        if slot_mask is not None:
+            key_mask = self._template_key_mask(slot_mask, k_t.shape[2])
+        out = self.proj(_merge(_attend(q, k, v, self.scale, key_mask)))
         return out, (k, v)
 
-    def forward_test(self, s, mem):
+    def forward_test(self, s, mem, slot_mask=None):
         q_s = self._q(s, False)
         k_s, v_s = self._kv(s, False)
         k_mem, v_mem = mem
         k = jnp.concatenate([k_mem.astype(k_s.dtype), k_s], axis=2)
         v = jnp.concatenate([v_mem.astype(v_s.dtype), v_s], axis=2)
-        return self.proj(_merge(_attend(q_s, k, v, self.scale)))
+        key_mask = None
+        if slot_mask is not None:
+            L_ts = k_mem.shape[2] // (1 + slot_mask.shape[0])
+            key_mask = jnp.concatenate(
+                [self._template_key_mask(slot_mask, L_ts),
+                 jnp.ones((k_s.shape[2],), jnp.float32)], axis=0)
+        return self.proj(_merge(_attend(q_s, k, v, self.scale, key_mask)))
 
 
 class MAMBlock(nn.Module):
@@ -250,22 +268,22 @@ class MAMBlock(nn.Module):
         x = x + self.dp2(self._mlp(self.norm2(x)), deterministic)
         return x
 
-    def set_online(self, x, t_hw: int):
+    def set_online(self, x, t_hw: int, slot_mask=None):
         B, N, C = x.shape
         t_h = int(np.sqrt(t_hw))
         xn = self.norm1(x)
         t = xn[:, :t_hw].reshape(1, t_h, t_h, C)
         ot = xn[:, t_hw:].reshape(-1, t_h, t_h, C)
-        out, mem = self.attn.set_online(t, ot)
+        out, mem = self.attn.set_online(t, ot, slot_mask)
         x = x + out
         x = x + self._mlp(self.norm2(x))
         return x, mem
 
-    def forward_test(self, x, s_hw: int, mem):
+    def forward_test(self, x, s_hw: int, mem, slot_mask=None):
         B, N, C = x.shape
         s_h = int(np.sqrt(s_hw))
         s = self.norm1(x).reshape(B, s_h, s_h, C)
-        x = x + self.attn.forward_test(s, mem)
+        x = x + self.attn.forward_test(s, mem, slot_mask)
         x = x + self._mlp(self.norm2(x))
         return x
 
@@ -313,7 +331,7 @@ class CvTStage(nn.Module):
         s = x[:, 2 * t_hw:].reshape(B, s_h, s_w, C)
         return t, ot, s
 
-    def set_online(self, t, ot):
+    def set_online(self, t, ot, slot_mask=None):
         t, ot = self.patch_embed(t), self.patch_embed(ot)
         _, t_h, t_w, C = t.shape
         n = ot.shape[0]
@@ -322,19 +340,19 @@ class CvTStage(nn.Module):
                              ot.reshape(1, n * t_hw, C)], axis=1)
         mem = []
         for blk in self.blocks:
-            x, m = blk.set_online(x, t_hw)
+            x, m = blk.set_online(x, t_hw, slot_mask)
             mem.append(m)
         t = x[:, :t_hw].reshape(1, t_h, t_w, C)
         ot = x[:, t_hw:].reshape(n, t_h, t_w, C)
         return t, ot, mem
 
-    def forward_test(self, s, mem):
+    def forward_test(self, s, mem, slot_mask=None):
         s = self.patch_embed(s)
         B, s_h, s_w, C = s.shape
         s_hw = s_h * s_w
         x = s.reshape(B, s_hw, C)
         for blk, m in zip(self.blocks, mem):
-            x = blk.forward_test(x, s_hw, m)
+            x = blk.forward_test(x, s_hw, m, slot_mask)
         return x.reshape(B, s_h, s_w, C)
 
 
@@ -424,20 +442,27 @@ class MixFormerCvT(nn.Module):
             out["pred_scores"] = self.score_branch(s, t, boxes)
         return out
 
-    def set_online(self, template, online_template):
+    def set_online(self, template, online_template, slot_mask=None):
         """template: (1, H, W, 3); online_template: (n, H, W, 3).
-        Returns per-stage per-block (k, v) cache + final template map."""
+        slot_mask (n,) {0,1}: live ring slots — the static-shape stand-in
+        for the reference's GROWING online buffer
+        (mixformer_cvt_online.py:152-168).  Returns per-stage per-block
+        (k, v) cache + final template map; the slot mask rides in the
+        cache (strided k/v means per-stage key masks, derived per stage)."""
         t, ot = template, online_template
+        if slot_mask is None:
+            slot_mask = jnp.ones((online_template.shape[0],), jnp.float32)
         mems = []
         for stage in self.stages:
-            t, ot, mem = stage.set_online(t, ot)
+            t, ot, mem = stage.set_online(t, ot, slot_mask)
             mems.append(mem)
-        return {"mem": mems, "template": t}
+        return {"mem": mems, "template": t, "slot_mask": slot_mask}
 
     def forward_test(self, search, cache, run_score_head: bool = False):
         s = search
+        slot_mask = cache.get("slot_mask")
         for stage, mem in zip(self.stages, cache["mem"]):
-            s = stage.forward_test(s, mem)
+            s = stage.forward_test(s, mem, slot_mask)
         out = self._head(s, False)
         if self.with_score and run_score_head:
             boxes = jax.lax.stop_gradient(box_cxcywh_to_xyxy(out["pred_boxes"].reshape(-1, 4)))

@@ -84,14 +84,23 @@ class MixFormer(nn.Module):
         t, ot, s = self.backbone(template, online_template, search, deterministic)
         return self._head(s, train, run_score_head, template_feat=t, gt_bboxes=gt_bboxes)
 
-    def set_online(self, template, online_template):
-        """Returns {"template": final template map, "mem": per-block k/v}
-        (uniform cache contract across model families)."""
-        template_feat, mem = self.backbone.set_online(template, online_template)
-        return {"mem": mem, "template": template_feat}
+    def set_online(self, template, online_template, slot_mask=None):
+        """Returns {"template": final template map, "mem": per-block k/v,
+        "key_mask": live-token mask over cached template keys} (uniform
+        cache contract across model families). slot_mask (n_ot,) {0,1}
+        reproduces the reference's growing online-template buffer with
+        static ring shapes (mixformer_cvt_online.py:152-168)."""
+        template_feat, mem, key_mask = self.backbone.set_online(
+            template, online_template, slot_mask)
+        if key_mask is None:
+            n_t = template_feat.shape[1] * template_feat.shape[2]
+            key_mask = jnp.ones((n_t * (1 + online_template.shape[0]),),
+                                jnp.float32)
+        return {"mem": mem, "template": template_feat, "key_mask": key_mask}
 
     def forward_test(self, search, cache, run_score_head: bool = False):
-        s = self.backbone.forward_test(search, cache["mem"])
+        s = self.backbone.forward_test(search, cache["mem"],
+                                       cache.get("key_mask"))
         return self._head(s, False, run_score_head, template_feat=cache["template"])
 
 

@@ -15,7 +15,7 @@ static (online template count fixed by config).
 """
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
@@ -39,10 +39,21 @@ def _merge(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
 
 
-def _attend(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
-    """Softmax attention on (B, H, N, D) tensors, f32 softmax accumulation."""
+def _attend(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+            key_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Softmax attention on (B, H, N, D) tensors, f32 softmax accumulation.
+
+    key_mask: optional (K,) or (B, K) {0,1} floats — masked keys get -inf
+    logits (how the static template ring reproduces the reference's GROWING
+    online-template buffer: unfilled slots exist in the tensors but never in
+    the softmax)."""
     attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+    attn = attn.astype(jnp.float32)
+    if key_mask is not None:
+        m = key_mask.astype(jnp.float32)
+        m = m.reshape((m.shape[0] if m.ndim > 1 else 1, 1, 1, -1))
+        attn = jnp.where(m > 0, attn, jnp.float32(-1e30))
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
 
@@ -75,19 +86,30 @@ class MixedAttention(nn.Module):
         out = mixed_attention(q, k, v, n_mt, self.scale)
         return self.proj(_merge(out))
 
-    def set_online(self, x: jax.Array):
+    def set_online(self, x: jax.Array, key_mask: Optional[jax.Array] = None):
         """Full self-attention over template tokens; returns (out, (k, v))."""
         q, k, v = self._qkv(x)
-        out = _merge(_attend(q, k, v, self.scale))
+        out = _merge(_attend(q, k, v, self.scale, key_mask))
         return self.proj(out), (k, v)
 
-    def forward_test(self, x: jax.Array, mem: Tuple[jax.Array, jax.Array]) -> jax.Array:
-        """Search-only attention against cached template k/v."""
+    def forward_test(self, x: jax.Array, mem: Tuple[jax.Array, jax.Array],
+                     key_mask: Optional[jax.Array] = None) -> jax.Array:
+        """Search-only attention against cached template k/v; key_mask covers
+        the cached template keys (search keys are always live)."""
         q_s, k_s, v_s = self._qkv(x)
         k_mem, v_mem = mem
         k = jnp.concatenate([k_mem.astype(k_s.dtype), k_s], axis=2)
         v = jnp.concatenate([v_mem.astype(v_s.dtype), v_s], axis=2)
-        return self.proj(_merge(_attend(q_s, k, v, self.scale)))
+        full_mask = None
+        if key_mask is not None:
+            ones = jnp.ones((x.shape[0], k_s.shape[2]), key_mask.dtype) \
+                if key_mask.ndim > 1 else jnp.ones((k_s.shape[2],),
+                                                   key_mask.dtype)
+            full_mask = jnp.concatenate(
+                [jnp.broadcast_to(key_mask,
+                                  key_mask.shape[:-1] + (k_mem.shape[2],)),
+                 ones], axis=-1)
+        return self.proj(_merge(_attend(q_s, k, v, self.scale, full_mask)))
 
 
 class Block(nn.Module):
@@ -111,14 +133,14 @@ class Block(nn.Module):
         x = x + self.dp2(self.mlp(self.norm2(x)), deterministic)
         return x
 
-    def set_online(self, x):
-        out, mem = self.attn.set_online(self.norm1(x))
+    def set_online(self, x, key_mask=None):
+        out, mem = self.attn.set_online(self.norm1(x), key_mask)
         x = x + out
         x = x + self.mlp(self.norm2(x))
         return x, mem
 
-    def forward_test(self, x, mem):
-        x = x + self.attn.forward_test(self.norm1(x), mem)
+    def forward_test(self, x, mem, key_mask=None):
+        x = x + self.attn.forward_test(self.norm1(x), mem, key_mask)
         x = x + self.mlp(self.norm2(x))
         return x
 
@@ -177,28 +199,39 @@ class MixFormerViT(nn.Module):
         return (t.reshape(B, gt, gt, -1), ot.reshape(B, gt, gt, -1),
                 s.reshape(B, gs, gs, -1))
 
-    def set_online(self, x_t, x_ot):
+    def set_online(self, x_t, x_ot, slot_mask=None):
         """x_t: (1, Ht, Wt, 3); x_ot: (n_ot, Ht, Wt, 3).
 
-        Returns (template_feat (1, gt, gt, C), mem: list of per-block (k, v)).
+        slot_mask: optional (n_ot,) {0,1} — live ring slots. Masked slots are
+        invisible to every attention (exactly the reference's grown buffer
+        of the live slots; mixformer_cvt_online.py:152-168 grows one commit
+        at a time).
+
+        Returns (template_feat (1, gt, gt, C), mem: per-block (k, v),
+        key_mask over the cached template tokens or None).
         """
         t = self._embed_t(x_t)
         ot = self._embed_t(x_ot)
+        n_ot, n_t = ot.shape[0], t.shape[1]
         ot = ot.reshape(1, -1, ot.shape[-1])
         x = jnp.concatenate([t, ot], axis=1)
+        key_mask = None
+        if slot_mask is not None:
+            key_mask = jnp.concatenate(
+                [jnp.ones((n_t,), jnp.float32),
+                 jnp.repeat(slot_mask.astype(jnp.float32), n_t)], axis=0)
         mem: List[Any] = []
         for blk in self.blocks:
-            x, m = blk.set_online(x)
+            x, m = blk.set_online(x, key_mask)
             mem.append(m)
-        n_t = t.shape[1]
         gt = self.grid_size_t
         template = x[:, :n_t].reshape(1, gt, gt, -1)
-        return template, mem
+        return template, mem, key_mask
 
-    def forward_test(self, x_s, mem):
+    def forward_test(self, x_s, mem, key_mask=None):
         s = self._embed_s(x_s)
         for blk, m in zip(self.blocks, mem):
-            s = blk.forward_test(s, m)
+            s = blk.forward_test(s, m, key_mask)
         B = s.shape[0]
         gs = self.grid_size_s
         return s.reshape(B, gs, gs, -1)

@@ -66,9 +66,10 @@ class OnlineTrackState:
     (lib/test/tracker/mixformer_cvt_online.py:75-168) as explicit arrays:
     the best-scoring template crop since the last refresh and its score.
     For multi-template models the candidate is committed into a FIXED-size
-    ring buffer (all slots initialised to the first template — static shape
-    where the reference grows the buffer dynamically) and the per-block k/v
-    cache is recomputed by set_online.
+    ring buffer; `n_filled` counts the slots the reference's dynamically
+    GROWING buffer would hold (:158-162: append until online_size, then
+    replace at forget_id), and unfilled slots are masked out of every
+    attention via set_online's slot_mask — growth-exact with static shapes.
     """
     template_v: jax.Array        # (1, Ht, Wt, 3) normalised
     template_i: jax.Array
@@ -80,6 +81,7 @@ class OnlineTrackState:
     forget_id: jax.Array         # () int32 ring-buffer cursor
     state: jax.Array             # (4,) xywh image coords
     frame_id: jax.Array          # () int32
+    n_filled: jax.Array          # () int32 live ring slots (reference growth)
 
 
 def _select_init_box(box, mode: str = "RGB"):
@@ -448,7 +450,8 @@ class RGBTOnlineTrackerJit:
             max_template_v=tv, max_template_i=ti,
             max_pred_score=jnp.float32(-1.0),
             forget_id=jnp.int32(0),
-            state=box.astype(jnp.float32), frame_id=jnp.int32(0))
+            state=box.astype(jnp.float32), frame_id=jnp.int32(0),
+            n_filled=jnp.int32(1))
 
     def _make_init(self, shape):
         return jax.jit(self._init_state)
@@ -494,7 +497,7 @@ class RGBTOnlineTrackerJit:
             online_template_v=otv, online_template_i=oti,
             max_template_v=max_tv, max_template_i=max_ti,
             max_pred_score=max_score, forget_id=st.forget_id,
-            state=new_state, frame_id=frame_id)
+            state=new_state, frame_id=frame_id, n_filled=st.n_filled)
         return new_st, new_state, pred_score
 
     def _make_track(self, shape):
@@ -669,9 +672,10 @@ class OnlineTrackerJit:
     k/v; every update_interval the max-score candidate replaces the slot at
     forget_id and set_online recomputes the cache (:152-168).
 
-    TPU-first deviation (static shapes): the ring buffer always holds
-    `online_size` slots, initialised to the first template, where the
-    reference grows it one commit at a time.
+    TPU-first (static shapes): the ring buffer always holds `online_size`
+    slots, but `n_filled` + set_online's slot_mask make unfilled slots
+    invisible to every attention — growth-EXACT vs the reference's buffer
+    that grows one commit at a time (:158-162).
     """
     model: Any
     variables: Any
@@ -704,20 +708,27 @@ class OnlineTrackerJit:
         return (1 - self.prompt_lambda) * img_v.astype(jnp.float32) + \
             self.prompt_lambda * apply_jet(img_i)
 
-    def _set_online(self, variables, template, ring):
+    def _slot_mask(self, n_filled):
+        return (jnp.arange(self.online_size) < n_filled).astype(jnp.float32)
+
+    def _set_online(self, variables, template, ring, n_filled):
         return self.model.apply(variables, template, ring,
+                                self._slot_mask(n_filled),
                                 method=self.model.set_online)
 
     def _init_step(self, variables, frame, box):
         t, _ = _prep_rgb(frame, box, self.template_factor, self.template_size)
         ring = jnp.concatenate([t] * self.online_size, axis=0)
-        cache = self._set_online(variables, t, ring)
+        # reference init: online buffer = [template] (1 live slot)
+        n_filled = jnp.int32(1)
+        cache = self._set_online(variables, t, ring, n_filled)
         st = OnlineTrackState(
             template_v=t, template_i=t,
             online_template_v=ring, online_template_i=ring,
             max_template_v=t, max_template_i=t,
             max_pred_score=jnp.float32(-1.0), forget_id=jnp.int32(0),
-            state=box.astype(jnp.float32), frame_id=jnp.int32(0))
+            state=box.astype(jnp.float32), frame_id=jnp.int32(0),
+            n_filled=n_filled)
         return st, cache
 
     def _init_state(self, variables, img_v, img_i, box):
@@ -761,14 +772,21 @@ class OnlineTrackerJit:
         max_score = jnp.where(is_better, pred_score, max_score)
 
         do_update = (frame_id % self.update_interval) == 0
+        # reference commit (mixformer_cvt_online.py:152-162): APPEND while
+        # the buffer is short of online_size, then replace at forget_id
+        was_full = st.n_filled >= self.online_size
+        write_pos = jnp.where(was_full, st.forget_id, st.n_filled)
         ring = jnp.where(
             do_update,
             jax.lax.dynamic_update_slice_in_dim(
-                st.online_template_v, max_t, st.forget_id, axis=0),
+                st.online_template_v, max_t, write_pos, axis=0),
             st.online_template_v)
-        forget_id = jnp.where(do_update,
+        forget_id = jnp.where(do_update & was_full,
                               (st.forget_id + 1) % self.online_size,
                               st.forget_id)
+        n_filled = jnp.where(do_update,
+                             jnp.minimum(st.n_filled + 1, self.online_size),
+                             st.n_filled)
         max_t = jnp.where(do_update, st.template_v, max_t)
         max_score = jnp.where(do_update, jnp.float32(-1.0), max_score)
 
@@ -777,13 +795,13 @@ class OnlineTrackerJit:
             online_template_v=ring, online_template_i=ring,
             max_template_v=max_t, max_template_i=max_t,
             max_pred_score=max_score, forget_id=forget_id,
-            state=new_state, frame_id=frame_id)
+            state=new_state, frame_id=frame_id, n_filled=n_filled)
         return new_st, new_state, pred_score
 
     def _refresh_cache(self, variables, st: OnlineTrackState):
         """set_online over the base template + the already-committed ring."""
         return self._set_online(variables, st.template_v,
-                                st.online_template_v)
+                                st.online_template_v, st.n_filled)
 
     def _step(self, shape, variables, st: OnlineTrackState, cache, img):
         new_st, new_state, pred_score = self._step_search(shape, variables,

@@ -121,7 +121,7 @@ def test_online_cache_matches_full_forward(tiny_vit):
     forward_test fast path."""
     m, variables, t, ot, s = tiny_vit
     _, _, s_full = jax.jit(m.apply)(variables, t, ot, s)
-    tmpl, mem = jax.jit(lambda v, a, b: m.apply(v, a, b, method=m.set_online))(variables, t, ot)
+    tmpl, mem, _ = jax.jit(lambda v, a, b: m.apply(v, a, b, method=m.set_online))(variables, t, ot)
     s_test = jax.jit(lambda v, x, mem: m.apply(v, x, mem, method=m.forward_test))(variables, s, mem)
     np.testing.assert_allclose(_np(s_test), _np(s_full), atol=1e-5, rtol=1e-4)
 

@@ -70,15 +70,24 @@ def test_unimodal_online_ring_buffer():
                                template_factor=2.0, template_size=32,
                                search_factor=4.5, search_size=64,
                                update_interval=2, online_size=3)
-    frames = _frames(6, seed=3)
+    frames = _frames(10, seed=3)
     tracker.initialize(frames[0], {"init_bbox": [40.0, 30.0, 30.0, 24.0]})
     assert tracker._state.online_template_v.shape[0] == 3
-    fid0 = int(tracker._state.forget_id)
+    assert int(tracker._state.n_filled) == 1       # reference init: [template]
+    assert int(tracker._state.forget_id) == 0
     for k in range(1, 6):
         out = tracker.track(frames[k])
         assert np.isfinite(out["target_bbox"]).all()
-    # 5 frames with interval 2 -> 2 commits -> cursor advanced (mod 3)
-    assert int(tracker._state.forget_id) == (fid0 + 2) % 3
+    # 5 frames, interval 2 -> 2 commits, both APPENDS (growth phase):
+    # buffer [t0, m2, m4]; cursor untouched until the buffer is full
+    # (mixformer_cvt_online.py:158-162)
+    assert int(tracker._state.n_filled) == 3
+    assert int(tracker._state.forget_id) == 0
+    for k in range(6, 10):
+        tracker.track(frames[k])
+    # commits at 6 and 8 are REPLACEMENTS now -> cursor advanced twice
+    assert int(tracker._state.n_filled) == 3
+    assert int(tracker._state.forget_id) == 2
 
 
 def test_unimodal_online_cache_refresh_consistency():
