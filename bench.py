@@ -298,6 +298,11 @@ def main():
             # so cross-round numbers carry their own chip calibration
             "matmul_probe_tflops": round(ceiling / 1e12, 2),
             "train_vs_matmul_probe": round(train_tflops_eff * 1e12 / ceiling, 3),
+            # headline FPS per probe-TFLOP/s: the chip-invariant trend number
+            # (the tunnel maps to a different physical chip each round;
+            # 215.9→343.3→353.5 FPS across r01-r03 is meaningless without
+            # dividing out the probe) — VERDICT r3 #9
+            "value_per_probe_tflops": round(fps / (ceiling / 1e12), 3),
         },
     }))
 
