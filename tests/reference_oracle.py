@@ -331,6 +331,32 @@ def install():
             raise RuntimeError("jpeg4py unavailable in oracle environment")
 
     jpeg_mod.JPEG = _JPEG
+    # lib/utils/lmdb_utils.py:1 imports lmdb at module scope (pulled in by
+    # the lib.test.evaluation package __init__ via tracker.py:8); the handle
+    # cache only calls lmdb.open lazily, so a raising stub keeps non-lmdb
+    # paths genuine
+    lmdb_mod = _mk_module("lmdb")
+
+    def _no_lmdb(*a, **k):
+        raise RuntimeError("lmdb unavailable in oracle environment")
+
+    lmdb_mod.open = _no_lmdb
+    # lib/train/dataset/coco.py:8 imports pycocotools at module scope (pulled
+    # in transitively by tracker_rgbt.py:18 -> lib.train.dataset.__init__);
+    # only the COCO dataset adapter instantiates it
+    coco_pkg = _mk_module("pycocotools")
+    coco_mod = _mk_module("pycocotools.coco")
+
+    class _NoCOCO:
+        def __init__(self, *a, **k):
+            raise RuntimeError("pycocotools unavailable in oracle environment")
+
+    coco_mod.COCO = _NoCOCO
+    coco_pkg.coco = coco_mod
+    mask_mod = _mk_module("pycocotools.mask")
+    mask_mod.decode = _NoCOCO
+    mask_mod.frPyObjects = _NoCOCO
+    coco_pkg.mask = mask_mod
     _install_easydict()
     _install_timm()
     _install_torchvision()
@@ -385,6 +411,43 @@ def install():
         if mod is not None and hasattr(mod, "MSDeformAttnFunction"):
             mod.MSDeformAttnFunction = _PurePyTorchMSDeformAttnFunction
     _installed = True
+
+
+def _install_tikzplotlib():
+    # lib/test/analysis/plot_results.py:1 imports tikzplotlib at module scope
+    # but only calls tikzplotlib.save inside plot_draw_save; a no-op shim
+    # keeps the genuine print_results/extract_results paths importable.
+    mod = _mk_module("tikzplotlib")
+    mod.save = lambda *a, **k: None
+
+
+def install_eval_env(lasher_path="", results_path="", result_plot_path="",
+                     save_dir="", prj_dir=REFERENCE_ROOT, **extra):
+    """Inject ``lib.test.evaluation.local`` so the genuine env_settings()
+    resolves (lib/test/evaluation/environment.py:115-126 would otherwise try
+    to WRITE a default local.py into /root/reference).  Re-entrant: each call
+    rebinds the paths (module-scoped fixtures pass their own tmp dirs)."""
+    install()
+    _install_tikzplotlib()
+    import importlib
+    env_mod = importlib.import_module("lib.test.evaluation.environment")
+    mod = _mk_module("lib.test.evaluation.local")
+    paths = dict(lasher_path=lasher_path, results_path=results_path,
+                 result_plot_path=result_plot_path, save_dir=save_dir,
+                 prj_dir=prj_dir, **extra)
+
+    def local_env_settings():
+        settings = env_mod.EnvSettings()
+        for k, v in paths.items():
+            setattr(settings, k, v)
+        return settings
+
+    mod.local_env_settings = local_env_settings
+    # make the package attribute consistent for `from lib.test.evaluation
+    # import local` style access
+    if "lib.test.evaluation" in sys.modules:
+        sys.modules["lib.test.evaluation"].local = mod
+    return local_env_settings()
 
 
 def load_flagship_module():

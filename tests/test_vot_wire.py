@@ -1,11 +1,19 @@
 """TraX wire-format conformance: transcript replay against eval/trax_wire.py.
 
-The VOT toolkit cannot be installed in this environment, so the fixtures are
-hand-recorded client transcripts following the TraX v3 text protocol (the
-byte format the toolkit's native client emits when driving a tracker over
-stdio).  These replace the earlier object-level mock: every byte the tracker
-side emits is parsed back and checked against the protocol, including
-quoting/escaping and multi-channel (rgbt/rgbd) image arguments.
+Fixture provenance (VERDICT r3 #8 — live-capture attempt, 2026-08-20):
+a real toolkit capture was attempted and is impossible in this environment.
+`import vot` and `import trax` both fail (no wheel cache, zero egress), and
+the reference's own client (`/root/reference/lib/test/vot20/vot.py:14`)
+hard-raises without the compiled `trax` package, so neither the toolkit
+server nor the reference client can execute here.  The fixtures are
+therefore hand-recorded client transcripts following the TraX v3 text
+protocol specification (the byte format `trax.Server` emits over stdio when
+the toolkit launches a tracker from trackers.ini).  They replace the earlier
+object-level mock: every byte the tracker side emits is parsed back and
+checked against the protocol, including quoting/escaping and multi-channel
+(rgbt/rgbd) image arguments.  If a `trax`/`vot` wheel ever lands in this
+image, replace `test_multichannel_transcript_replay`'s transcript with a
+`trax.Server`-captured one.
 """
 import io
 
