@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _resample_matrix(full_extent: int, out_sz: int, lo: jax.Array, crop_sz: jax.Array) -> jax.Array:
+def _resample_matrix(full_extent: int, out_sz: int, lo: jax.Array, crop_sz: jax.Array,
+                     frame_lo=None, frame_hi_excl=None) -> jax.Array:
     """Build the (out_sz, full_extent) 1-D resampling matrix.
 
     lo       : crop window start in image coords (int32 scalar, may be <0)
@@ -44,6 +45,11 @@ def _resample_matrix(full_extent: int, out_sz: int, lo: jax.Array, crop_sz: jax.
     pixels, sampling crop coordinate c_j = (j + 0.5) * crop_sz / out_sz - 0.5
     (cv2 half-pixel convention), clamped to the crop borders, and masked to
     the valid (un-padded) image region [max(lo,0), min(lo+crop_sz, ext-1)).
+
+    frame_lo / frame_hi_excl override the 0 / ext-1 frame bounds for the
+    ROI-window mode (crop_resize_window): there the array is a sub-window of
+    the frame, so the frame edges live at dynamic positions -offset and
+    frame_extent - offset - 1 in window coordinates.
     """
     crop_f = crop_sz.astype(jnp.float32)
     j = jnp.arange(out_sz, dtype=jnp.float32)
@@ -59,10 +65,12 @@ def _resample_matrix(full_extent: int, out_sz: int, lo: jax.Array, crop_sz: jax.
     w0 = 1.0 - frac
     w1 = frac
 
-    valid_lo = jnp.maximum(lo, 0)
+    valid_lo = jnp.maximum(lo, 0 if frame_lo is None else frame_lo)
     # Reference quirk: x2_pad = max(x2 - W + 1, 0) drops the last image
     # row/col whenever the window touches it (processing_utils.py:45,48).
-    valid_hi = jnp.minimum(lo + crop_sz, full_extent - 1)  # exclusive
+    valid_hi = jnp.minimum(
+        lo + crop_sz,
+        full_extent - 1 if frame_hi_excl is None else frame_hi_excl)  # exclusive
 
     cols = jnp.arange(full_extent, dtype=jnp.int32)[None, :]           # (1, ext)
     in_valid = (cols >= valid_lo) & (cols < valid_hi)
@@ -105,6 +113,68 @@ def crop_resize(img: jax.Array, box_xywh: jax.Array, search_area_factor: float,
     out = jnp.einsum("pw,owc->opc", A_x, tmp, precision="highest")
     resize_factor = output_sz / crop_sz
     return out, resize_factor
+
+
+def crop_resize_window(window: jax.Array, box_xywh: jax.Array,
+                       offset_xy: jax.Array, frame_hw,
+                       search_area_factor: float, output_sz: int):
+    """crop_resize against a SUB-WINDOW of the frame (ROI upload mode).
+
+    The tracking loop reads only a ~factor*sqrt(wh)-sized region per frame,
+    so the host can upload a conservative window instead of the full frame
+    (the upload leg is the transport bottleneck — artifacts/
+    profile_upload_r3.json / profile_overlap_r4.json). This routine crops in
+    window coordinates and reports whether the result is BIT-IDENTICAL to
+    the full-frame crop_resize.
+
+    window    : (Hw, Ww, C) sub-image, window[0,0] at frame coords
+                (offset_xy[1], offset_xy[0]); the window must lie inside the
+                frame (the host clips it when placing it).
+    box_xywh  : (4,) float box in FRAME coordinates.
+    offset_xy : (2,) int32 [ox, oy] frame coords of the window origin.
+    frame_hw  : static (H, W) of the full frame.
+    returns   : (crop, resize_factor, valid) — valid (bool scalar) is True
+                iff every frame pixel the full-frame crop would read lies
+                inside the window, i.e. crop == crop_resize(frame, box)[0]
+                bitwise. On False the caller must fall back to full frames.
+    """
+    if window.ndim == 2:
+        crop, rf, ok = crop_resize_window(window[..., None], box_xywh,
+                                          offset_xy, frame_hw,
+                                          search_area_factor, output_sz)
+        return crop[..., 0], rf, ok
+    H, W = frame_hw
+    Hw, Ww = window.shape[0], window.shape[1]
+    ox = offset_xy[0].astype(jnp.int32)
+    oy = offset_xy[1].astype(jnp.int32)
+    x, y, w, h = box_xywh[0], box_xywh[1], box_xywh[2], box_xywh[3]
+    crop_sz = jnp.ceil(jnp.sqrt(w * h) * search_area_factor)
+    crop_sz = jnp.maximum(crop_sz, 1.0)
+    # identical integer window to crop_resize (computed in frame coords,
+    # then shifted by the integer offset — exact)
+    x1 = jnp.round(x + 0.5 * w - crop_sz * 0.5).astype(jnp.int32)
+    y1 = jnp.round(y + 0.5 * h - crop_sz * 0.5).astype(jnp.int32)
+    crop_i = crop_sz.astype(jnp.int32)
+
+    # the frame-valid tap range the full-frame crop reads (incl. the
+    # last-row/col drop quirk); the window must contain all of it
+    def _covered(lo, ext, o, wext):
+        read_lo = jnp.maximum(lo, 0)
+        read_hi = jnp.minimum(lo + crop_i, ext - 1)            # exclusive
+        return (read_hi <= read_lo) | ((read_lo >= o) & (read_hi <= o + wext))
+
+    valid = _covered(x1, W, ox, Ww) & _covered(y1, H, oy, Hw)
+
+    A_y = _resample_matrix(Hw, output_sz, y1 - oy, crop_i,
+                           frame_lo=-oy, frame_hi_excl=H - 1 - oy)
+    A_x = _resample_matrix(Ww, output_sz, x1 - ox, crop_i,
+                           frame_lo=-ox, frame_hi_excl=W - 1 - ox)
+
+    imf = window.astype(jnp.float32)
+    tmp = jnp.einsum("oh,hwc->owc", A_y, imf, precision="highest")
+    out = jnp.einsum("pw,owc->opc", A_x, tmp, precision="highest")
+    resize_factor = output_sz / crop_sz
+    return out, resize_factor, valid
 
 
 def crop_resize_batch(imgs: jax.Array, boxes_xywh: jax.Array, search_area_factor: float,
