@@ -160,12 +160,23 @@ def _vis_frame(frame, pred_box, prev_box, search_factor: float):
 
 def run_sequence(seq: Sequence, tracker, results_dir: str,
                  skip_if_done: bool = True, chunk: int = 16,
-                 report_fps: bool = True, save_vis: bool = False) -> Optional[dict]:
+                 report_fps: bool = True, save_vis: bool = False,
+                 roi_margin: float = 0.0, roi_min_size: int = 192,
+                 roi_align: int = 64) -> Optional[dict]:
     """Track one sequence; write <results_dir>/<seq>.txt (+ _time.txt).
 
     save_vis renders a per-frame search-region visualisation video to
     <results_dir>/vis_video/<seq>.mp4 (reference params.vis_search,
-    running.py:26-80); it forces the per-frame (non-chunked) path."""
+    running.py:26-80); it forces the per-frame (non-chunked) path.
+
+    roi_margin > 0 enables ROI-window uploads (tracker.track_chunk_roi):
+    per chunk the host fetches the current box, uploads only a conservative
+    margin*search-sized window, and re-runs the chunk on full frames if the
+    device's validity flags report the window missed needed pixels —
+    trajectories are exactly the full-frame ones either way. This trades one
+    tiny D2H per chunk for a multi-x cut of the H2D bytes (the transport
+    bottleneck: artifacts/profile_upload_r3.json, profile_overlap_r4.json);
+    the win grows with frame size (VTUAV 1080p ~10x)."""
     os.makedirs(results_dir, exist_ok=True)
     bbox_file = os.path.join(results_dir, f"{seq.name}.txt")
     if skip_if_done and os.path.isfile(bbox_file):
@@ -188,8 +199,41 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
 
     scores = None
     vis_frames = [] if save_vis else None
+    use_roi = (roi_margin > 0 and not save_vis
+               and hasattr(tracker, "track_chunk_roi")
+               and isinstance(seq, RGBTSequence) and not seq.depth_input)
     use_chunks = hasattr(tracker, "track_chunk") and not save_vis
-    if use_chunks and n > 1:
+    if use_roi and n > 1:
+        from multi_modal_tracking_tpu.tracking.tracker import roi_window
+        t_seq = time.time()
+        collected = []
+        n_fallback = 0
+        for lo, hi, fv, fi in _Prefetcher(seq, 1, chunk):
+            win = roi_window(tracker.current_box(), fv.shape[1:3],
+                             getattr(tracker, "search_factor", 4.5),
+                             margin=roi_margin, align=roi_align,
+                             min_size=roi_min_size)
+            if win is None:                      # window ~ frame: no saving
+                collected.append(np.asarray(
+                    tracker.track_chunk(fv, fi, fetch=True)))
+                continue
+            (ox, oy), (hw, ww) = win
+            wv = np.ascontiguousarray(fv[:, oy:oy + hw, ox:ox + ww])
+            wi = np.ascontiguousarray(fi[:, oy:oy + hw, ox:ox + ww])
+            snap = tracker.snapshot()
+            bxs, oks = tracker.track_chunk_roi(wv, wi, (ox, oy), fetch=True)
+            if bool(np.all(oks)):
+                collected.append(bxs)
+            else:                                # window escaped: exact redo
+                n_fallback += 1
+                tracker.restore(snap)
+                collected.append(np.asarray(
+                    tracker.track_chunk(fv, fi, fetch=True)))
+        all_boxes = np.concatenate(collected, axis=0)
+        t_end = time.time()
+        boxes[1:] = all_boxes[: n - 1]
+        times[1:] = (t_end - t_seq) / max(n - 1, 1)
+    elif use_chunks and n > 1:
         # Dispatch every chunk asynchronously (device arrays only) and fetch
         # all boxes in ONE D2H at sequence end — per-frame trajectories are
         # identical, and the single deferred fetch avoids this environment's
@@ -246,7 +290,8 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
 def run_dataset(dataset, tracker, results_dir: str, skip_if_done: bool = True,
                 chunk: int = 16, threads: int = 0,
                 tracker_factory=None, devices=None,
-                save_vis: bool = False) -> List[dict]:
+                save_vis: bool = False,
+                roi_margin: float = 0.0) -> List[dict]:
     """Run a tracker over every sequence (lib/test/evaluation/running.py:200).
 
     threads>0 with tracker_factory maps sequences over a thread pool, one
@@ -272,14 +317,14 @@ def run_dataset(dataset, tracker, results_dir: str, skip_if_done: bool = True,
                 local.tracker = tracker_factory()
             return run_sequence(seq, local.tracker, results_dir,
                                 skip_if_done=skip_if_done, chunk=chunk,
-                                save_vis=save_vis)
+                                save_vis=save_vis, roi_margin=roi_margin)
         with ThreadPoolExecutor(max_workers=threads) as ex:
             stats = [s for s in ex.map(work, dataset) if s is not None]
     else:
         for seq in dataset:
             s = run_sequence(seq, tracker, results_dir,
                              skip_if_done=skip_if_done, chunk=chunk,
-                             save_vis=save_vis)
+                             save_vis=save_vis, roi_margin=roi_margin)
             if s is not None:
                 stats.append(s)
     if stats:

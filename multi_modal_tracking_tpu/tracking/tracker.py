@@ -32,7 +32,9 @@ from flax import struct
 
 from multi_modal_tracking_tpu.ops.boxes import clip_box
 from multi_modal_tracking_tpu.ops.colormap import apply_jet
-from multi_modal_tracking_tpu.ops.crop import crop_resize, normalize_imagenet
+from multi_modal_tracking_tpu.ops.crop import (crop_resize,
+                                               crop_resize_window,
+                                               normalize_imagenet)
 
 
 @struct.dataclass
@@ -112,23 +114,61 @@ def _prep_tir(img, box, factor, out_sz):
     return normalize_imagenet(apply_jet(crop))[None], rf
 
 
-def _prep_rgbt(img_v, img_i, box, factor, out_sz):
+def _prep_rgbt(img_v, img_i, box, factor, out_sz, offset=None, frame_hw=None):
     """Joint bimodal crop: both modalities share the SAME box, so the two
     resampling-matrix pairs are identical — stack the channels, build the
     matrices once, crop in one (wider) matmul pair, then run each modality's
     own post-crop path. Bit-identical to _prep_rgb + _prep_tir (the crop
-    einsum is channel-independent)."""
+    einsum is channel-independent).
+
+    With `offset` (int32 (2,) [ox, oy]) the images are ROI sub-windows of a
+    `frame_hw` frame (the upload-byte-saving eval mode): the crop runs in
+    window coordinates and `ok` reports whether it is bit-identical to the
+    full-frame crop (ops/crop.py crop_resize_window). Returns
+    (v, i, resize_factor, ok); ok is constant True in full-frame mode."""
     ir = img_i[..., None] if img_i.ndim == 2 else img_i
     stacked = jnp.concatenate([img_v.astype(jnp.float32),
                                ir.astype(jnp.float32)], axis=-1)
-    crop, rf = crop_resize(stacked, box, factor, out_sz)
+    if offset is None:
+        crop, rf = crop_resize(stacked, box, factor, out_sz)
+        ok = jnp.bool_(True)
+    else:
+        crop, rf, ok = crop_resize_window(stacked, box, offset, frame_hw,
+                                          factor, out_sz)
     cv = crop[..., :3]
     ci = crop[..., 3:]
     if ci.shape[-1] == 1:
         ci = ci[..., 0]
     ci = jnp.clip(jnp.round(ci), 0, 255)
     return (normalize_imagenet(cv)[None],
-            normalize_imagenet(apply_jet(ci))[None], rf)
+            normalize_imagenet(apply_jet(ci))[None], rf, ok)
+
+
+def roi_window(box, frame_hw, search_factor: float, margin: float = 1.5,
+               align: int = 64, min_size: int = 192):
+    """Host-side conservative ROI placement for track_chunk_roi.
+
+    Side = search_factor * sqrt(w*h) * margin, rounded UP to a multiple of
+    `align` (buckets the jit-compiled window shapes), centred on the box and
+    clipped inside the frame. The margin covers the box drifting/growing
+    over the chunk; if the tracker escapes anyway, the per-frame validity
+    flag catches it and the caller re-runs the chunk on full frames — ROI
+    mode is a pure upload-byte optimisation, never an accuracy trade.
+
+    Returns ((ox, oy), (Hw, Ww)), or None when the window would cover the
+    whole frame anyway (no byte saving)."""
+    import math
+    H, W = int(frame_hw[0]), int(frame_hw[1])
+    x, y, w, h = [float(v) for v in box]
+    side = search_factor * math.sqrt(max(w * h, 1.0)) * margin
+    side = max(min_size, int(math.ceil(side / align) * align))
+    Hw, Ww = min(side, H), min(side, W)
+    if Hw >= H and Ww >= W:
+        return None
+    cx, cy = x + 0.5 * w, y + 0.5 * h
+    ox = int(np.clip(round(cx - Ww / 2), 0, W - Ww))
+    oy = int(np.clip(round(cy - Hw / 2), 0, H - Hw))
+    return (ox, oy), (Hw, Ww)
 
 
 _put_device = threading.local()
@@ -218,12 +258,13 @@ class RGBTTrackerJit:
         self._init_jit = {}
         self._track_jit = {}
         self._scan_jit = {}
+        self._scan_roi_jit = {}
 
     # ------------------------------------------------------------- device fns
     def _init_state(self, variables, img_v, img_i, box):
         """Traceable first-frame state builder (jitted by _make_init, vmapped
         by the batched lockstep tracker)."""
-        tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+        tv, ti, _, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
                                 self.template_size)
         return TrackState(template_v=tv, template_i=ti,
                           online_template_v=tv, online_template_i=ti,
@@ -233,12 +274,18 @@ class RGBTTrackerJit:
     def _make_init(self, shape):
         return jax.jit(self._init_state)
 
-    def _step(self, shape, variables, st: TrackState, img_v, img_i):
-        """One track step (the reference's per-frame track(), :74-114)."""
+    def _step_w(self, shape, variables, st: TrackState, img_v, img_i,
+                offset=None):
+        """One track step (the reference's per-frame track(), :74-114).
+
+        With `offset`, img_v/img_i are ROI sub-windows of a `shape` frame
+        (track_chunk_roi); the returned `ok` is True iff every crop this step
+        took was bit-identical to the full-frame crop. Box math stays in
+        FRAME coordinates throughout — only the pixel reads move."""
         H, W = shape
         frame_id = st.frame_id + 1
-        sv, si, rf = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
-                                 self.search_size)
+        sv, si, rf, ok_s = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
+                                      self.search_size, offset, shape)
 
         t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
         ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
@@ -254,16 +301,23 @@ class RGBTTrackerJit:
                              H, W, margin=10)
 
         def updated():
-            otv, oti, _ = _prep_rgbt(img_v, img_i, new_state,
-                                      self.template_factor, self.template_size)
-            return otv, oti
+            otv, oti, _, ok_t = _prep_rgbt(img_v, img_i, new_state,
+                                           self.template_factor,
+                                           self.template_size, offset, shape)
+            return otv, oti, ok_t
 
         do_update = (frame_id % self.update_interval) == 0
-        otv, oti = jax.lax.cond(do_update, updated,
-                                lambda: (st.online_template_v, st.online_template_i))
+        otv, oti, ok_t = jax.lax.cond(
+            do_update, updated,
+            lambda: (st.online_template_v, st.online_template_i,
+                     jnp.bool_(True)))
         new_st = TrackState(template_v=st.template_v, template_i=st.template_i,
                             online_template_v=otv, online_template_i=oti,
                             state=new_state, frame_id=frame_id)
+        return new_st, new_state, ok_s & ok_t
+
+    def _step(self, shape, variables, st: TrackState, img_v, img_i):
+        new_st, new_state, _ = self._step_w(shape, variables, st, img_v, img_i)
         return new_st, new_state
 
     def _make_track(self, shape):
@@ -291,6 +345,28 @@ class RGBTTrackerJit:
             st, boxes = jax.lax.scan(body, st, (frames_v, frames_i, valid))
             return st, boxes
         return jax.jit(track_fn)   # no donation: ~130ms/exec via IFRT proxy
+
+    def _make_track_scan_roi(self, shape, chunk: int):
+        """ROI-window variant of _make_track_scan: the frames are sub-windows
+        at a chunk-constant integer offset; emits a per-frame `ok` flag that
+        is True iff the frame's crops were bit-identical to full-frame crops
+        (the host discards the chunk and falls back to full frames on any
+        False — eval/running.py run_sequence roi_margin mode)."""
+
+        def track_fn(variables, st, frames_v, frames_i, valid, offset):
+            def body(st, fr):
+                img_v, img_i, pad_ok = fr
+                new_st, new_state, ok = self._step_w(shape, variables, st,
+                                                     img_v, img_i, offset)
+                new_st = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(pad_ok, a, b), new_st, st)
+                # padded tail frames never count as window violations
+                return new_st, (new_state, ok | ~pad_ok)
+
+            st, (boxes, oks) = jax.lax.scan(body, st,
+                                            (frames_v, frames_i, valid))
+            return st, boxes, oks
+        return jax.jit(track_fn)
 
     # --------------------------------------------------------------- host API
     def initialize(self, image, info: dict):
@@ -340,6 +416,49 @@ class RGBTTrackerJit:
         # boxes once at sequence end (identical trajectories either way).
         return np.asarray(stacked) if fetch else stacked
 
+    # ------------------------------------------------- ROI-window upload mode
+    def current_box(self) -> np.ndarray:
+        """Fetch the current frame-coord box estimate (4 floats D2H)."""
+        return np.asarray(self._state.state)
+
+    def snapshot(self):
+        """Immutable state handle for the ROI fallback path."""
+        return self._state
+
+    def restore(self, state) -> None:
+        self._state = state
+
+    def track_chunk_roi(self, win_v: np.ndarray, win_i: np.ndarray,
+                        offset_xy, fetch: bool = True):
+        """track_chunk over ROI sub-windows (upload-byte reduction).
+
+        win_v: (N, Hw, Ww, 3), win_i: (N, Hw, Ww[, 3]) uint8 windows cut from
+        the full frames at frame coords offset_xy = (ox, oy) (one shared
+        window per chunk). Returns (boxes, oks): oks[k] False means frame k's
+        crop needed pixels outside the window — the caller must `restore` the
+        pre-chunk `snapshot` and re-run the chunk with full frames
+        (trajectories are then exactly the full-frame ones; when all oks are
+        True the boxes already are, bit-for-bit)."""
+        K = self.scan_chunk
+        win_shape = win_v.shape[1:3]
+        key = (self._shape, win_shape, K)
+        if key not in self._scan_roi_jit:
+            self._scan_roi_jit[key] = self._make_track_scan_roi(self._shape, K)
+        fn = self._scan_roi_jit[key]
+        offset = _put(np.asarray(offset_xy, np.int32))
+
+        def run_block(st, blk_v, blk_i, ok):
+            st, boxes, oks = fn(self.variables, st, blk_v, blk_i, ok, offset)
+            return st, (boxes, oks)
+
+        self._state, outs = _run_chunked(run_block, self._state,
+                                         win_v, win_i, K)
+        boxes = jnp.concatenate([o[0] for o in outs], axis=0)
+        oks = jnp.concatenate([o[1] for o in outs], axis=0)
+        if fetch:
+            return np.asarray(boxes), np.asarray(oks)
+        return boxes, oks
+
 
 @dataclasses.dataclass
 class RGBTCachedTrackerJit(RGBTTrackerJit):
@@ -356,7 +475,7 @@ class RGBTCachedTrackerJit(RGBTTrackerJit):
     applied to its RGBT models."""
 
     def _init_state(self, variables, img_v, img_i, box):
-        tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+        tv, ti, _, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
                                 self.template_size)
         t_vi = jnp.concatenate([tv, ti], axis=0)
         cache = self.model.apply(variables, t_vi, t_vi,
@@ -365,15 +484,16 @@ class RGBTCachedTrackerJit(RGBTTrackerJit):
                                 state=box.astype(jnp.float32),
                                 frame_id=jnp.int32(0))
 
-    def _step_search(self, shape, variables, st: CachedTrackState, img_v, img_i):
+    def _step_search_w(self, shape, variables, st: CachedTrackState, img_v,
+                       img_i, offset=None):
         """Search-only track step against the frozen template cache (no
         template update — the interval-gated cache rebuild is composed on
         top by _step, and hoisted OUT of the vmap by the batched lockstep
         tracker so set_online does not run every frame as a vmapped select)."""
         H, W = shape
         frame_id = st.frame_id + 1
-        sv, si, rf = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
-                                 self.search_size)
+        sv, si, rf, ok = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
+                                    self.search_size, offset, shape)
         s_vi = jnp.concatenate([sv, si], axis=0)
         out = self.model.apply(variables, st.cache, s_vi,
                                method=type(self.model).forward_track,
@@ -386,26 +506,43 @@ class RGBTCachedTrackerJit(RGBTTrackerJit):
         new_st = CachedTrackState(template_v=st.template_v,
                                   template_i=st.template_i, cache=st.cache,
                                   state=new_state, frame_id=frame_id)
+        return new_st, new_state, ok
+
+    def _step_search(self, shape, variables, st: CachedTrackState, img_v, img_i):
+        new_st, new_state, _ = self._step_search_w(shape, variables, st,
+                                                   img_v, img_i)
         return new_st, new_state
 
-    def _rebuild_cache(self, variables, st: CachedTrackState, img_v, img_i):
+    def _rebuild_cache_w(self, variables, st: CachedTrackState, img_v, img_i,
+                         offset=None, shape=None):
         """set_online against the current frame cropped at st.state — the
         template-update body of the reference's online loop."""
-        otv, oti, _ = _prep_rgbt(img_v, img_i, st.state,
-                                  self.template_factor, self.template_size)
+        otv, oti, _, ok = _prep_rgbt(img_v, img_i, st.state,
+                                     self.template_factor, self.template_size,
+                                     offset, shape)
         t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
         ot_vi = jnp.concatenate([otv, oti], axis=0)
         return self.model.apply(variables, t_vi, ot_vi,
-                                method=type(self.model).set_online)
+                                method=type(self.model).set_online), ok
+
+    def _rebuild_cache(self, variables, st: CachedTrackState, img_v, img_i):
+        return self._rebuild_cache_w(variables, st, img_v, img_i)[0]
+
+    def _step_w(self, shape, variables, st: CachedTrackState, img_v, img_i,
+                offset=None):
+        new_st, new_state, ok_s = self._step_search_w(shape, variables, st,
+                                                      img_v, img_i, offset)
+        do_update = (new_st.frame_id % self.update_interval) == 0
+        cache, ok_t = jax.lax.cond(
+            do_update,
+            lambda: self._rebuild_cache_w(variables, new_st, img_v, img_i,
+                                          offset, shape),
+            lambda: (new_st.cache, jnp.bool_(True)))
+        return new_st.replace(cache=cache), new_state, ok_s & ok_t
 
     def _step(self, shape, variables, st: CachedTrackState, img_v, img_i):
-        new_st, new_state = self._step_search(shape, variables, st, img_v, img_i)
-        do_update = (new_st.frame_id % self.update_interval) == 0
-        cache = jax.lax.cond(
-            do_update,
-            lambda: self._rebuild_cache(variables, new_st, img_v, img_i),
-            lambda: new_st.cache)
-        return new_st.replace(cache=cache), new_state
+        new_st, new_state, _ = self._step_w(shape, variables, st, img_v, img_i)
+        return new_st, new_state
 
 
 @dataclasses.dataclass
@@ -440,9 +577,10 @@ class RGBTOnlineTrackerJit:
         self._init_jit = {}
         self._track_jit = {}
         self._scan_jit = {}
+        self._scan_roi_jit = {}
 
     def _init_state(self, variables, img_v, img_i, box):
-        tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+        tv, ti, _, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
                                 self.template_size)
         return OnlineTrackState(
             template_v=tv, template_i=ti,
@@ -459,7 +597,7 @@ class RGBTOnlineTrackerJit:
     def _step(self, shape, variables, st: OnlineTrackState, img_v, img_i):
         H, W = shape
         frame_id = st.frame_id + 1
-        sv, si, rf = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
+        sv, si, rf, _ = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
                                  self.search_size)
 
         t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
@@ -477,7 +615,7 @@ class RGBTOnlineTrackerJit:
         # --- max-score candidate (decayed) -----------------------------------
         max_score = st.max_pred_score * self.max_score_decay
         is_better = (pred_score > 0.5) & (pred_score > max_score)
-        cand_v, cand_i, _ = _prep_rgbt(img_v, img_i, new_state,
+        cand_v, cand_i, _, _ = _prep_rgbt(img_v, img_i, new_state,
                                        self.template_factor, self.template_size)
         max_tv = jnp.where(is_better, cand_v, st.max_template_v)
         max_ti = jnp.where(is_better, cand_i, st.max_template_i)
@@ -584,7 +722,7 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
     the interval-gated commits (bit-identical score/box outputs)."""
 
     def _init_state(self, variables, img_v, img_i, box):
-        tv, ti, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
+        tv, ti, _, _ = _prep_rgbt(img_v, img_i, box, self.template_factor,
                                 self.template_size)
         t_vi = jnp.concatenate([tv, ti], axis=0)
         cache = self.model.apply(variables, t_vi, t_vi,
@@ -605,7 +743,7 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
         of the vmap by the batched lockstep tracker."""
         H, W = shape
         frame_id = st.frame_id + 1
-        sv, si, rf = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
+        sv, si, rf, _ = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
                                  self.search_size)
         s_vi = jnp.concatenate([sv, si], axis=0)
         out = self.model.apply(variables, st.cache, s_vi,
@@ -622,7 +760,7 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
 
         max_score = st.max_pred_score * self.max_score_decay
         is_better = (pred_score > 0.5) & (pred_score > max_score)
-        cand_v, cand_i, _ = _prep_rgbt(img_v, img_i, new_state,
+        cand_v, cand_i, _, _ = _prep_rgbt(img_v, img_i, new_state,
                                        self.template_factor, self.template_size)
         max_tv = jnp.where(is_better, cand_v, st.max_template_v)
         max_ti = jnp.where(is_better, cand_i, st.max_template_i)
@@ -699,6 +837,7 @@ class OnlineTrackerJit:
         self._init_jit = {}
         self._track_jit = {}
         self._scan_jit = {}
+        self._scan_roi_jit = {}
 
     def _frame(self, img_v, img_i):
         if self.mode == "RGB":
@@ -915,6 +1054,7 @@ class RGBTrackerJit:
         self._init_jit = {}
         self._track_jit = {}
         self._scan_jit = {}
+        self._scan_roi_jit = {}
 
     def _frame(self, img_v, img_i):
         if self.mode == "RGB":

@@ -104,3 +104,122 @@ def test_window_sweep_valid_vs_exact():
             mismatches += 1
             assert not bool(ok)
     assert mismatches > 0, "sweep never exercised an invalid window"
+
+
+# ---------------------------------------------------- tracker-level ROI mode
+
+@pytest.fixture(scope="module")
+def tiny_cached_tracker():
+    from multi_modal_tracking_tpu.config import get_default_config
+    from multi_modal_tracking_tpu.models.asymmetric_shared import \
+        build_mixformer_rgbt
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTCachedTrackerJit
+    cfg = get_default_config("asymmetric_shared_ce")
+    cfg.DATA.SEARCH.SIZE = 96
+    cfg.DATA.TEMPLATE.SIZE = 64
+    cfg.MODEL.FUSION_LAYERS = 1
+    cfg.MODEL.BACKBONE.CE_LOC = [1]
+    model = build_mixformer_rgbt(cfg)
+    t = jnp.zeros((2, 64, 64, 3))
+    s = jnp.zeros((2, 96, 96, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    return RGBTCachedTrackerJit(
+        model=model, variables=variables, template_factor=2.0,
+        template_size=64, search_factor=4.5, search_size=96,
+        update_interval=3, ce_keep_rate=None, scan_chunk=4)
+
+
+def _rgbt_frames(n, seed, h=120, w=160):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 255, (n, h, w, 3), dtype=np.uint8),
+            rng.integers(0, 255, (n, h, w), dtype=np.uint8))
+
+
+INIT = {"init_bbox": [70.0, 50.0, 16.0, 14.0]}
+
+
+def _coverage_window(boxes, factor, frame_hw, pad=4):
+    """Smallest window covering every frame's crop read region (+pad)."""
+    import math
+    H, W = frame_hw
+    los, his = [], []
+    for b in boxes:
+        side = math.ceil(math.sqrt(b[2] * b[3]) * factor)
+        x1 = round(b[0] + 0.5 * b[2] - side * 0.5)
+        y1 = round(b[1] + 0.5 * b[3] - side * 0.5)
+        los.append((max(x1, 0), max(y1, 0)))
+        his.append((min(x1 + side, W - 1), min(y1 + side, H - 1)))
+    ox = max(min(l[0] for l in los) - pad, 0)
+    oy = max(min(l[1] for l in los) - pad, 0)
+    hx = min(max(h[0] for h in his) + pad, W)
+    hy = min(max(h[1] for h in his) + pad, H)
+    return (ox, oy), (hy - oy, hx - ox)
+
+
+def test_track_chunk_roi_bit_exact(tiny_cached_tracker):
+    """ROI chunk == full-frame chunk bit-for-bit when the window covers the
+    trajectory's crop reads (incl. a mid-chunk cache rebuild)."""
+    tr = tiny_cached_tracker
+    fv, fi = _rgbt_frames(7, 11)
+
+    tr.initialize([fv[0], fi[0]], INIT)
+    want = np.asarray(tr.track_chunk(fv[1:], fi[1:], fetch=True))
+
+    # window covering every crop the full-frame run performed (prev-state
+    # crops: include the init box as frame 1's crop centre)
+    states = np.concatenate([[INIT["init_bbox"]], want], axis=0)
+    (ox, oy), (hw, ww) = _coverage_window(states, tr.search_factor,
+                                          fv.shape[1:3])
+    assert (hw, ww) != fv.shape[1:3], "window degenerated to the full frame"
+
+    tr.initialize([fv[0], fi[0]], INIT)
+    wv = np.ascontiguousarray(fv[1:, oy:oy + hw, ox:ox + ww])
+    wi = np.ascontiguousarray(fi[1:, oy:oy + hw, ox:ox + ww])
+    got, oks = tr.track_chunk_roi(wv, wi, (ox, oy), fetch=True)
+    assert oks.all(), f"validity flags {oks} for a covering window"
+    np.testing.assert_array_equal(want, got)
+
+
+def test_track_chunk_roi_flags_escape_and_fallback(tiny_cached_tracker):
+    """A too-small window must flag invalid frames; snapshot/restore + the
+    full-frame redo reproduces the exact full-frame trajectory."""
+    tr = tiny_cached_tracker
+    fv, fi = _rgbt_frames(7, 12)
+
+    tr.initialize([fv[0], fi[0]], INIT)
+    want = np.asarray(tr.track_chunk(fv[1:], fi[1:], fetch=True))
+
+    tr.initialize([fv[0], fi[0]], INIT)
+    snap = tr.snapshot()
+    ox, oy, ww, hw = 64, 40, 48, 48       # far smaller than the crop reads
+    wv = np.ascontiguousarray(fv[1:, oy:oy + hw, ox:ox + ww])
+    wi = np.ascontiguousarray(fi[1:, oy:oy + hw, ox:ox + ww])
+    _, oks = tr.track_chunk_roi(wv, wi, (ox, oy), fetch=True)
+    assert not oks.all()
+
+    tr.restore(snap)
+    redo = np.asarray(tr.track_chunk(fv[1:], fi[1:], fetch=True))
+    np.testing.assert_array_equal(want, redo)
+
+
+def test_run_sequence_roi_mode_exact_results(tiny_cached_tracker, tmp_path):
+    """run_sequence(roi_margin=...) writes byte-identical result files to the
+    plain path, whether chunks stay in-window or hit the fallback."""
+    from multi_modal_tracking_tpu.eval.data import RGBTSequence
+    from multi_modal_tracking_tpu.eval.running import run_sequence
+    tr = tiny_cached_tracker
+    fv, fi = _rgbt_frames(10, 13)
+    frames = [(fv[k], np.repeat(fi[k][..., None], 3, axis=-1))
+              for k in range(10)]
+    gt = np.tile(np.asarray(INIT["init_bbox"]), (10, 2, 1))
+    seq = RGBTSequence("roiseq", frames, "LasHeR", gt)
+
+    run_sequence(seq, tr, str(tmp_path / "plain"), chunk=4, report_fps=False)
+    # generous margin (ROI fast path) and a deliberately tight one (frequent
+    # validity fallbacks): both must reproduce the plain file byte-for-byte
+    for tag, margin in (("roi", 2.0), ("roi_tight", 1.05)):
+        run_sequence(seq, tr, str(tmp_path / tag), chunk=4, report_fps=False,
+                     roi_margin=margin, roi_min_size=64, roi_align=16)
+        with open(tmp_path / "plain" / "roiseq.txt", "rb") as f1, open(
+                tmp_path / tag / "roiseq.txt", "rb") as f2:
+            assert f1.read() == f2.read(), tag
