@@ -204,12 +204,19 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
                and isinstance(seq, RGBTSequence) and not seq.depth_input)
     use_chunks = hasattr(tracker, "track_chunk") and not save_vis
     if use_roi and n > 1:
-        from multi_modal_tracking_tpu.tracking.tracker import roi_window
+        from multi_modal_tracking_tpu.tracking.tracker import (place_window,
+                                                               roi_window)
         t_seq = time.time()
         collected = []
         n_fallback = 0
+        prev_sz = None    # window-size hysteresis: every distinct window
+        #                   shape is its own jit program, so keep reusing the
+        #                   last (re-centred) size while it still covers the
+        #                   newly needed one — shapes then change only when
+        #                   the target genuinely grows, not on size jitter
         for lo, hi, fv, fi in _Prefetcher(seq, 1, chunk):
-            win = roi_window(tracker.current_box(), fv.shape[1:3],
+            box = tracker.current_box()
+            win = roi_window(box, fv.shape[1:3],
                              getattr(tracker, "search_factor", 4.5),
                              margin=roi_margin, align=roi_align,
                              min_size=roi_min_size)
@@ -217,6 +224,10 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
                 collected.append(np.asarray(
                     tracker.track_chunk(fv, fi, fetch=True)))
                 continue
+            if (prev_sz is not None and win[1][0] <= prev_sz[0]
+                    and win[1][1] <= prev_sz[1]):
+                win = place_window(box, fv.shape[1:3], prev_sz)
+            prev_sz = win[1]
             (ox, oy), (hw, ww) = win
             wv = np.ascontiguousarray(fv[:, oy:oy + hw, ox:ox + ww])
             wi = np.ascontiguousarray(fi[:, oy:oy + hw, ox:ox + ww])

@@ -144,6 +144,17 @@ def _prep_rgbt(img_v, img_i, box, factor, out_sz, offset=None, frame_hw=None):
             normalize_imagenet(apply_jet(ci))[None], rf, ok)
 
 
+def place_window(box, frame_hw, size_hw):
+    """Centre a (Hw, Ww) window on `box` and clip it inside the frame."""
+    H, W = int(frame_hw[0]), int(frame_hw[1])
+    Hw, Ww = int(size_hw[0]), int(size_hw[1])
+    x, y, w, h = [float(v) for v in box]
+    cx, cy = x + 0.5 * w, y + 0.5 * h
+    ox = int(np.clip(round(cx - Ww / 2), 0, W - Ww))
+    oy = int(np.clip(round(cy - Hw / 2), 0, H - Hw))
+    return (ox, oy), (Hw, Ww)
+
+
 def roi_window(box, frame_hw, search_factor: float, margin: float = 1.5,
                align: int = 64, min_size: int = 192):
     """Host-side conservative ROI placement for track_chunk_roi.
@@ -165,10 +176,7 @@ def roi_window(box, frame_hw, search_factor: float, margin: float = 1.5,
     Hw, Ww = min(side, H), min(side, W)
     if Hw >= H and Ww >= W:
         return None
-    cx, cy = x + 0.5 * w, y + 0.5 * h
-    ox = int(np.clip(round(cx - Ww / 2), 0, W - Ww))
-    oy = int(np.clip(round(cy - Hw / 2), 0, H - Hw))
-    return (ox, oy), (Hw, Ww)
+    return place_window(box, frame_hw, (Hw, Ww))
 
 
 _put_device = threading.local()
