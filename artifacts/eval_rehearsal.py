@@ -25,17 +25,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main():
+def main(config="synthetic_smoke", epochs=None, out_name="eval_rehearsal_r3.json"):
     work = tempfile.mkdtemp(prefix="eval_rehearsal_")
     env = dict(os.environ,
                PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}")
 
-    print("[1/3] smoke-training flagship (2 epochs, synthetic set)", flush=True)
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "tracking/train.py"),
-         "--script", "asymmetric_shared_ce", "--config", "synthetic_smoke",
-         "--save_dir", os.path.join(work, "train")],
-        check=True, env=env)
+    print(f"[1/3] training flagship ({config}, epochs={epochs})", flush=True)
+    cmd = [sys.executable, os.path.join(REPO, "tracking/train.py"),
+           "--script", "asymmetric_shared_ce", "--config", config,
+           "--save_dir", os.path.join(work, "train")]
+    if epochs:
+        cmd += ["--epochs", str(epochs)]
+    subprocess.run(cmd, check=True, env=env)
     import glob
     ckpts = sorted(glob.glob(os.path.join(work, "train", "checkpoints",
                                           "**", "*.msgpack"), recursive=True))
@@ -47,7 +48,7 @@ def main():
     res_dir = os.path.join(work, "results")
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tracking/test.py"),
-         "asymmetric_shared_ce", "synthetic_smoke",
+         "asymmetric_shared_ce", config,
          "--dataset_name", "synthetic_rgbt",
          "--checkpoint", ckpt, "--results_dir", res_dir, "--chunk", "16"],
         check=True, env=env)
@@ -70,13 +71,19 @@ def main():
         "precision": round(float(m["Precision"][0]), 2),
         "norm_precision": round(float(m["Norm Precision"][0]), 2),
         "checkpoint": os.path.basename(ckpt),
-        "flow": "train.py(synthetic_smoke, 2 epochs) -> test.py -> analysis",
+        "flow": f"train.py({config}, epochs={epochs}) -> test.py -> analysis",
     }
-    path = os.path.join(REPO, "artifacts", "eval_rehearsal_r3.json")
+    path = os.path.join(REPO, "artifacts", out_name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="synthetic_smoke")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--out", default="eval_rehearsal_r3.json")
+    a = ap.parse_args()
+    main(a.config, a.epochs, a.out)
