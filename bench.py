@@ -303,6 +303,10 @@ def main():
             # 215.9→343.3→353.5 FPS across r01-r03 is meaningless without
             # dividing out the probe) — VERDICT r3 #9
             "value_per_probe_tflops": round(fps / (ceiling / 1e12), 3),
+            # vs_baseline divides by an ASSUMED 50 FPS (2x a 25-FPS A100
+            # estimate, BASELINE.md north star) — not a measured A100 run;
+            # the probe-normalised field above is the trend number
+            "baseline_definition": "assumed 2x25-FPS A100 north star",
         },
     }))
 
