@@ -71,7 +71,16 @@ class Trainer:
         lead = 2 if self.rgbt else 1
         t = jnp.zeros((lead, ts, ts, 3), jnp.float32)
         s = jnp.zeros((lead, ss, ss, 3), jnp.float32)
-        variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed), t, t, s)
+        # Score-bearing (SPM/online) models must init THROUGH the score head
+        # so its params exist — flax creates params lazily at init, and the
+        # stage-2 regime (freeze all but "score", base_functions.py:301-310)
+        # would otherwise see zero trainable tensors and the train step would
+        # hit a missing-scope error on the first forward.
+        with_score = bool(getattr(self.model, "with_score", False))
+        init_fn = ((lambda r, a, b, c: self.model.init(
+            r, a, b, c, run_score_head=True)) if with_score
+            else self.model.init)
+        variables = jax.jit(init_fn)(jax.random.PRNGKey(seed), t, t, s)
 
         # Warm starts (asymmetric_shared_ce.py:643-674 / base_trainer.py:230-272)
         # MAE backbone init first (asymmetric_shared_ce.py:515-533), then the

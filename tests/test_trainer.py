@@ -38,15 +38,16 @@ def _tiny_trainer(cfg, tmp_path, **kw):
     def tiny_build(script, cfg_, dtype=None, axis_name=None):
         model = orig(script, cfg_, dtype=dtype, axis_name=axis_name)
         spec = dataclasses.replace(model.spec, depth=2, embed_dim=64, num_heads=2,
-                                   head_dim=32, ce_loc=(1,))
+                                   head_dim=32, ce_loc=(1,),
+                                   ce_keep_ratio=(0.7,))
         return type(model)(spec=spec, with_score=model.with_score, dtype=model.dtype)
 
     build_mod.build_model = tiny_build
     trainer_mod.build_model = tiny_build
     try:
         kw.setdefault("use_mesh", False)
-        tr.__init__(cfg=cfg, script="asymmetric_shared_ce",
-                    save_dir=str(tmp_path), seed=0, **kw)
+        kw.setdefault("script", "asymmetric_shared_ce")
+        tr.__init__(cfg=cfg, save_dir=str(tmp_path), seed=0, **kw)
     finally:
         build_mod.build_model = orig
         trainer_mod.build_model = orig
@@ -249,3 +250,40 @@ def test_stage2_score_training_runs_net_in_eval_mode(tmp_path):
              zip(flat_old, flat_new)
              if not np.array_equal(np.asarray(a), np.asarray(b))}
     assert moved and all("score" in k for k in moved), moved
+
+
+def test_stage2_score_training_runs(tmp_path):
+    """Stage-2 SPM regime (SURVEY §3.4): the online script must init THROUGH
+    the score head (params exist), freeze everything but "score", and descend
+    a BCE loss on cls batches — the trainer bug where the score branch was
+    never initialised left zero trainable tensors and a missing-scope crash
+    (found by artifacts/spm_rehearsal.py)."""
+    cfg = get_default_config("asymmetric_shared_online")
+    cfg.DATA.SEARCH.SIZE = 64
+    cfg.DATA.TEMPLATE.SIZE = 32
+    cfg.DATA.TRAIN.DATASETS_NAME = ["SyntheticRGBT"]
+    cfg.DATA.TRAIN.DATASETS_RATIO = [1]
+    cfg.DATA.TRAIN.SAMPLE_PER_EPOCH = 8
+    cfg.DATA.VAL.DATASETS_NAME = []
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TRAIN.NUM_WORKER = 0
+    cfg.TRAIN.EPOCH = 1
+    cfg.TRAIN.PRINT_INTERVAL = 1
+    cfg.TRAIN.TRAIN_SCORE = True
+    cfg.MODEL.FUSION_LAYERS = 1
+    tr = _tiny_trainer(cfg, tmp_path, script="asymmetric_shared_online")
+    assert tr._n_trainable > 0, "score branch params missing/frozen"
+    # only score params train in stage-2
+    from multi_modal_tracking_tpu.train.optimizer import trainable_mask
+    mask = trainable_mask(cfg, tr.state.params)
+    import jax
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(jax.tree.map(bool, mask))
+    for path, trainable in flat.items():
+        assert trainable == ("score" in "/".join(str(x) for x in path)), path
+    tr.train(max_epochs=1, fail_safe=False)
+    import json
+    metrics_file = os.path.join(str(tmp_path), "logs",
+                                "asymmetric_shared_online", "metrics.jsonl")
+    rows = [json.loads(l) for l in open(metrics_file)]
+    assert any("Loss/score" in r or "Loss/total" in r for r in rows)
