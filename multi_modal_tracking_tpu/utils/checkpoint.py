@@ -127,13 +127,43 @@ def load_variables(path: str, target_variables: Any) -> Any:
             state_dict = state_dict[key]
     if "params" in state_dict and "opt_state" in state_dict:   # TrainState
         out = dict(target_variables)
-        out["params"] = serialization.from_state_dict(
-            target_variables["params"], state_dict["params"])
+        out["params"] = _partial_from_state_dict(
+            target_variables["params"], state_dict["params"], path)
         if state_dict.get("batch_stats") is not None and "batch_stats" in target_variables:
-            out["batch_stats"] = serialization.from_state_dict(
-                target_variables["batch_stats"], state_dict["batch_stats"])
+            out["batch_stats"] = _partial_from_state_dict(
+                target_variables["batch_stats"], state_dict["batch_stats"], path)
         return out
-    return serialization.from_state_dict(target_variables, state_dict)
+    return _partial_from_state_dict(target_variables, state_dict, path)
+
+
+def _partial_from_state_dict(target, state, label=""):
+    """from_state_dict with the reference's strict=False warm-start
+    semantics (base_trainer.py:230-272, asymmetric_shared_online.py:448-470):
+    leaves present in both (same shape) restore; target-only leaves keep
+    their init (e.g. the stage-2 ScoreDecoder when loading a stage-1 tracker
+    checkpoint); mismatches are reported, never silently dropped when the
+    checkpoint covers everything (the exact-match case stays strict)."""
+    from flax import traverse_util
+    t_flat = traverse_util.flatten_dict(serialization.to_state_dict(target))
+    s_flat = traverse_util.flatten_dict(state)
+    merged, skipped = {}, []
+    n_loaded = 0
+    for k, v in t_flat.items():
+        sv = s_flat.get(k)
+        if sv is not None and tuple(np.shape(sv)) == tuple(np.shape(v)):
+            merged[k] = sv
+            n_loaded += 1
+        else:
+            merged[k] = v
+            skipped.append("/".join(map(str, k)))
+    unexpected = [k for k in s_flat if k not in t_flat]
+    if skipped or unexpected:
+        print(f"partial restore{f' of {label}' if label else ''}: "
+              f"{n_loaded}/{len(t_flat)} leaves loaded; kept init for "
+              f"{skipped[:4]}{'...' if len(skipped) > 4 else ''}; "
+              f"{len(unexpected)} checkpoint-only keys ignored")
+    return serialization.from_state_dict(target,
+                                         traverse_util.unflatten_dict(merged))
 
 
 def save_checkpoint_sharded(directory: str, name: str, epoch: int,

@@ -252,13 +252,19 @@ def test_stage2_score_training_runs_net_in_eval_mode(tmp_path):
     assert moved and all("score" in k for k in moved), moved
 
 
-def test_stage2_score_training_runs(tmp_path):
+def test_stage2_score_training_runs(tmp_path, trained):
     """Stage-2 SPM regime (SURVEY §3.4): the online script must init THROUGH
-    the score head (params exist), freeze everything but "score", and descend
-    a BCE loss on cls batches — the trainer bug where the score branch was
-    never initialised left zero trainable tensors and a missing-scope crash
-    (found by artifacts/spm_rehearsal.py)."""
+    the score head (params exist), warm start from a stage-1 checkpoint with
+    strict=False semantics (score branch keeps its init — the reference's
+    base_trainer.py:230-272 load_state_dict path), freeze everything but
+    "score", and descend a BCE loss on cls batches — the trainer bug where
+    the score branch was never initialised left zero trainable tensors and a
+    missing-scope crash (found by artifacts/spm_rehearsal.py)."""
+    tr1, _, _ = trained
+    import glob
+    stage1 = sorted(glob.glob(os.path.join(tr1.ckpt_dir, "*.msgpack")))[-1]
     cfg = get_default_config("asymmetric_shared_online")
+    cfg.MODEL.TRACKER_PRETRAINED_PATH = stage1
     cfg.DATA.SEARCH.SIZE = 64
     cfg.DATA.TEMPLATE.SIZE = 32
     cfg.DATA.TRAIN.DATASETS_NAME = ["SyntheticRGBT"]
@@ -273,6 +279,13 @@ def test_stage2_score_training_runs(tmp_path):
     cfg.MODEL.FUSION_LAYERS = 1
     tr = _tiny_trainer(cfg, tmp_path, script="asymmetric_shared_online")
     assert tr._n_trainable > 0, "score branch params missing/frozen"
+    # the warm start must have copied the stage-1 backbone leaves exactly
+    import jax.numpy as jnp
+    w1 = tr1.state.params["backbone"]["blocks_0"]
+    w2 = tr.state.params["backbone"]["blocks_0"]
+    import jax
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), w1, w2)
     # only score params train in stage-2
     from multi_modal_tracking_tpu.train.optimizer import trainable_mask
     mask = trainable_mask(cfg, tr.state.params)
