@@ -20,6 +20,15 @@ def _render(seed: int, n_frames: int, H: int, W: int):
     bg = rng.integers(20, 90, (H, W, 3), dtype=np.uint8)
     boxes = []
     w0, h0 = 30 + 5 * (seed % 4), 24 + 4 * (seed % 3)
+    # per-sequence target appearance (colour + a fixed texture patch): makes
+    # "is this MY target?" answerable, which the SPM stage-2 score task needs
+    # — with one global colour every sequence's target looked identical and
+    # positive/negative score pairs were near-indistinguishable
+    colour = np.array([160 + rng.integers(0, 96), 120 + rng.integers(0, 120),
+                       60 + rng.integers(0, 160)], dtype=np.uint8)
+    texture = rng.integers(-40, 40, (h0, w0, 3)).astype(np.int16)
+    patch = np.clip(colour[None, None, :].astype(np.int16) + texture,
+                    0, 255).astype(np.uint8)
     cx, cy = W * 0.3, H * 0.4
     vx, vy = 2.0 + 0.2 * (seed % 5), 1.5
     frames = []
@@ -32,7 +41,7 @@ def _render(seed: int, n_frames: int, H: int, W: int):
         if cy + h0 / 2 > H - 5 or cy - h0 / 2 < 5:
             vy = -vy; cy += 2 * vy
         x1, y1 = int(cx - w0 / 2), int(cy - h0 / 2)
-        img[y1:y1 + h0, x1:x1 + w0] = (220, 180, 90)
+        img[y1:y1 + h0, x1:x1 + w0] = patch
         frames.append(img)
         boxes.append([x1, y1, w0, h0])
     return frames, np.asarray(boxes, dtype=np.float32)
