@@ -119,23 +119,48 @@ def main():
         inter = max(x2 - x1, 0) * max(y2 - y1, 0)
         ious.append(inter / (b[2] * b[3] + g[2] * g[3] - inter))
 
-    # negatives: same initialised tracker, frames from ANOTHER sequence —
-    # wherever it looks, the template target is not there
+    # negatives, two kinds:
+    #  (a) TARGET-ABSENT: the same sequence with the target square erased
+    #      (repainted with background-statistics noise) — the SPM's core
+    #      question "is the target present where I looked?"
+    #  (b) RE-ID: frames from ANOTHER sequence (a different-looking target
+    #      present) — the harder re-identification question
+    erase_rng = np.random.default_rng(99)
+    fr_abs, tir_abs = [], []
+    for k in range(31):
+        f = fr_pos[k].copy()
+        x, y, w, h = [int(v) for v in gt_pos[k]]
+        f[y:y + h, x:x + w] = erase_rng.integers(
+            20, 90, (h, w, 3), dtype=np.uint8)
+        fr_abs.append(f)
+        g = 255 - (0.299 * f[..., 0] + 0.587 * f[..., 1]
+                   + 0.114 * f[..., 2]).astype(np.uint8)
+        tir_abs.append(np.stack([g, g, g], axis=-1))
     tracker.initialize([fr_pos[0], tir_pos[0]],
                        {"init_bbox": [float(v) for v in gt_pos[0]]})
-    neg_scores = [tracker.track([fr_neg[k], tir_neg[k]])["pred_score"]
+    neg_scores = [tracker.track([fr_abs[k], tir_abs[k]])["pred_score"]
                   for k in range(1, 31)]
+    tracker.initialize([fr_pos[0], tir_pos[0]],
+                       {"init_bbox": [float(v) for v in gt_pos[0]]})
+    reid_scores = [tracker.track([fr_neg[k], tir_neg[k]])["pred_score"]
+                   for k in range(1, 31)]
 
-    pos, neg = np.asarray(pos_scores), np.asarray(neg_scores)
-    sep_auc = float(np.mean(pos[:, None] > neg[None, :])
-                    + 0.5 * np.mean(pos[:, None] == neg[None, :]))
+    def _auc(p_, n_):
+        p_, n_ = np.asarray(p_), np.asarray(n_)
+        return float(np.mean(p_[:, None] > n_[None, :])
+                     + 0.5 * np.mean(p_[:, None] == n_[None, :]))
+
+    pos, neg, reid = (np.asarray(pos_scores), np.asarray(neg_scores),
+                      np.asarray(reid_scores))
     out = {
         "stage2_checkpoint": os.path.basename(ckpt2),
         "pos_score_mean": round(float(pos.mean()), 4),
         "pos_score_min": round(float(pos.min()), 4),
-        "neg_score_mean": round(float(neg.mean()), 4),
-        "neg_score_max": round(float(neg.max()), 4),
-        "separation_auc": round(sep_auc, 4),
+        "absent_score_mean": round(float(neg.mean()), 4),
+        "absent_score_max": round(float(neg.max()), 4),
+        "separation_auc_target_absent": round(_auc(pos, neg), 4),
+        "reid_score_mean": round(float(reid.mean()), 4),
+        "separation_auc_reid": round(_auc(pos, reid), 4),
         "tracking_iou_mean_pos_seq": round(float(np.mean(ious)), 4),
         "flow": "stage1(synthetic_learn) -> stage2(synthetic_score, score-only"
                 " BCE, cls sampler) -> score-gated online tracker, one v5e chip",
