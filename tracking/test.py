@@ -51,6 +51,11 @@ def main():
                         "one chip (vmapped offline-eval fast path)")
     p.add_argument("--sequence", type=str, default=None, help="run a single sequence")
     p.add_argument("--rerun", action="store_true", help="do not skip finished sequences")
+    p.add_argument("--roi_margin", type=float, default=0.0,
+                   help="enable ROI-window uploads: upload only a "
+                        "margin*search-sized window per chunk with exact "
+                        "validity fallback (results byte-identical; big "
+                        "upload cut on large frames, eval/running.py)")
     p.add_argument("--vis_search", action="store_true",
                    help="save per-sequence search-region visualisation videos "
                         "(reference params.vis_search)")
@@ -149,7 +154,8 @@ def main():
                         chunk=args.chunk, threads=args.threads,
                         tracker_factory=factory,
                         devices=jax.devices() if args.threads else None,
-                        save_vis=args.vis_search)
+                        save_vis=args.vis_search,
+                        roi_margin=args.roi_margin)
         print(f"results -> {results_dir}")
 
 
