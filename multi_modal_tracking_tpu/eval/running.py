@@ -201,7 +201,7 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
     vis_frames = [] if save_vis else None
     use_roi = (roi_margin > 0 and not save_vis
                and hasattr(tracker, "track_chunk_roi")
-               and isinstance(seq, RGBTSequence) and not seq.depth_input)
+               and not getattr(seq, "depth_input", False))
     use_chunks = hasattr(tracker, "track_chunk") and not save_vis
     if use_roi and n > 1:
         from multi_modal_tracking_tpu.tracking.tracker import (place_window,
@@ -215,6 +215,8 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
         #                   newly needed one — shapes then change only when
         #                   the target genuinely grows, not on size jitter
         for lo, hi, fv, fi in _Prefetcher(seq, 1, chunk):
+            if fi is None:          # unimodal sequence: single frame stream
+                fi = fv
             box = tracker.current_box()
             win = roi_window(box, fv.shape[1:3],
                              getattr(tracker, "search_factor", 4.5),

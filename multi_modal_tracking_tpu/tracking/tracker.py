@@ -101,6 +101,16 @@ def _prep_rgb(img, box, factor, out_sz):
     return normalize_imagenet(crop)[None], rf
 
 
+def _prep_rgb_w(img, box, factor, out_sz, offset=None, frame_hw=None):
+    """_prep_rgb with the optional ROI-window mode (see _prep_rgbt)."""
+    if offset is None:
+        crop, rf = crop_resize(img, box, factor, out_sz)
+        return normalize_imagenet(crop)[None], rf, jnp.bool_(True)
+    crop, rf, ok = crop_resize_window(img, box, offset, frame_hw,
+                                      factor, out_sz)
+    return normalize_imagenet(crop)[None], rf, ok
+
+
 def _prep_tir(img, box, factor, out_sz):
     """Crop raw TIR frame, then JET colormap on the (rounded uint8) crop —
     same op order as the reference (crop -> applyColorMap -> normalise).
@@ -246,8 +256,83 @@ def _map_box_back(pred_cxcywh, prev_state, search_size, resize_factor):
     return jnp.stack([cx - 0.5 * w, cy - 0.5 * h, w, h])
 
 
+class RoiChunkMixin:
+    """ROI-window upload mode shared by the chunked tracker families.
+
+    Requires the host class to provide `_step_w(shape, variables, st, img_v,
+    img_i, offset)` -> (new_state_pytree, box, ok) plus the standard chunk
+    attributes (`scan_chunk`, `_shape`, `_state`, `variables`,
+    `_scan_roi_jit`). See eval/running.py run_sequence(roi_margin=...) for
+    the host-side protocol (window placement, validity fallback)."""
+
+    def _make_track_scan_roi(self, shape, chunk: int):
+        """ROI-window variant of _make_track_scan: the frames are sub-windows
+        at a chunk-constant integer offset; emits a per-frame `ok` flag that
+        is True iff the frame's crops were bit-identical to full-frame crops
+        (the host discards the chunk and falls back to full frames on any
+        False — eval/running.py run_sequence roi_margin mode)."""
+
+        def track_fn(variables, st, frames_v, frames_i, valid, offset):
+            def body(st, fr):
+                img_v, img_i, pad_ok = fr
+                new_st, new_state, ok = self._step_w(shape, variables, st,
+                                                     img_v, img_i, offset)
+                new_st = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(pad_ok, a, b), new_st, st)
+                # padded tail frames never count as window violations
+                return new_st, (new_state, ok | ~pad_ok)
+
+            st, (boxes, oks) = jax.lax.scan(body, st,
+                                            (frames_v, frames_i, valid))
+            return st, boxes, oks
+        return jax.jit(track_fn)
+
+    # ------------------------------------------------- ROI-window upload mode
+    def current_box(self) -> np.ndarray:
+        """Fetch the current frame-coord box estimate (4 floats D2H)."""
+        return np.asarray(self._state.state)
+
+    def snapshot(self):
+        """Immutable state handle for the ROI fallback path."""
+        return self._state
+
+    def restore(self, state) -> None:
+        self._state = state
+
+    def track_chunk_roi(self, win_v: np.ndarray, win_i: np.ndarray,
+                        offset_xy, fetch: bool = True):
+        """track_chunk over ROI sub-windows (upload-byte reduction).
+
+        win_v: (N, Hw, Ww, 3), win_i: (N, Hw, Ww[, 3]) uint8 windows cut from
+        the full frames at frame coords offset_xy = (ox, oy) (one shared
+        window per chunk). Returns (boxes, oks): oks[k] False means frame k's
+        crop needed pixels outside the window — the caller must `restore` the
+        pre-chunk `snapshot` and re-run the chunk with full frames
+        (trajectories are then exactly the full-frame ones; when all oks are
+        True the boxes already are, bit-for-bit)."""
+        K = self.scan_chunk
+        win_shape = win_v.shape[1:3]
+        key = (self._shape, win_shape, K)
+        if key not in self._scan_roi_jit:
+            self._scan_roi_jit[key] = self._make_track_scan_roi(self._shape, K)
+        fn = self._scan_roi_jit[key]
+        offset = _put(np.asarray(offset_xy, np.int32))
+
+        def run_block(st, blk_v, blk_i, ok):
+            st, boxes, oks = fn(self.variables, st, blk_v, blk_i, ok, offset)
+            return st, (boxes, oks)
+
+        self._state, outs = _run_chunked(run_block, self._state,
+                                         win_v, win_i, K)
+        boxes = jnp.concatenate([o[0] for o in outs], axis=0)
+        oks = jnp.concatenate([o[1] for o in outs], axis=0)
+        if fetch:
+            return np.asarray(boxes), np.asarray(oks)
+        return boxes, oks
+
+
 @dataclasses.dataclass
-class RGBTTrackerJit:
+class RGBTTrackerJit(RoiChunkMixin):
     """Device tracking loop for the bimodal (asymmetric-shared) models.
 
     model: a MixFormerRGBT flax module; variables: its params (+batch_stats).
@@ -354,28 +439,6 @@ class RGBTTrackerJit:
             return st, boxes
         return jax.jit(track_fn)   # no donation: ~130ms/exec via IFRT proxy
 
-    def _make_track_scan_roi(self, shape, chunk: int):
-        """ROI-window variant of _make_track_scan: the frames are sub-windows
-        at a chunk-constant integer offset; emits a per-frame `ok` flag that
-        is True iff the frame's crops were bit-identical to full-frame crops
-        (the host discards the chunk and falls back to full frames on any
-        False — eval/running.py run_sequence roi_margin mode)."""
-
-        def track_fn(variables, st, frames_v, frames_i, valid, offset):
-            def body(st, fr):
-                img_v, img_i, pad_ok = fr
-                new_st, new_state, ok = self._step_w(shape, variables, st,
-                                                     img_v, img_i, offset)
-                new_st = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(pad_ok, a, b), new_st, st)
-                # padded tail frames never count as window violations
-                return new_st, (new_state, ok | ~pad_ok)
-
-            st, (boxes, oks) = jax.lax.scan(body, st,
-                                            (frames_v, frames_i, valid))
-            return st, boxes, oks
-        return jax.jit(track_fn)
-
     # --------------------------------------------------------------- host API
     def initialize(self, image, info: dict):
         """image: [img_v, img_i] uint8 HWC numpy arrays; info['init_bbox']."""
@@ -424,48 +487,6 @@ class RGBTTrackerJit:
         # boxes once at sequence end (identical trajectories either way).
         return np.asarray(stacked) if fetch else stacked
 
-    # ------------------------------------------------- ROI-window upload mode
-    def current_box(self) -> np.ndarray:
-        """Fetch the current frame-coord box estimate (4 floats D2H)."""
-        return np.asarray(self._state.state)
-
-    def snapshot(self):
-        """Immutable state handle for the ROI fallback path."""
-        return self._state
-
-    def restore(self, state) -> None:
-        self._state = state
-
-    def track_chunk_roi(self, win_v: np.ndarray, win_i: np.ndarray,
-                        offset_xy, fetch: bool = True):
-        """track_chunk over ROI sub-windows (upload-byte reduction).
-
-        win_v: (N, Hw, Ww, 3), win_i: (N, Hw, Ww[, 3]) uint8 windows cut from
-        the full frames at frame coords offset_xy = (ox, oy) (one shared
-        window per chunk). Returns (boxes, oks): oks[k] False means frame k's
-        crop needed pixels outside the window — the caller must `restore` the
-        pre-chunk `snapshot` and re-run the chunk with full frames
-        (trajectories are then exactly the full-frame ones; when all oks are
-        True the boxes already are, bit-for-bit)."""
-        K = self.scan_chunk
-        win_shape = win_v.shape[1:3]
-        key = (self._shape, win_shape, K)
-        if key not in self._scan_roi_jit:
-            self._scan_roi_jit[key] = self._make_track_scan_roi(self._shape, K)
-        fn = self._scan_roi_jit[key]
-        offset = _put(np.asarray(offset_xy, np.int32))
-
-        def run_block(st, blk_v, blk_i, ok):
-            st, boxes, oks = fn(self.variables, st, blk_v, blk_i, ok, offset)
-            return st, (boxes, oks)
-
-        self._state, outs = _run_chunked(run_block, self._state,
-                                         win_v, win_i, K)
-        boxes = jnp.concatenate([o[0] for o in outs], axis=0)
-        oks = jnp.concatenate([o[1] for o in outs], axis=0)
-        if fetch:
-            return np.asarray(boxes), np.asarray(oks)
-        return boxes, oks
 
 
 @dataclasses.dataclass
@@ -1034,7 +1055,7 @@ class OnlineTrackerJit:
 
 
 @dataclasses.dataclass
-class RGBTrackerJit:
+class RGBTrackerJit(RoiChunkMixin):
     """Unimodal device tracking loop (RGB / TIR / Prompt input modes).
 
     Parity: lib/test/evaluation/tracker.py:56-57,155-190 — TIR mode feeds the
@@ -1088,10 +1109,11 @@ class RGBTrackerJit:
         # per-frame pipeline stays one device program (CLAUDE.md invariant)
         return jax.jit(self._init_state)
 
-    def _step(self, shape, variables, st: TrackState, img):
+    def _step_core(self, shape, variables, st: TrackState, img, offset=None):
         H, W = shape
         frame_id = st.frame_id + 1
-        s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
+        s, rf, ok_s = _prep_rgb_w(img, st.state, self.search_factor,
+                                  self.search_size, offset, shape)
         out = self.model.apply(variables, st.template_v, st.online_template_v, s)
         pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
         pred = pred * (self.search_size / rf)
@@ -1099,15 +1121,29 @@ class RGBTrackerJit:
                              H, W, margin=10)
 
         def updated():
-            ot, _ = _prep_rgb(img, new_state, self.template_factor, self.template_size)
-            return ot
+            ot, _, ok_t = _prep_rgb_w(img, new_state, self.template_factor,
+                                      self.template_size, offset, shape)
+            return ot, ok_t
 
         do_update = (frame_id % self.update_interval) == 0
-        ot = jax.lax.cond(do_update, updated, lambda: st.online_template_v)
+        ot, ok_t = jax.lax.cond(
+            do_update, updated,
+            lambda: (st.online_template_v, jnp.bool_(True)))
         new_st = TrackState(template_v=st.template_v, template_i=st.template_i,
                             online_template_v=ot, online_template_i=ot,
                             state=new_state, frame_id=frame_id)
+        return new_st, new_state, ok_s & ok_t
+
+    def _step(self, shape, variables, st: TrackState, img):
+        new_st, new_state, _ = self._step_core(shape, variables, st, img)
         return new_st, new_state
+
+    def _step_w(self, shape, variables, st, img_v, img_i, offset=None):
+        """RoiChunkMixin entry: raw modal frames in, mode transform applied
+        inside (pixelwise, so transforming the window equals windowing the
+        transformed frame)."""
+        return self._step_core(shape, variables, st,
+                               self._frame(img_v, img_i), offset)
 
     def _make_track(self, shape):
         def track_fn(variables, st, img_v, img_i):
@@ -1188,12 +1224,14 @@ class RGBCachedTrackerJit(RGBTrackerJit):
                                 state=box.astype(jnp.float32),
                                 frame_id=jnp.int32(0))
 
-    def _step_search(self, shape, variables, st: CachedTrackState, img):
+    def _step_search_w(self, shape, variables, st: CachedTrackState, img,
+                       offset=None):
         """Search-only step against the frozen cache (rebuild composed on
         top by _step; hoisted out of the vmap by the batched tracker)."""
         H, W = shape
         frame_id = st.frame_id + 1
-        s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
+        s, rf, ok = _prep_rgb_w(img, st.state, self.search_factor,
+                                self.search_size, offset, shape)
         out = self.model.apply(variables, s, st.cache,
                                method=type(self.model).forward_test)
         pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
@@ -1203,19 +1241,34 @@ class RGBCachedTrackerJit(RGBTrackerJit):
         new_st = CachedTrackState(template_v=st.template_v,
                                   template_i=st.template_i, cache=st.cache,
                                   state=new_state, frame_id=frame_id)
+        return new_st, new_state, ok
+
+    def _step_search(self, shape, variables, st: CachedTrackState, img):
+        new_st, new_state, _ = self._step_search_w(shape, variables, st, img)
         return new_st, new_state
 
-    def _rebuild_cache(self, variables, st: CachedTrackState, img):
-        ot, _ = _prep_rgb(img, st.state, self.template_factor,
-                          self.template_size)
+    def _rebuild_cache_w(self, variables, st: CachedTrackState, img,
+                         offset=None, shape=None):
+        ot, _, ok = _prep_rgb_w(img, st.state, self.template_factor,
+                                self.template_size, offset, shape)
         return self.model.apply(variables, st.template_v, ot,
-                                method=type(self.model).set_online)
+                                method=type(self.model).set_online), ok
+
+    def _rebuild_cache(self, variables, st: CachedTrackState, img):
+        return self._rebuild_cache_w(variables, st, img)[0]
+
+    def _step_core(self, shape, variables, st: CachedTrackState, img,
+                   offset=None):
+        new_st, new_state, ok_s = self._step_search_w(shape, variables, st,
+                                                      img, offset)
+        do_update = (new_st.frame_id % self.update_interval) == 0
+        cache, ok_t = jax.lax.cond(
+            do_update,
+            lambda: self._rebuild_cache_w(variables, new_st, img, offset,
+                                          shape),
+            lambda: (new_st.cache, jnp.bool_(True)))
+        return new_st.replace(cache=cache), new_state, ok_s & ok_t
 
     def _step(self, shape, variables, st: CachedTrackState, img):
-        new_st, new_state = self._step_search(shape, variables, st, img)
-        do_update = (new_st.frame_id % self.update_interval) == 0
-        cache = jax.lax.cond(
-            do_update,
-            lambda: self._rebuild_cache(variables, new_st, img),
-            lambda: new_st.cache)
-        return new_st.replace(cache=cache), new_state
+        new_st, new_state, _ = self._step_core(shape, variables, st, img)
+        return new_st, new_state

@@ -223,3 +223,77 @@ def test_run_sequence_roi_mode_exact_results(tiny_cached_tracker, tmp_path):
         with open(tmp_path / "plain" / "roiseq.txt", "rb") as f1, open(
                 tmp_path / tag / "roiseq.txt", "rb") as f2:
             assert f1.read() == f2.read(), tag
+
+
+# --------------------------------------------------- unimodal ROI chunk mode
+
+@pytest.fixture(scope="module")
+def tiny_uni_tracker():
+    from multi_modal_tracking_tpu.models.mixformer import MixFormer, ViTSpec
+    from multi_modal_tracking_tpu.tracking.tracker import RGBCachedTrackerJit
+    spec = ViTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                   num_heads=2, head_dim=64, nlayer_head=2)
+    model = MixFormer(spec=spec)
+    t = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), t, t, s)
+    return RGBCachedTrackerJit(model=model, variables=variables,
+                               template_factor=2.0, template_size=32,
+                               search_factor=4.5, search_size=64,
+                               update_interval=3, mode="TIR", scan_chunk=4)
+
+
+def test_unimodal_roi_chunk_matches_and_falls_back(tiny_uni_tracker):
+    """Unimodal (TIR mode: frame-level JET inside the scan) ROI chunks match
+    the full-frame path bit-for-bit with a covering window, and the
+    too-small-window fallback reproduces it exactly."""
+    import math
+    tr = tiny_uni_tracker
+    rng = np.random.default_rng(21)
+    H, W = 120, 160
+    fv = rng.integers(0, 255, (7, H, W, 3), dtype=np.uint8)
+    fi = rng.integers(0, 255, (7, H, W, 3), dtype=np.uint8)
+    init = {"init_bbox": [70.0, 50.0, 14.0, 12.0]}
+
+    tr.initialize([fv[0], fi[0]], init)
+    want = np.asarray(tr.track_chunk(fv[1:], fi[1:], fetch=True))
+
+    states = np.concatenate([[init["init_bbox"]], want], axis=0)
+    (ox, oy), (hw, ww) = _coverage_window(states, tr.search_factor, (H, W))
+    assert (hw, ww) != (H, W)
+    tr.initialize([fv[0], fi[0]], init)
+    got, oks = tr.track_chunk_roi(
+        np.ascontiguousarray(fv[1:, oy:oy + hw, ox:ox + ww]),
+        np.ascontiguousarray(fi[1:, oy:oy + hw, ox:ox + ww]),
+        (ox, oy), fetch=True)
+    assert oks.all()
+    np.testing.assert_array_equal(want, got)
+
+    # deliberately too small -> flagged; restore + full redo is exact
+    tr.initialize([fv[0], fi[0]], init)
+    snap = tr.snapshot()
+    _, oks2 = tr.track_chunk_roi(
+        np.ascontiguousarray(fv[1:, 45:45 + 40, 62:62 + 40]),
+        np.ascontiguousarray(fi[1:, 45:45 + 40, 62:62 + 40]),
+        (62, 45), fetch=True)
+    assert not oks2.all()
+    tr.restore(snap)
+    redo = np.asarray(tr.track_chunk(fv[1:], fi[1:], fetch=True))
+    np.testing.assert_array_equal(want, redo)
+
+
+def test_run_sequence_roi_unimodal_exact(tiny_uni_tracker, tmp_path):
+    from multi_modal_tracking_tpu.eval.data import Sequence
+    from multi_modal_tracking_tpu.eval.running import run_sequence
+    tr = tiny_uni_tracker
+    rng = np.random.default_rng(22)
+    frames = [rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+              for _ in range(9)]
+    gt = np.tile(np.asarray([70.0, 50.0, 14.0, 12.0]), (9, 1))
+    seq = Sequence("uniroi", frames, "lasot", gt)
+    run_sequence(seq, tr, str(tmp_path / "plain"), chunk=4, report_fps=False)
+    run_sequence(seq, tr, str(tmp_path / "roi"), chunk=4, report_fps=False,
+                 roi_margin=2.0, roi_min_size=64, roi_align=16)
+    with open(tmp_path / "plain" / "uniroi.txt", "rb") as f1, open(
+            tmp_path / "roi" / "uniroi.txt", "rb") as f2:
+        assert f1.read() == f2.read()
