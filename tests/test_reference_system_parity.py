@@ -437,3 +437,118 @@ def test_metric_edge_cases_cross_stack(tmp_path):
     our_avg = np.asarray(our_ed["avg_overlap_all"])[:, 0]
     np.testing.assert_allclose(np.nan_to_num(ref_avg, nan=-7.0),
                                np.nan_to_num(our_avg, nan=-7.0), atol=1e-9)
+
+
+# ------------------------------------------- unimodal (TIR-mode) runner leg
+
+@pytest.fixture(scope="module")
+def ref_uni_run(mini_lasher, ref_run):
+    """The GENUINE unimodal evaluation pipeline (lib/test/evaluation/
+    tracker.py Tracker, mode=TIR: whole-frame JET into the RGB tracker,
+    :155-190) driven by the genuine running.py over the same fixture."""
+    trk_mod = importlib.import_module("lib.test.evaluation.tracker")
+    wrapper = trk_mod.Tracker(
+        "mixformer_vit", "baseline", "LasHeR",
+        tracker_params={"model": "mini_uni.pth.tar", "vis_search": 0},
+        mode="TIR")
+    cfg = wrapper.params.cfg
+    cfg.MODEL.BACKBONE.PRETRAINED = False
+    cfg.DATA.SEARCH.SIZE = S_SZ
+    cfg.DATA.TEMPLATE.SIZE = T_SZ
+    cfg.TEST.SEARCH_SIZE = S_SZ
+    cfg.TEST.TEMPLATE_SIZE = T_SZ
+    cfg.TEST.UPDATE_INTERVALS.LASHER = [UPDATE_INTERVAL]
+    wrapper.params.search_size, wrapper.params.template_size = S_SZ, T_SZ
+
+    mod = importlib.import_module("lib.models.mixformer_vit.mixformer")
+    torch.manual_seed(1)
+    net = mod.build_mixformer_vit(cfg, train=False)
+    name = ("mini_uni.pth.tar" if cfg.TEST.LOAD_FROME_TRAIN_RESULT
+            else os.path.join("models", "mini_uni.pth.tar"))
+    path = os.path.join(mini_lasher["save_dir"], name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    torch.save({"net": net.state_dict()}, path)
+    wrapper.create_tracker(0)
+
+    ref_running = ref_run["running"]
+    ref_running.tracker_mp = wrapper
+    for seq in ref_run["dataset"]:
+        ref_running.run_sequence(seq, debug=False)
+    results_dir = os.path.join(wrapper.results_dir, "LasHeR")
+    assert all(os.path.isfile(os.path.join(results_dir, f"{n}.txt"))
+               for n, _, _ in SEQ_SPECS)
+    return {"results_dir": results_dir,
+            "state_dict": {k: v.numpy() for k, v in net.state_dict().items()}}
+
+
+@pytest.fixture(scope="module")
+def our_uni_run(mini_lasher, ref_uni_run, our_run):
+    from multi_modal_tracking_tpu.eval.params import (get_parameters,
+                                                      update_interval_for)
+    from multi_modal_tracking_tpu.eval.running import run_dataset
+    from multi_modal_tracking_tpu.models.build import build_model
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTrackerJit
+    from multi_modal_tracking_tpu.utils.torch_convert import convert_state_dict
+
+    cfg = get_parameters("mixformer_vit", "baseline").cfg
+    cfg.DATA.SEARCH.SIZE = S_SZ
+    cfg.DATA.TEMPLATE.SIZE = T_SZ
+    cfg.TEST.SEARCH_SIZE = S_SZ
+    cfg.TEST.TEMPLATE_SIZE = T_SZ
+    cfg.TEST.UPDATE_INTERVALS.LASHER = [UPDATE_INTERVAL]
+    model = build_model("mixformer_vit", cfg)
+    tz = jnp.zeros((1, T_SZ, T_SZ, 3), jnp.float32)
+    sz = jnp.zeros((1, S_SZ, S_SZ, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), tz, tz, sz)
+    variables, report = convert_state_dict(ref_uni_run["state_dict"],
+                                           variables, verbose=False)
+    assert not report["shape_mismatch"] and not report["missing"]
+    interval = update_interval_for(cfg, "LasHeR")
+    assert interval == UPDATE_INTERVAL
+    tracker = RGBTrackerJit(model=model, variables=variables,
+                            template_factor=cfg.TEST.TEMPLATE_FACTOR,
+                            template_size=T_SZ,
+                            search_factor=cfg.TEST.SEARCH_FACTOR,
+                            search_size=S_SZ, update_interval=interval,
+                            mode="TIR")
+    results_dir = os.path.join(mini_lasher["root"], "our_results_uni", "LasHeR")
+    run_dataset(our_run["dataset"], tracker, results_dir)
+    return {"results_dir": results_dir}
+
+
+def test_unimodal_result_files_cross_stack(ref_uni_run, our_uni_run):
+    for name, n, _ in SEQ_SPECS:
+        ref_bb = np.loadtxt(os.path.join(ref_uni_run["results_dir"],
+                                         f"{name}.txt"),
+                            delimiter="\t", dtype=np.int64, ndmin=2)
+        our_bb = np.loadtxt(os.path.join(our_uni_run["results_dir"],
+                                         f"{name}.txt"),
+                            delimiter="\t", dtype=np.int64, ndmin=2)
+        assert ref_bb.shape == our_bb.shape == (n, 4)
+        np.testing.assert_array_equal(ref_bb[0], our_bb[0])
+        diff = np.abs(ref_bb - our_bb)
+        assert diff.max() <= 1, f"{name}: max int-box deviation {diff.max()}"
+        exact = (diff == 0).all(axis=1).mean()
+        assert exact >= 0.8, f"{name}: only {exact:.0%} rows byte-identical"
+
+
+def test_unimodal_analysis_digit_parity(ref_uni_run, our_uni_run, our_run,
+                                        ref_run):
+    for tag, results_root in (
+            ("ref", os.path.dirname(ref_uni_run["results_dir"])),
+            ("ours", os.path.dirname(our_uni_run["results_dir"]))):
+        ref_ed, ref_table = _ref_analysis(results_root, ref_run["dataset"],
+                                          f"sysparity_uni_{tag}")
+        our_ed, our_scores = _our_analysis(results_root, our_run["dataset"],
+                                           f"sysparity_uni_{tag}")
+        for key in ("ave_success_rate_plot_overlap",
+                    "ave_success_rate_plot_center",
+                    "ave_success_rate_plot_center_norm"):
+            np.testing.assert_allclose(
+                np.asarray(ref_ed[key])[:, 0], np.asarray(our_ed[key])[:, 0],
+                atol=1e-6, err_msg=f"{key} differs on uni {tag} files")
+        ref_nums = _table_numbers(ref_table)
+        our_nums = [f"{float(our_scores[k][0]):0.2f}" for k in
+                    ("AUC", "OP50", "OP75", "Precision", "Norm Precision")]
+        assert ref_nums == our_nums, (
+            f"uni {tag}: table digits differ\n{ref_nums}\nvs {our_nums}")
