@@ -446,6 +446,14 @@ def ref_uni_run(mini_lasher, ref_run):
     """The GENUINE unimodal evaluation pipeline (lib/test/evaluation/
     tracker.py Tracker, mode=TIR: whole-frame JET into the RGB tracker,
     :155-190) driven by the genuine running.py over the same fixture."""
+    # re-install: an earlier test (the edge-case zoo) may have re-bound the
+    # injected env paths to its own tmp dirs (install_eval_env is re-entrant
+    # by design)
+    reference_oracle.install_eval_env(
+        lasher_path=mini_lasher["lasher"],
+        results_path=mini_lasher["ref_results"],
+        result_plot_path=mini_lasher["ref_plots"],
+        save_dir=mini_lasher["save_dir"])
     trk_mod = importlib.import_module("lib.test.evaluation.tracker")
     wrapper = trk_mod.Tracker(
         "mixformer_vit", "baseline", "LasHeR",
