@@ -203,28 +203,29 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
                and hasattr(tracker, "track_chunk_roi")
                and not getattr(seq, "depth_input", False))
     use_chunks = hasattr(tracker, "track_chunk") and not save_vis
+    roi_stats = None
     if use_roi and n > 1:
         from multi_modal_tracking_tpu.tracking.tracker import (place_window,
                                                                roi_window)
         t_seq = time.time()
         collected = []
-        n_fallback = 0
+        n_fallback = n_windowed = n_chunks = 0
         prev_sz = None    # window-size hysteresis: every distinct window
         #                   shape is its own jit program, so keep reusing the
         #                   last (re-centred) size while it still covers the
         #                   newly needed one — shapes then change only when
         #                   the target genuinely grows, not on size jitter
         for lo, hi, fv, fi in _Prefetcher(seq, 1, chunk):
+            n_chunks += 1
             if fi is None:          # unimodal sequence: single frame stream
-                fi = fv
+                fi = fv             # (same object: uploads dedupe downstream)
             box = tracker.current_box()
             win = roi_window(box, fv.shape[1:3],
                              getattr(tracker, "search_factor", 4.5),
                              margin=roi_margin, align=roi_align,
                              min_size=roi_min_size)
             if win is None:                      # window ~ frame: no saving
-                collected.append(np.asarray(
-                    tracker.track_chunk(fv, fi, fetch=True)))
+                collected.append(tracker.track_chunk(fv, fi, fetch=True))
                 continue
             if (prev_sz is not None and win[1][0] <= prev_sz[0]
                     and win[1][1] <= prev_sz[1]):
@@ -232,20 +233,30 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
             prev_sz = win[1]
             (ox, oy), (hw, ww) = win
             wv = np.ascontiguousarray(fv[:, oy:oy + hw, ox:ox + ww])
-            wi = np.ascontiguousarray(fi[:, oy:oy + hw, ox:ox + ww])
+            wi = wv if fi is fv else \
+                np.ascontiguousarray(fi[:, oy:oy + hw, ox:ox + ww])
             snap = tracker.snapshot()
-            bxs, oks = tracker.track_chunk_roi(wv, wi, (ox, oy), fetch=True)
+            out, oks = tracker.track_chunk_roi(wv, wi, (ox, oy), fetch=True)
             if bool(np.all(oks)):
-                collected.append(bxs)
+                n_windowed += 1
+                collected.append(out)
             else:                                # window escaped: exact redo
                 n_fallback += 1
                 tracker.restore(snap)
-                collected.append(np.asarray(
-                    tracker.track_chunk(fv, fi, fetch=True)))
-        all_boxes = np.concatenate(collected, axis=0)
+                collected.append(tracker.track_chunk(fv, fi, fetch=True))
+        # online families emit (boxes, scores) pytrees; plain ones bare boxes
+        with_scores = isinstance(collected[0], tuple)
+        if with_scores:
+            all_boxes = np.concatenate([np.asarray(c[0]) for c in collected])
+            scores = np.concatenate(
+                [np.ones((1,))] + [np.asarray(c[1]) for c in collected])[:n]
+        else:
+            all_boxes = np.concatenate([np.asarray(c) for c in collected])
         t_end = time.time()
         boxes[1:] = all_boxes[: n - 1]
         times[1:] = (t_end - t_seq) / max(n - 1, 1)
+        roi_stats = {"n_chunks": n_chunks, "n_windowed": n_windowed,
+                     "n_fallback": n_fallback}
     elif use_chunks and n > 1:
         # Dispatch every chunk asynchronously (device arrays only) and fetch
         # all boxes in ONE D2H at sequence end — per-frame trajectories are
@@ -295,9 +306,19 @@ def run_sequence(seq: Sequence, tracker, results_dir: str,
                    scores, delimiter="\t", fmt="%.2f")
     np.savetxt(os.path.join(results_dir, f"{seq.name}_time.txt"), times, fmt="%f")
     fps = n / max(times.sum(), 1e-9)
+    stats = {"seq": seq.name, "n_frames": n, "fps": fps}
+    if roi_stats is not None:
+        # expose the fallback rate so roi_margin is tunable from eval output
+        # (each fallback costs a full-frame upload + the wasted window chunk)
+        stats.update(roi_stats)
     if report_fps:
-        print(f"{seq.name}: {n} frames, {fps:.1f} FPS")
-    return {"seq": seq.name, "n_frames": n, "fps": fps}
+        roi_msg = ""
+        if roi_stats is not None:
+            roi_msg = (f" | roi: {roi_stats['n_windowed']}/"
+                       f"{roi_stats['n_chunks']} chunks windowed, "
+                       f"{roi_stats['n_fallback']} fallbacks")
+        print(f"{seq.name}: {n} frames, {fps:.1f} FPS{roi_msg}")
+    return stats
 
 
 def run_dataset(dataset, tracker, results_dir: str, skip_if_done: bool = True,

@@ -222,23 +222,32 @@ def _run_chunked(run_block, carry, frames_v, frames_i, K: int):
     """Host-side block driver for the scan'd track paths: split N frames into
     K-sized blocks (tail padded + masked invalid), one committed upload + one
     scan dispatch per block. run_block(carry, blk_v, blk_i, ok) ->
-    (carry, per-frame outputs pytree); returns (carry, [outputs per block])."""
+    (carry, per-frame outputs pytree); returns (carry, [outputs per block]).
+
+    When frames_i IS frames_v (unimodal sequences routed through a bimodal
+    signature) the block is uploaded ONCE and the same device buffer is
+    passed for both arguments — halving H2D bytes on the upload-bound
+    transport."""
     N = frames_v.shape[0]
+    same = frames_i is frames_v
     outs = []
     for lo in range(0, N, K):
         hi = min(lo + K, N)
         whole = lo == 0 and hi == N     # skip the identity slice: on a
         blk_v = frames_v if whole else frames_v[lo:hi]   # device array it
-        blk_i = frames_i if whole else frames_i[lo:hi]   # is an eager RPC
-        n = hi - lo
+        blk_i = blk_v if same else (frames_i if whole else frames_i[lo:hi])
+        n = hi - lo                                      # is an eager RPC
         ok = np.ones((K,), np.bool_)
         if n < K:
             pad = K - n
             xp = jnp if isinstance(frames_v, jax.Array) else np
             blk_v = xp.concatenate([blk_v, xp.repeat(blk_v[-1:], pad, axis=0)])
-            blk_i = xp.concatenate([blk_i, xp.repeat(blk_i[-1:], pad, axis=0)])
+            blk_i = blk_v if same else xp.concatenate(
+                [blk_i, xp.repeat(blk_i[-1:], pad, axis=0)])
             ok[n:] = False
-        carry, out = run_block(carry, _put(blk_v), _put(blk_i), _put(ok))
+        d_v = _put(blk_v)
+        d_i = d_v if same else _put(blk_i)
+        carry, out = run_block(carry, d_v, d_i, _put(ok))
         if n < K:
             out = jax.tree_util.tree_map(lambda a: a[:n], out)
         outs.append(out)
@@ -259,11 +268,15 @@ def _map_box_back(pred_cxcywh, prev_state, search_size, resize_factor):
 class RoiChunkMixin:
     """ROI-window upload mode shared by the chunked tracker families.
 
-    Requires the host class to provide `_step_w(shape, variables, st, img_v,
-    img_i, offset)` -> (new_state_pytree, box, ok) plus the standard chunk
-    attributes (`scan_chunk`, `_shape`, `_state`, `variables`,
-    `_scan_roi_jit`). See eval/running.py run_sequence(roi_margin=...) for
-    the host-side protocol (window placement, validity fallback)."""
+    Requires the host class to provide `_step_w(shape, variables, carry,
+    img_v, img_i, offset)` -> (new_carry, out, ok) plus the standard chunk
+    attributes (`scan_chunk`, `_shape`, `variables`, `_scan_roi_jit`). `out`
+    is the per-frame output pytree — a (4,) box for the plain families, a
+    (box, score) pair for the score (online) families. The carry defaults to
+    `self._state`; families that thread extra device state (the unimodal
+    online cache) override `_carry`/`_set_carry`. See eval/running.py
+    run_sequence(roi_margin=...) for the host-side protocol (window
+    placement, validity fallback)."""
 
     def _make_track_scan_roi(self, shape, chunk: int):
         """ROI-window variant of _make_track_scan: the frames are sub-windows
@@ -272,32 +285,38 @@ class RoiChunkMixin:
         (the host discards the chunk and falls back to full frames on any
         False — eval/running.py run_sequence roi_margin mode)."""
 
-        def track_fn(variables, st, frames_v, frames_i, valid, offset):
-            def body(st, fr):
+        def track_fn(variables, carry, frames_v, frames_i, valid, offset):
+            def body(carry, fr):
                 img_v, img_i, pad_ok = fr
-                new_st, new_state, ok = self._step_w(shape, variables, st,
-                                                     img_v, img_i, offset)
-                new_st = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(pad_ok, a, b), new_st, st)
+                new_carry, out, ok = self._step_w(shape, variables, carry,
+                                                  img_v, img_i, offset)
+                new_carry = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(pad_ok, a, b), new_carry, carry)
                 # padded tail frames never count as window violations
-                return new_st, (new_state, ok | ~pad_ok)
+                return new_carry, (out, ok | ~pad_ok)
 
-            st, (boxes, oks) = jax.lax.scan(body, st,
-                                            (frames_v, frames_i, valid))
-            return st, boxes, oks
+            carry, (outs, oks) = jax.lax.scan(body, carry,
+                                              (frames_v, frames_i, valid))
+            return carry, outs, oks
         return jax.jit(track_fn)
 
     # ------------------------------------------------- ROI-window upload mode
+    def _carry(self):
+        return self._state
+
+    def _set_carry(self, carry) -> None:
+        self._state = carry
+
     def current_box(self) -> np.ndarray:
         """Fetch the current frame-coord box estimate (4 floats D2H)."""
         return np.asarray(self._state.state)
 
     def snapshot(self):
         """Immutable state handle for the ROI fallback path."""
-        return self._state
+        return self._carry()
 
-    def restore(self, state) -> None:
-        self._state = state
+    def restore(self, carry) -> None:
+        self._set_carry(carry)
 
     def track_chunk_roi(self, win_v: np.ndarray, win_i: np.ndarray,
                         offset_xy, fetch: bool = True):
@@ -305,11 +324,12 @@ class RoiChunkMixin:
 
         win_v: (N, Hw, Ww, 3), win_i: (N, Hw, Ww[, 3]) uint8 windows cut from
         the full frames at frame coords offset_xy = (ox, oy) (one shared
-        window per chunk). Returns (boxes, oks): oks[k] False means frame k's
-        crop needed pixels outside the window — the caller must `restore` the
-        pre-chunk `snapshot` and re-run the chunk with full frames
-        (trajectories are then exactly the full-frame ones; when all oks are
-        True the boxes already are, bit-for-bit)."""
+        window per chunk). Returns (out, oks) where out matches track_chunk's
+        output pytree (boxes, or (boxes, scores) for the online families);
+        oks[k] False means frame k's crop needed pixels outside the window —
+        the caller must `restore` the pre-chunk `snapshot` and re-run the
+        chunk with full frames (trajectories are then exactly the full-frame
+        ones; when all oks are True the outputs already are, bit-for-bit)."""
         K = self.scan_chunk
         win_shape = win_v.shape[1:3]
         key = (self._shape, win_shape, K)
@@ -318,17 +338,19 @@ class RoiChunkMixin:
         fn = self._scan_roi_jit[key]
         offset = _put(np.asarray(offset_xy, np.int32))
 
-        def run_block(st, blk_v, blk_i, ok):
-            st, boxes, oks = fn(self.variables, st, blk_v, blk_i, ok, offset)
-            return st, (boxes, oks)
+        def run_block(carry, blk_v, blk_i, ok):
+            carry, outs, oks = fn(self.variables, carry, blk_v, blk_i, ok,
+                                  offset)
+            return carry, (outs, oks)
 
-        self._state, outs = _run_chunked(run_block, self._state,
-                                         win_v, win_i, K)
-        boxes = jnp.concatenate([o[0] for o in outs], axis=0)
+        carry, outs = _run_chunked(run_block, self._carry(), win_v, win_i, K)
+        self._set_carry(carry)
+        out = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *[o[0] for o in outs])
         oks = jnp.concatenate([o[1] for o in outs], axis=0)
         if fetch:
-            return np.asarray(boxes), np.asarray(oks)
-        return boxes, oks
+            return jax.tree_util.tree_map(np.asarray, out), np.asarray(oks)
+        return out, oks
 
 
 @dataclasses.dataclass
@@ -575,7 +597,7 @@ class RGBTCachedTrackerJit(RGBTTrackerJit):
 
 
 @dataclasses.dataclass
-class RGBTOnlineTrackerJit:
+class RGBTOnlineTrackerJit(RoiChunkMixin):
     """Score-gated online tracking for the bimodal SPM models
     (asymmetric_shared_online).
 
@@ -623,11 +645,18 @@ class RGBTOnlineTrackerJit:
     def _make_init(self, shape):
         return jax.jit(self._init_state)
 
-    def _step(self, shape, variables, st: OnlineTrackState, img_v, img_i):
+    def _step_w(self, shape, variables, st: OnlineTrackState, img_v, img_i,
+                offset=None):
+        """One score-gated step; with `offset` the images are ROI sub-windows
+        (RoiChunkMixin). `ok` is conservative-exact: the search crop must be
+        window-exact, and the candidate crop too whenever it is actually
+        SELECTED (an unselected candidate's pixels are discarded, so its
+        validity cannot affect the trajectory)."""
         H, W = shape
         frame_id = st.frame_id + 1
-        sv, si, rf, _ = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
-                                 self.search_size)
+        sv, si, rf, ok_s = _prep_rgbt(img_v, img_i, st.state,
+                                      self.search_factor, self.search_size,
+                                      offset, shape)
 
         t_vi = jnp.concatenate([st.template_v, st.template_i], axis=0)
         ot_vi = jnp.concatenate([st.online_template_v, st.online_template_i], axis=0)
@@ -644,8 +673,9 @@ class RGBTOnlineTrackerJit:
         # --- max-score candidate (decayed) -----------------------------------
         max_score = st.max_pred_score * self.max_score_decay
         is_better = (pred_score > 0.5) & (pred_score > max_score)
-        cand_v, cand_i, _, _ = _prep_rgbt(img_v, img_i, new_state,
-                                       self.template_factor, self.template_size)
+        cand_v, cand_i, _, ok_c = _prep_rgbt(img_v, img_i, new_state,
+                                             self.template_factor,
+                                             self.template_size, offset, shape)
         max_tv = jnp.where(is_better, cand_v, st.max_template_v)
         max_ti = jnp.where(is_better, cand_i, st.max_template_i)
         max_score = jnp.where(is_better, pred_score, max_score)
@@ -665,6 +695,11 @@ class RGBTOnlineTrackerJit:
             max_template_v=max_tv, max_template_i=max_ti,
             max_pred_score=max_score, forget_id=st.forget_id,
             state=new_state, frame_id=frame_id, n_filled=st.n_filled)
+        return new_st, (new_state, pred_score), ok_s & (~is_better | ok_c)
+
+    def _step(self, shape, variables, st: OnlineTrackState, img_v, img_i):
+        new_st, (new_state, pred_score), _ = self._step_w(
+            shape, variables, st, img_v, img_i)
         return new_st, new_state, pred_score
 
     def _make_track(self, shape):
@@ -763,17 +798,19 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
             max_pred_score=jnp.float32(-1.0),
             state=box.astype(jnp.float32), frame_id=jnp.int32(0))
 
-    def _step_search(self, shape, variables, st: OnlineCachedTrackState,
-                     img_v, img_i):
+    def _step_search_w(self, shape, variables, st: OnlineCachedTrackState,
+                       img_v, img_i, offset=None):
         """Everything except the set_online cache rebuild: search-only
         forward + score head, candidate selection, the interval-gated
         template COMMIT (elementwise where — vmap-safe), and the candidacy
         reset. The rebuild cond is composed on top by _step and hoisted out
-        of the vmap by the batched lockstep tracker."""
+        of the vmap by the batched lockstep tracker. `offset` = ROI-window
+        mode (RoiChunkMixin); validity as in RGBTOnlineTrackerJit._step_w."""
         H, W = shape
         frame_id = st.frame_id + 1
-        sv, si, rf, _ = _prep_rgbt(img_v, img_i, st.state, self.search_factor,
-                                 self.search_size)
+        sv, si, rf, ok_s = _prep_rgbt(img_v, img_i, st.state,
+                                      self.search_factor, self.search_size,
+                                      offset, shape)
         s_vi = jnp.concatenate([sv, si], axis=0)
         out = self.model.apply(variables, st.cache, s_vi,
                                method=type(self.model).forward_track,
@@ -789,8 +826,9 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
 
         max_score = st.max_pred_score * self.max_score_decay
         is_better = (pred_score > 0.5) & (pred_score > max_score)
-        cand_v, cand_i, _, _ = _prep_rgbt(img_v, img_i, new_state,
-                                       self.template_factor, self.template_size)
+        cand_v, cand_i, _, ok_c = _prep_rgbt(img_v, img_i, new_state,
+                                             self.template_factor,
+                                             self.template_size, offset, shape)
         max_tv = jnp.where(is_better, cand_v, st.max_template_v)
         max_ti = jnp.where(is_better, cand_i, st.max_template_i)
         max_score = jnp.where(is_better, pred_score, max_score)
@@ -807,7 +845,26 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
             online_template_v=otv, online_template_i=oti, cache=st.cache,
             max_template_v=max_tv, max_template_i=max_ti,
             max_pred_score=max_score, state=new_state, frame_id=frame_id)
+        return new_st, new_state, pred_score, ok_s & (~is_better | ok_c)
+
+    def _step_search(self, shape, variables, st: OnlineCachedTrackState,
+                     img_v, img_i):
+        new_st, new_state, pred_score, _ = self._step_search_w(
+            shape, variables, st, img_v, img_i)
         return new_st, new_state, pred_score
+
+    def _step_w(self, shape, variables, st: OnlineCachedTrackState, img_v,
+                img_i, offset=None):
+        """RoiChunkMixin entry: search/candidate crops read the window; the
+        cache rebuild reads only template crops already in the state, so it
+        needs no window pixels."""
+        new_st, new_state, pred_score, ok = self._step_search_w(
+            shape, variables, st, img_v, img_i, offset)
+        do_update = (new_st.frame_id % self.update_interval) == 0
+        cache = jax.lax.cond(do_update,
+                             lambda: self._rebuild_cache(variables, new_st),
+                             lambda: new_st.cache)
+        return new_st.replace(cache=cache), (new_state, pred_score), ok
 
     def _rebuild_cache(self, variables, st: OnlineCachedTrackState):
         """set_online over the base template + the already-committed online
@@ -830,7 +887,7 @@ class RGBTOnlineCachedTrackerJit(RGBTOnlineTrackerJit):
 
 
 @dataclasses.dataclass
-class OnlineTrackerJit:
+class OnlineTrackerJit(RoiChunkMixin):
     """Unimodal online tracking with a multi-template ring buffer over the
     set_online / forward_test cached-k/v path (CvT/ViT/ConvMAE online).
 
@@ -908,15 +965,17 @@ class OnlineTrackerJit:
         # mode transform inside the jit (one device program per frame)
         return jax.jit(self._init_state)
 
-    def _step_search(self, shape, variables, st: OnlineTrackState, cache, img):
+    def _step_search_w(self, shape, variables, st: OnlineTrackState, cache,
+                       img, offset=None):
         """Everything except the set_online cache refresh: cached forward +
         score head, candidate selection, the interval-gated ring COMMIT
         (elementwise selects — vmap-safe) and candidacy reset. The refresh
         cond is composed on top by _step and hoisted out of the vmap by the
-        batched lockstep tracker."""
+        batched lockstep tracker. `offset` = ROI-window mode."""
         H, W = shape
         frame_id = st.frame_id + 1
-        s, rf = _prep_rgb(img, st.state, self.search_factor, self.search_size)
+        s, rf, ok_s = _prep_rgb_w(img, st.state, self.search_factor,
+                                  self.search_size, offset, shape)
         out = self.model.apply(variables, s, cache, run_score_head=True,
                                method=self.model.forward_test)
         pred = out["pred_boxes"].reshape(-1, 4).mean(axis=0)
@@ -934,8 +993,8 @@ class OnlineTrackerJit:
         # score under strict > would lock the first post-reset frame in
         is_better = ((pred_score > 0.5) & (pred_score > max_score)
                      ) if has_score else jnp.bool_(True)
-        cand, _ = _prep_rgb(img, new_state, self.template_factor,
-                            self.template_size)
+        cand, _, ok_c = _prep_rgb_w(img, new_state, self.template_factor,
+                                    self.template_size, offset, shape)
         max_t = jnp.where(is_better, cand, st.max_template_v)
         max_score = jnp.where(is_better, pred_score, max_score)
 
@@ -964,6 +1023,14 @@ class OnlineTrackerJit:
             max_template_v=max_t, max_template_i=max_t,
             max_pred_score=max_score, forget_id=forget_id,
             state=new_state, frame_id=frame_id, n_filled=n_filled)
+        # without a score head the candidate crop is ALWAYS selected, so its
+        # window validity always matters; with one, only when selected
+        ok = ok_s & (ok_c if not has_score else (~is_better | ok_c))
+        return new_st, new_state, pred_score, ok
+
+    def _step_search(self, shape, variables, st: OnlineTrackState, cache, img):
+        new_st, new_state, pred_score, _ = self._step_search_w(
+            shape, variables, st, cache, img)
         return new_st, new_state, pred_score
 
     def _refresh_cache(self, variables, st: OnlineTrackState):
@@ -979,6 +1046,30 @@ class OnlineTrackerJit:
                              lambda: self._refresh_cache(variables, new_st),
                              lambda: cache)
         return new_st, cache, new_state, pred_score
+
+    # ------------------------------------------------- ROI-window upload mode
+    # the carry threads (state, cache) — unlike the RGBT families the k/v
+    # cache lives OUTSIDE the state pytree here
+    def _carry(self):
+        return (self._state, self._cache)
+
+    def _set_carry(self, carry) -> None:
+        self._state, self._cache = carry
+
+    def _step_w(self, shape, variables, carry, img_v, img_i, offset=None):
+        """RoiChunkMixin entry: raw modal windows in, the RGB/TIR/Prompt mode
+        transform applied inside (pixelwise, so transforming the window
+        equals windowing the transformed frame); the ring refresh reads only
+        crops already committed in the state — no window pixels."""
+        st, cache = carry
+        img = self._frame(img_v, img_i)
+        new_st, new_state, pred_score, ok = self._step_search_w(
+            shape, variables, st, cache, img, offset)
+        do_update = (new_st.frame_id % self.update_interval) == 0
+        cache = jax.lax.cond(do_update,
+                             lambda: self._refresh_cache(variables, new_st),
+                             lambda: cache)
+        return (new_st, cache), (new_state, pred_score), ok
 
     def _make_track(self, shape):
         def track_fn(variables, st, cache, img_v, img_i):

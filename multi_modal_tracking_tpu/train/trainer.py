@@ -96,7 +96,8 @@ class Trainer:
                     f"MODEL.BACKBONE.PRETRAINED_PATH = {mae_path!r} not found "
                     f"(cwd {os.getcwd()!r}); set MODEL.BACKBONE.PRETRAINED "
                     f"False to train from random init")
-            variables = ckpt.load_variables(mae_path, variables)
+            variables = ckpt.load_variables(mae_path, variables,
+                                            strict=False)
             print(f"warm start backbone from MAE pretrain {mae_path}")
         for key in ("TRACKER_PRETRAINED_PATH", "SCORE_PRETRAINED_PATH",
                     "RGBT_PRETRAINED_PATH"):
@@ -106,7 +107,8 @@ class Trainer:
                     raise FileNotFoundError(
                         f"MODEL.{key} = {path!r} not found (cwd "
                         f"{os.getcwd()!r}); clear the key to skip the warm start")
-                variables = ckpt.load_variables(path, variables)
+                variables = ckpt.load_variables(path, variables,
+                                                strict=False)
                 print(f"warm start from {key} = {path}")
 
         self.tx = make_optimizer(cfg, variables["params"],

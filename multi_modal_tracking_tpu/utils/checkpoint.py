@@ -78,16 +78,28 @@ def load_checkpoint(path: str, target: Any) -> Any:
         return serialization.from_bytes(target, f.read())
 
 
-def load_variables(path: str, target_variables: Any) -> Any:
+def load_variables(path: str, target_variables: Any,
+                   strict: bool = True) -> Any:
     """Net-only load: accepts a full TrainState checkpoint, a bare variables
     dict, or a PyTorch reference checkpoint (.pth/.pth.tar/.pt — converted
-    key-by-key); returns variables matching target structure (warm-start
-    path, base_trainer.py:230-272)."""
+    key-by-key); returns variables matching target structure.
+
+    strict=True (the default, matching the reference's eval-time
+    load_state_dict(strict=True) — lib/test/tracker/asymmetric_shared_ce.py
+    :18-19) raises if ANY target leaf would keep its random init or any
+    checkpoint leaf has no/mis-shaped target — a wrong or stale checkpoint
+    must fail loudly, never evaluate silently. strict=False restores the
+    reference's warm-start semantics (base_trainer.py:230-272,
+    asymmetric_shared_online.py:448-470): overlapping same-shape leaves load,
+    the rest keep init with a printed report. Warm-start key EXPANSIONS
+    (bare MAE backbone dicts, unimodal->RGBT duplication) are inherently
+    partial, so detecting one downgrades to non-strict automatically."""
     if path.endswith((".pth", ".pth.tar", ".pt")):
         from multi_modal_tracking_tpu.utils.torch_convert import (
             convert_state_dict, expand_modality_lns, expand_two_stream,
             load_torch_state_dict)
         sd = load_torch_state_dict(path)
+        warm_start = False        # an applied expansion implies partiality
         params = target_variables.get("params", {})
         # Bare backbone-pretrain dicts — MAE ViT (blocks.N/patch_embed,
         # asymmetric_shared_ce.py:515-533), ConvMAE (blocks1-3/patch_embed1-4,
@@ -98,6 +110,7 @@ def load_variables(path: str, target_variables: Any) -> Any:
                 any(k.startswith(("blocks.", "blocks1.", "patch_embed.",
                                   "patch_embed1.", "stage0.")) for k in sd):
             sd = {"backbone." + k: v for k, v in sd.items()}
+            warm_start = True
         # RGB-unimodal -> RGBT warm starts need the reference's key
         # expansion (mixformer.py:447-460 backbone duplication;
         # asymmetric_shared_ce.py:649-661 norm1/norm2 -> _v/_i). Detect by
@@ -111,10 +124,13 @@ def load_variables(path: str, target_variables: Any) -> Any:
         if tgt_two_stream and sd_unimodal and \
                 not any(k.startswith("backbone_v.") for k in sd):
             sd = expand_two_stream(sd)
+            warm_start = True
         elif tgt_modal_lns and sd_unimodal and \
                 not any(".norm1_v." in k for k in sd):
             sd = expand_modality_lns(sd)
-        new_vars, _ = convert_state_dict(sd, target_variables)
+            warm_start = True
+        new_vars, _ = convert_state_dict(sd, target_variables,
+                                         strict=strict and not warm_start)
         return new_vars
     with open(path, "rb") as f:
         raw = f.read()
@@ -128,21 +144,27 @@ def load_variables(path: str, target_variables: Any) -> Any:
     if "params" in state_dict and "opt_state" in state_dict:   # TrainState
         out = dict(target_variables)
         out["params"] = _partial_from_state_dict(
-            target_variables["params"], state_dict["params"], path)
+            target_variables["params"], state_dict["params"], path,
+            strict=strict)
         if state_dict.get("batch_stats") is not None and "batch_stats" in target_variables:
             out["batch_stats"] = _partial_from_state_dict(
-                target_variables["batch_stats"], state_dict["batch_stats"], path)
+                target_variables["batch_stats"], state_dict["batch_stats"],
+                path, strict=strict)
         return out
-    return _partial_from_state_dict(target_variables, state_dict, path)
+    return _partial_from_state_dict(target_variables, state_dict, path,
+                                    strict=strict)
 
 
-def _partial_from_state_dict(target, state, label=""):
+def _partial_from_state_dict(target, state, label="", strict=False):
     """from_state_dict with the reference's strict=False warm-start
     semantics (base_trainer.py:230-272, asymmetric_shared_online.py:448-470):
     leaves present in both (same shape) restore; target-only leaves keep
     their init (e.g. the stage-2 ScoreDecoder when loading a stage-1 tracker
     checkpoint); mismatches are reported, never silently dropped when the
-    checkpoint covers everything (the exact-match case stays strict)."""
+    checkpoint covers everything (the exact-match case stays strict).
+
+    strict=True turns any skipped target leaf or checkpoint-only key into a
+    hard error (eval-time loads: load_state_dict(strict=True) parity)."""
     from flax import traverse_util
     t_flat = traverse_util.flatten_dict(serialization.to_state_dict(target))
     s_flat = traverse_util.flatten_dict(state)
@@ -158,10 +180,16 @@ def _partial_from_state_dict(target, state, label=""):
             skipped.append("/".join(map(str, k)))
     unexpected = [k for k in s_flat if k not in t_flat]
     if skipped or unexpected:
-        print(f"partial restore{f' of {label}' if label else ''}: "
-              f"{n_loaded}/{len(t_flat)} leaves loaded; kept init for "
-              f"{skipped[:4]}{'...' if len(skipped) > 4 else ''}; "
-              f"{len(unexpected)} checkpoint-only keys ignored")
+        msg = (f"restore{f' of {label}' if label else ''}: "
+               f"{n_loaded}/{len(t_flat)} leaves loaded; missing/mis-shaped "
+               f"{skipped[:4]}{'...' if len(skipped) > 4 else ''}; "
+               f"{len(unexpected)} checkpoint-only keys")
+        if strict:
+            raise ValueError(
+                "strict " + msg + " — the checkpoint does not match the "
+                "model (wrong script/config/stage?); pass strict=False only "
+                "for training warm starts")
+        print("partial " + msg + " ignored")
     return serialization.from_state_dict(target,
                                          traverse_util.unflatten_dict(merged))
 

@@ -297,3 +297,136 @@ def test_run_sequence_roi_unimodal_exact(tiny_uni_tracker, tmp_path):
     with open(tmp_path / "plain" / "uniroi.txt", "rb") as f1, open(
             tmp_path / "roi" / "uniroi.txt", "rb") as f2:
         assert f1.read() == f2.read()
+
+
+# ------------------------------------------------ online-family ROI chunk mode
+
+@pytest.fixture(scope="module")
+def tiny_rgbt_online_tracker():
+    from multi_modal_tracking_tpu.models.asymmetric_shared import (
+        MixFormerRGBT, RGBTSpec)
+    from multi_modal_tracking_tpu.tracking.tracker import RGBTOnlineTrackerJit
+    spec = RGBTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                    num_heads=2, head_dim=64, fusion_layers=1,
+                    ce_loc=None, ce_keep_ratio=None, nlayer_head=2)
+    model = MixFormerRGBT(spec=spec, with_score=True)
+    t = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, a, b, c: model.init(
+        r, a, b, c, run_score_head=True))(jax.random.PRNGKey(0), t, t, s)
+    return RGBTOnlineTrackerJit(model=model, variables=variables,
+                                template_factor=2.0, template_size=32,
+                                search_factor=4.5, search_size=64,
+                                update_interval=3, max_score_decay=0.98,
+                                scan_chunk=4)
+
+
+ONLINE_INIT = {"init_bbox": [70.0, 50.0, 14.0, 12.0]}
+
+
+def test_rgbt_online_track_chunk_roi_bit_exact(tiny_rgbt_online_tracker):
+    """The score (SPM) family's ROI chunks reproduce boxes AND scores
+    bit-for-bit (advice r4: online families previously fell back to full
+    uploads silently)."""
+    tr = tiny_rgbt_online_tracker
+    fv, fi = _rgbt_frames(7, 31)
+    tr.initialize([fv[0], fi[0]], ONLINE_INIT)
+    want_b, want_s = tr.track_chunk(fv[1:], fi[1:], fetch=True)
+
+    states = np.concatenate([[ONLINE_INIT["init_bbox"]], want_b], axis=0)
+    (ox, oy), (hw, ww) = _coverage_window(states, tr.search_factor,
+                                          fv.shape[1:3])
+    assert (hw, ww) != fv.shape[1:3]
+    tr.initialize([fv[0], fi[0]], ONLINE_INIT)
+    (got_b, got_s), oks = tr.track_chunk_roi(
+        np.ascontiguousarray(fv[1:, oy:oy + hw, ox:ox + ww]),
+        np.ascontiguousarray(fi[1:, oy:oy + hw, ox:ox + ww]),
+        (ox, oy), fetch=True)
+    assert oks.all()
+    np.testing.assert_array_equal(want_b, got_b)
+    np.testing.assert_array_equal(want_s, got_s)
+
+    # too-small window -> flagged; restore + full-frame redo is exact
+    tr.initialize([fv[0], fi[0]], ONLINE_INIT)
+    snap = tr.snapshot()
+    _, oks2 = tr.track_chunk_roi(
+        np.ascontiguousarray(fv[1:, 45:45 + 40, 62:62 + 40]),
+        np.ascontiguousarray(fi[1:, 45:45 + 40, 62:62 + 40]),
+        (62, 45), fetch=True)
+    assert not oks2.all()
+    tr.restore(snap)
+    redo_b, redo_s = tr.track_chunk(fv[1:], fi[1:], fetch=True)
+    np.testing.assert_array_equal(want_b, redo_b)
+    np.testing.assert_array_equal(want_s, redo_s)
+
+
+def test_unimodal_online_track_chunk_roi_bit_exact():
+    """OnlineTrackerJit (ring buffer + external k/v cache carry) ROI chunks
+    match full-frame boxes and scores; the (state, cache) snapshot/restore
+    protocol survives the fallback."""
+    from multi_modal_tracking_tpu.models.mixformer import MixFormer, ViTSpec
+    from multi_modal_tracking_tpu.tracking.tracker import OnlineTrackerJit
+    spec = ViTSpec(search_size=64, template_size=32, embed_dim=64, depth=2,
+                   num_heads=2, head_dim=64, nlayer_head=2)
+    model = MixFormer(spec=spec, with_score=True)
+    t = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    s = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, a, b, c: model.init(
+        r, a, b, c, run_score_head=True))(jax.random.PRNGKey(0), t, t, s)
+    tr = OnlineTrackerJit(model=model, variables=variables,
+                          template_factor=2.0, template_size=32,
+                          search_factor=4.5, search_size=64,
+                          update_interval=2, online_size=2, mode="RGB",
+                          scan_chunk=4)
+    rng = np.random.default_rng(33)
+    H, W = 120, 160
+    fv = rng.integers(0, 255, (7, H, W, 3), dtype=np.uint8)
+    tr.initialize(fv[0], ONLINE_INIT)
+    want_b, want_s = tr.track_chunk(fv[1:], fv[1:], fetch=True)
+
+    states = np.concatenate([[ONLINE_INIT["init_bbox"]], want_b], axis=0)
+    (ox, oy), (hw, ww) = _coverage_window(states, tr.search_factor, (H, W))
+    assert (hw, ww) != (H, W)
+    tr.initialize(fv[0], ONLINE_INIT)
+    wv = np.ascontiguousarray(fv[1:, oy:oy + hw, ox:ox + ww])
+    (got_b, got_s), oks = tr.track_chunk_roi(wv, wv, (ox, oy), fetch=True)
+    assert oks.all()
+    np.testing.assert_array_equal(want_b, got_b)
+    np.testing.assert_array_equal(want_s, got_s)
+
+    # fallback path through the tuple carry
+    tr.initialize(fv[0], ONLINE_INIT)
+    snap = tr.snapshot()
+    wv2 = np.ascontiguousarray(fv[1:, 45:45 + 40, 62:62 + 40])
+    _, oks2 = tr.track_chunk_roi(wv2, wv2, (62, 45), fetch=True)
+    assert not oks2.all()
+    tr.restore(snap)
+    redo_b, redo_s = tr.track_chunk(fv[1:], fv[1:], fetch=True)
+    np.testing.assert_array_equal(want_b, redo_b)
+    np.testing.assert_array_equal(want_s, redo_s)
+
+
+def test_run_sequence_roi_online_writes_scores(tiny_rgbt_online_tracker,
+                                               tmp_path):
+    """run_sequence ROI mode on a score family writes byte-identical bbox AND
+    score files to the plain chunked path (scores previously unhandled in
+    ROI mode)."""
+    from multi_modal_tracking_tpu.eval.data import RGBTSequence
+    from multi_modal_tracking_tpu.eval.running import run_sequence
+    tr = tiny_rgbt_online_tracker
+    fv, fi = _rgbt_frames(9, 34)
+    frames = [(fv[k], np.repeat(fi[k][..., None], 3, axis=-1))
+              for k in range(9)]
+    gt = np.tile(np.asarray(ONLINE_INIT["init_bbox"]), (9, 2, 1))
+    seq = RGBTSequence("roionline", frames, "LasHeR", gt)
+    s1 = run_sequence(seq, tr, str(tmp_path / "plain"), chunk=4,
+                      report_fps=False)
+    s2 = run_sequence(seq, tr, str(tmp_path / "roi"), chunk=4,
+                      report_fps=False, roi_margin=2.0, roi_min_size=64,
+                      roi_align=16)
+    assert "n_fallback" in s2 and "n_chunks" in s2   # advice r4: tunability
+    assert "n_fallback" not in s1
+    for fname in ("roionline.txt", "roionline_score.txt"):
+        with open(tmp_path / "plain" / fname, "rb") as f1, open(
+                tmp_path / "roi" / fname, "rb") as f2:
+            assert f1.read() == f2.read(), fname

@@ -233,3 +233,50 @@ def test_load_variables_unwraps_trainer_envelope(tmp_path):
                  "batch_stats": {"m": jnp.zeros((2,))}}}))
     out2 = load_variables(str(p2), variables)
     np.testing.assert_allclose(np.asarray(out2["params"]["w"]), 7.0)
+
+
+def test_load_variables_strict_rejects_mismatched_checkpoint(tmp_path):
+    """Eval-time loads are strict by default (reference
+    load_state_dict(strict=True), lib/test/tracker/asymmetric_shared_ce.py
+    :18-19): a checkpoint missing target leaves, or with mis-shaped ones,
+    must raise — never evaluate silently on random init (advice r4)."""
+    import jax.numpy as jnp
+    import pytest
+    from flax import serialization
+    from multi_modal_tracking_tpu.utils.checkpoint import load_variables
+    variables = {"params": {"w": jnp.zeros((2, 2)), "b": jnp.zeros((2,))}}
+
+    # missing leaf
+    p = tmp_path / "partial.msgpack"
+    p.write_bytes(serialization.to_bytes({"params": {"w": jnp.ones((2, 2))}}))
+    with pytest.raises(ValueError, match="strict"):
+        load_variables(str(p), variables)
+
+    # shape mismatch
+    p2 = tmp_path / "shapes.msgpack"
+    p2.write_bytes(serialization.to_bytes(
+        {"params": {"w": jnp.ones((3, 3)), "b": jnp.zeros((2,))}}))
+    with pytest.raises(ValueError, match="strict"):
+        load_variables(str(p2), variables)
+
+    # checkpoint-only key (wrong model family)
+    p3 = tmp_path / "extra.msgpack"
+    p3.write_bytes(serialization.to_bytes(
+        {"params": {"w": jnp.ones((2, 2)), "b": jnp.zeros((2,)),
+                    "score_head": jnp.zeros((4,))}}))
+    with pytest.raises(ValueError, match="strict"):
+        load_variables(str(p3), variables)
+
+    # strict=False = the trainer warm-start semantics: overlap loads,
+    # the rest keeps init
+    import numpy as np
+    out = load_variables(str(p), variables, strict=False)
+    np.testing.assert_allclose(np.asarray(out["params"]["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(out["params"]["b"]), 0.0)
+
+    # exact match stays fine under strict
+    p4 = tmp_path / "exact.msgpack"
+    p4.write_bytes(serialization.to_bytes(
+        {"params": {"w": jnp.ones((2, 2)), "b": jnp.full((2,), 5.0)}}))
+    out4 = load_variables(str(p4), variables)
+    np.testing.assert_allclose(np.asarray(out4["params"]["b"]), 5.0)
