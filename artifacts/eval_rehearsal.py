@@ -25,7 +25,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main(config="synthetic_smoke", epochs=None, out_name="eval_rehearsal_r3.json"):
+def main(config="synthetic_smoke", epochs=None, out_name="eval_rehearsal_r3.json",
+         dataset_name="synthetic_rgbt"):
     work = tempfile.mkdtemp(prefix="eval_rehearsal_")
     env = dict(os.environ,
                PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}")
@@ -44,12 +45,12 @@ def main(config="synthetic_smoke", epochs=None, out_name="eval_rehearsal_r3.json
     ckpt = ckpts[-1]
     print(f"    checkpoint: {ckpt}", flush=True)
 
-    print("[2/3] running eval runner on synthetic_rgbt", flush=True)
+    print(f"[2/3] running eval runner on {dataset_name}", flush=True)
     res_dir = os.path.join(work, "results")
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tracking/test.py"),
          "asymmetric_shared_ce", config,
-         "--dataset_name", "synthetic_rgbt",
+         "--dataset_name", dataset_name,
          "--checkpoint", ckpt, "--results_dir", res_dir, "--chunk", "16"],
         check=True, env=env)
 
@@ -58,8 +59,8 @@ def main(config="synthetic_smoke", epochs=None, out_name="eval_rehearsal_r3.json
                                                         compute_scores,
                                                         extract_results)
     from multi_modal_tracking_tpu.eval.datasets import get_dataset
-    dataset = get_dataset("synthetic_rgbt")
-    sub = os.path.join(res_dir, "synthetic_rgbt")
+    dataset = get_dataset(dataset_name)
+    sub = os.path.join(res_dir, dataset_name)
     trackers = [TrackerResults(sub if os.path.isdir(sub) else res_dir,
                                display_name="flagship_smoke")]
     eval_data = extract_results(trackers, dataset, "rehearsal")
@@ -68,10 +69,13 @@ def main(config="synthetic_smoke", epochs=None, out_name="eval_rehearsal_r3.json
         "n_sequences": len(dataset),
         "auc": round(float(m["AUC"][0]), 2),
         "op50": round(float(m["OP50"][0]), 2),
+        "op75": round(float(m["OP75"][0]), 2),
         "precision": round(float(m["Precision"][0]), 2),
         "norm_precision": round(float(m["Norm Precision"][0]), 2),
         "checkpoint": os.path.basename(ckpt),
-        "flow": f"train.py({config}, epochs={epochs}) -> test.py -> analysis",
+        "dataset": dataset_name,
+        "flow": f"train.py({config}, epochs={epochs}) -> test.py({dataset_name})"
+                " -> analysis",
     }
     path = os.path.join(REPO, "artifacts", out_name)
     with open(path, "w") as f:
@@ -85,5 +89,6 @@ if __name__ == "__main__":
     ap.add_argument("--config", default="synthetic_smoke")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--out", default="eval_rehearsal_r3.json")
+    ap.add_argument("--dataset", default="synthetic_rgbt")
     a = ap.parse_args()
-    main(a.config, a.epochs, a.out)
+    main(a.config, a.epochs, a.out, a.dataset)

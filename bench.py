@@ -16,10 +16,10 @@ CORNER_UP head; 288 search / 128 template — on one chip, three workloads:
      one vmapped scan through the cached-template fast path — the TPU answer
      to the reference's process-per-GPU eval pool (running.py:134-141),
      reported as frames/s/chip. B=8 x T=48 measured optimal on the batch
-     sweep (artifacts/profile_batched_scale.py, 2026-08-19: 671/650/610/552
-     f/s at B=8/16/32/64, 384 frames each); unlike the old B=16 x 24 window
-     it also spans one interval-25 template rebuild, so the number includes
-     the update cost real eval pays.
+     sweep (artifacts/profile_batched_scale.py, re-run 2026-08-20:
+     770/757/698/633 f/s at B=8/16/32/64, 384 frames each); unlike the old
+     B=16 x 24 window it also spans one interval-25 template rebuild, so the
+     number includes the update cost real eval pays.
   3. train step (B=16, bf16 compute / f32 params, CE keep 0.7): samples/s
      and MFU from ANALYTIC matmul+conv FLOPs (utils/flops.py) vs the v5e
      bf16 spec peak; XLA cost_analysis FLOPs reported alongside.
@@ -51,7 +51,9 @@ import time
 
 import numpy as np
 
-BASELINE_FPS = 50.0   # 2x assumed 25-FPS A100 PyTorch per-frame reference
+BASELINE_FPS = 50.0   # 2x ASSUMED 25-FPS A100 reference — reported in
+#                       extra only; the headline vs_baseline is the
+#                       probe-anchored FPS/probe-TFLOP (chip-invariant)
 V5E_BF16_PEAK = 197e12
 FRAME_H, FRAME_W = 512, 640
 # The reference computes FPS over whole sequences (fps.py; LaSOT averages
@@ -278,11 +280,17 @@ def main():
           f"{n_bframes} fr | train: {t_train*1e3:.0f} ms / {TRAIN_STEPS} steps "
           f"({step_flops/1e12:.2f} TFLOP/step)", file=sys.stderr)
 
+    value_per_probe = fps / (ceiling / 1e12)
     print(json.dumps({
         "metric": "tracking_fps_mixvitb_rgbt_ce",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        # headline ratio is PROBE-ANCHORED (VERDICT r4 #6): FPS per
+        # probe-TFLOP/s of the chip this process actually drew — the only
+        # cross-round-comparable number on a tunnel whose chips vary ±30%
+        # (trend: 6.00 r02 / 7.17 r03 / 7.65 r04). The assumed-A100 ratio
+        # lives in extra.vs_assumed_a100_2x only.
+        "vs_baseline": round(value_per_probe, 3),
         "extra": {
             "compute_fps": round(compute_fps, 2),
             "batched_eval_fps": round(batched_fps, 2),
@@ -298,15 +306,17 @@ def main():
             # so cross-round numbers carry their own chip calibration
             "matmul_probe_tflops": round(ceiling / 1e12, 2),
             "train_vs_matmul_probe": round(train_tflops_eff * 1e12 / ceiling, 3),
-            # headline FPS per probe-TFLOP/s: the chip-invariant trend number
-            # (the tunnel maps to a different physical chip each round;
-            # 215.9→343.3→353.5 FPS across r01-r03 is meaningless without
-            # dividing out the probe) — VERDICT r3 #9
-            "value_per_probe_tflops": round(fps / (ceiling / 1e12), 3),
-            # vs_baseline divides by an ASSUMED 50 FPS (2x a 25-FPS A100
-            # estimate, BASELINE.md north star) — not a measured A100 run;
-            # the probe-normalised field above is the trend number
-            "baseline_definition": "assumed 2x25-FPS A100 north star",
+            # duplicate of the headline vs_baseline, kept under its long name
+            # for continuity with BENCH_r02..r04 artifacts
+            "value_per_probe_tflops": round(value_per_probe, 3),
+            # the old headline ratio: divides by an ASSUMED 50 FPS (2x a
+            # 25-FPS A100 estimate, BASELINE.md north star) — not a measured
+            # A100 run; demoted here per VERDICT r4 #6
+            "vs_assumed_a100_2x": round(fps / BASELINE_FPS, 3),
+            "baseline_definition": ("vs_baseline = headline FPS per same-"
+                                    "process probe-TFLOP/s (chip-invariant "
+                                    "trend: 6.00 r02, 7.17 r03, 7.65 r04); "
+                                    "vs_assumed_a100_2x = FPS / assumed 50"),
         },
     }))
 

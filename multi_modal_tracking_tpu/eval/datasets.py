@@ -26,6 +26,7 @@ dataset_dict = dict(
                             dict(split="all", train_split=True)),
     depthtrack=DatasetInfo(_BASE + "datasets_rgbt", "DepthTrackDataset", dict()),
     synthetic_rgbt=DatasetInfo(_BASE + "datasets_rgbt", "SyntheticRGBTEvalDataset", dict()),
+    synthetic_rgbt_hard=DatasetInfo(_BASE + "datasets_rgbt", "SyntheticRGBTHardEvalDataset", dict()),
     synthetic_rgb=DatasetInfo(_BASE + "datasets_rgbt", "SyntheticRGBEvalDataset", dict()),
     # unimodal
     lasot=DatasetInfo(_BASE + "datasets_rgb", "LaSOTDataset", dict()),

@@ -222,3 +222,33 @@ class SyntheticRGBEvalDataset(BaseDataset):
             seqs.append(Sequence(f"synthetic_{k:02d}", list(frames_v),
                                  "SyntheticRGB", boxes.astype(np.float64)))
         return SequenceList(seqs)
+
+
+class SyntheticRGBTHardEvalDataset(BaseDataset):
+    """Hard procedural acceptance set (VERDICT r4 #5): scale change,
+    channel-permuted distractor squares and a textured occluder bar per
+    sequence (train.data.datasets.synthetic._render_hard). Eval split:
+    seed_base offsets past any training seeds and absence disabled so GT is
+    meaningful every frame; occlusion frames keep their would-be GT (LaSOT
+    convention)."""
+
+    def __init__(self, n_sequences: int = 12, n_frames: int = 60,
+                 H: int = 240, W: int = 320, seed_base: int = 100):
+        self.n_sequences, self.n_frames, self.H, self.W = \
+            n_sequences, n_frames, H, W
+        self.seed_base = seed_base
+
+    def get_sequence_list(self):
+        from multi_modal_tracking_tpu.train.data.datasets.synthetic import \
+            SyntheticRGBTHard
+        src = SyntheticRGBTHard(self.n_sequences, self.n_frames, self.H,
+                                self.W, seed_base=self.seed_base,
+                                absent_every=0)
+        seqs = []
+        for k in range(self.n_sequences):
+            frames_v, frames_i, boxes, _ = src._seq(k)
+            frames = list(zip(frames_v, frames_i))
+            gt = np.stack([boxes, boxes], axis=1).astype(np.float64)
+            seqs.append(RGBTSequence(f"synthetic_hard_{k:02d}", frames,
+                                     "SyntheticRGBTHard", gt))
+        return SequenceList(seqs)

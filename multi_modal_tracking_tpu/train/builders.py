@@ -22,8 +22,8 @@ RGBT_NAMES = {"VTUAV", "LasHeR", "RGBT234", "KAIST", "LLVIP", "M3FD",
 
 def names2datasets(names: List[str], image_loader=None):
     """Instantiate dataset adapters by registry name."""
-    from multi_modal_tracking_tpu.train.data.datasets import (SyntheticRGBT,
-                                                              SyntheticVideo)
+    from multi_modal_tracking_tpu.train.data.datasets import (
+        SyntheticRGBT, SyntheticRGBTHard, SyntheticVideo)
     from multi_modal_tracking_tpu.train.data.datasets import rgbt as R
     from multi_modal_tracking_tpu.train.data.datasets import unimodal as U
     kw = {} if image_loader is None else {"image_loader": image_loader}
@@ -53,6 +53,7 @@ def names2datasets(names: List[str], image_loader=None):
         "VID": lambda: U.ImagenetVID(**kw),
         "TNL2k": lambda: U.TNL2k(**kw),
         "SyntheticRGBT": lambda: SyntheticRGBT(),
+        "SyntheticRGBTHard": lambda: SyntheticRGBTHard(),
         "SyntheticVideo": lambda: SyntheticVideo(),
     }
     # LMDB twins (lib/train/dataset/*_lmdb.py, selected by settings.use_lmdb

@@ -5,5 +5,5 @@ from multi_modal_tracking_tpu.train.data.datasets.lmdb_twins import (COCOSeqLmdb
                                                                      ImagenetVIDLmdb,
                                                                      LaSOTLmdb,
                                                                      TrackingNetLmdb)
-from multi_modal_tracking_tpu.train.data.datasets.synthetic import (SyntheticRGBT,
-                                                                    SyntheticVideo)
+from multi_modal_tracking_tpu.train.data.datasets.synthetic import (
+    SyntheticRGBT, SyntheticRGBTHard, SyntheticVideo)

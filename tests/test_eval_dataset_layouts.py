@@ -341,7 +341,8 @@ def test_unconfigured_paths_yield_empty_rosters(tmp_path, monkeypatch, style):
     monkeypatch.chdir(tmp_path)          # a CWD glob would still find nothing
     (tmp_path / "decoy" / "img").mkdir(parents=True)  # ...except this decoy
     skip = {"lasot_lmdb",                # require()d lmdb path raises by design
-            "synthetic_rgbt", "synthetic_rgb"}   # generated, no disk paths
+            "synthetic_rgbt", "synthetic_rgb",
+            "synthetic_rgbt_hard"}               # generated, no disk paths
     for name in dataset_dict:
         if name in skip:
             continue
