@@ -17,7 +17,7 @@ from multi_modal_tracking_tpu.train.data.sampler import TrackingSampler
 RGBT_NAMES = {"VTUAV", "LasHeR", "RGBT234", "KAIST", "LLVIP", "M3FD",
               "DepthTrack", "DepthTrack-Train", "DepthTrack-Test",
               "DepthTrack_Train", "DepthTrack_Test",
-              "VTUAV_Test", "VTUAV-Test", "SyntheticRGBT"}
+              "VTUAV_Test", "VTUAV-Test", "SyntheticRGBT", "SyntheticRGBTHard"}
 
 
 def names2datasets(names: List[str], image_loader=None):
