@@ -33,6 +33,9 @@ def create_tracker(params: TrackerParams, dataset_name: str = "",
     mode: 'RGBT' for bimodal scripts; 'RGB' | 'TIR' | 'Prompt' for unimodal
     (lib/test/evaluation/tracker.py:56-57).
     """
+    from multi_modal_tracking_tpu.utils.cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     from multi_modal_tracking_tpu.tracking.tracker import (OnlineTrackerJit,
                                                             RGBTCachedTrackerJit,
                                                             RGBTOnlineCachedTrackerJit,

@@ -47,6 +47,9 @@ class Trainer:
     def __init__(self, script: str, cfg, save_dir: str = "output",
                  use_mesh: bool = True, seed: int = 42, log_dir: Optional[str] = None,
                  print_interval: Optional[int] = None):
+        from multi_modal_tracking_tpu.utils.cache import \
+            enable_persistent_compile_cache
+        enable_persistent_compile_cache()
         import jax.numpy as jnp
 
         self.script = script
