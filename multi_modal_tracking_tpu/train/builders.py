@@ -17,7 +17,8 @@ from multi_modal_tracking_tpu.train.data.sampler import TrackingSampler
 RGBT_NAMES = {"VTUAV", "LasHeR", "RGBT234", "KAIST", "LLVIP", "M3FD",
               "DepthTrack", "DepthTrack-Train", "DepthTrack-Test",
               "DepthTrack_Train", "DepthTrack_Test",
-              "VTUAV_Test", "VTUAV-Test", "SyntheticRGBT", "SyntheticRGBTHard"}
+              "VTUAV_Test", "VTUAV-Test", "SyntheticRGBT", "SyntheticRGBTHard",
+              "SyntheticRGBTHardVisible"}
 
 
 def names2datasets(names: List[str], image_loader=None):
@@ -54,6 +55,12 @@ def names2datasets(names: List[str], image_loader=None):
         "TNL2k": lambda: U.TNL2k(**kw),
         "SyntheticRGBT": lambda: SyntheticRGBT(),
         "SyntheticRGBTHard": lambda: SyntheticRGBTHard(),
+        # stage-1 variant: more appearance diversity, occlusion-invisible
+        # frames kept, but NO absence stretches — trident_pro's
+        # allow_invisible searches would otherwise supervise the box head
+        # on frames whose GT position holds no target pixels
+        "SyntheticRGBTHardVisible": lambda: SyntheticRGBTHard(
+            n_sequences=24, absent_every=0),
         "SyntheticVideo": lambda: SyntheticVideo(),
     }
     # LMDB twins (lib/train/dataset/*_lmdb.py, selected by settings.use_lmdb
